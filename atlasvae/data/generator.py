@@ -1,0 +1,94 @@
+"""Memory-budgeted streaming sample generator with host prefetch.
+
+Equivalent of the reference's ``Batch_Generator(keras.utils.Sequence)``
+(ref OE-VAE/utils.py:36-73): an epoch is a sequence of "loads", each a
+chunk of the background HDF5 bounded by a host-memory budget
+(``load_size = 1e9*memGB / n_const / n_dims / 4`` jets,
+ref OE-VAE/utils.py:48).  Each load is: read chunk -> OoD pairing ->
+reweighting -> scaling.
+
+TPU-first changes: pairing and scaling are device programs (see
+``pairing``/``scalers``), and ``__iter__`` overlaps the *next* load's
+host I/O with the current load's training via a single background
+thread (double buffering), replacing nothing in the reference (which
+blocks the GPU during every load).
+"""
+
+import queue
+import threading
+
+import numpy as np
+
+from .loader import load_data
+from .pairing import ood_pairing
+from .weights import reweight_sample
+from .scalers import apply_scaler
+
+
+class BatchGenerator:
+    def __init__(self, bkg_data, ood_data, n_const, n_dims, n_bkg, ood_sample=None,
+                 weight_type="X-S", cuts=(), constituents="ON", hlvs="ON",
+                 hlv_list=None, bin_sizes=None, hlv_scaler=None, const_scaler=None,
+                 is_train=False, mem_gb=30, pairing_seed=0):
+        self.bkg_data = bkg_data
+        self.ood_data = ood_data
+        self.n_const = n_const
+        self.n_dims = n_dims
+        self.n_bkg = list(n_bkg)
+        self.ood_sample = ood_sample
+        self.weight_type = weight_type
+        self.cuts = cuts
+        self.constituents = constituents
+        self.hlvs = hlvs
+        self.hlv_list = hlv_list
+        self.bin_sizes = bin_sizes
+        self.hlv_scaler = hlv_scaler
+        self.const_scaler = const_scaler
+        self.is_train = is_train
+        self.pairing_seed = pairing_seed
+        span = self.n_bkg[1] - self.n_bkg[0]
+        self.load_size = min(span, int(1e9 * mem_gb / max(n_const * n_dims * 4, 1)))
+
+    def __len__(self):
+        span = self.n_bkg[1] - self.n_bkg[0]
+        return int(np.ceil(span / self.load_size))
+
+    def __getitem__(self, gen_idx):
+        tag = "training" if self.is_train else "validation"
+        print(f"\nLOADING QCD {tag.upper()} SAMPLE")
+        lo = gen_idx * self.load_size + self.n_bkg[0]
+        hi = min((gen_idx + 1) * self.load_size + self.n_bkg[0], self.n_bkg[1])
+        bkg_sample = load_data(self.bkg_data, (lo, hi), self.cuts, self.n_const,
+                               self.n_dims, self.constituents, self.hlvs, self.hlv_list)
+        ood_sample = self.ood_sample if self.ood_sample is not None else bkg_sample
+        ood_sample = ood_pairing(bkg_sample, ood_sample,
+                                 seed=self.pairing_seed + gen_idx)
+        if self.bin_sizes is not None:
+            bkg_sample, ood_sample = reweight_sample(bkg_sample, ood_sample,
+                                                     self.bin_sizes, self.weight_type)
+        if "constituents" in bkg_sample:
+            bkg_sample["constituents"] = apply_scaler(
+                bkg_sample["constituents"], self.n_dims, self.const_scaler, "QCD")
+        if "HLVs" in bkg_sample:
+            bkg_sample["HLVs"] = apply_scaler(
+                bkg_sample["HLVs"], self.n_dims, self.hlv_scaler, "QCD")
+        return bkg_sample, ood_sample
+
+    def __iter__(self):
+        """Double-buffered iteration: load k+1 on a worker thread while
+        the trainer consumes load k."""
+        n = len(self)
+        if n == 1:
+            yield self[0]
+            return
+        out = queue.Queue(maxsize=1)
+
+        def worker():
+            for i in range(n):
+                out.put(self[i])
+
+        thread = threading.Thread(target=worker, daemon=True)
+        thread.start()
+        for _ in range(n):
+            yield out.get()
+        thread.join()

@@ -1,0 +1,142 @@
+"""Jet-constituent array kernels as jitted device programs.
+
+The reference implements these with host numpy spread over
+``multiprocessing.Process`` fan-outs (ref OE-VAE/utils.py:293-308,
+551-594).  Here each kernel is a single fixed-shape XLA program: the
+(jets, constituents, 4) tensors map straight onto VPU lanes and the
+per-jet sorts/reductions vectorize over the batch with no host loop.
+Host-facing wrappers accept numpy, process in device-sized chunks, and
+return numpy so the loaders stay memory-budgeted (ref OE-VAE/utils.py:48).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Chunk length for host->device streaming of multi-10M-jet arrays.
+_CHUNK = 1_000_000
+
+
+def _chunked(fn, jets, *args, chunk=_CHUNK):
+    jets = np.asarray(jets)
+    if len(jets) <= chunk:
+        return np.asarray(fn(jets, *args))
+    parts = [np.asarray(fn(jets[i:i + chunk], *args)) for i in range(0, len(jets), chunk)]
+    return np.concatenate(parts, axis=0)
+
+
+@jax.jit
+def _sort_by_pt(jets):
+    """Sort each jet's (E,px,py,pz) constituent blocks by descending pt.
+
+    Device rewrite of ``jets_sorting`` (ref OE-VAE/utils.py:564-571):
+    one batched argsort instead of a 16-process host fan-out.
+    """
+    n = jets.shape[1] // 4
+    jets = jets.reshape(-1, n, 4).astype(jnp.float32)
+    pt = jnp.sqrt(jets[:, :, 1] ** 2 + jets[:, :, 2] ** 2)
+    order = jnp.argsort(-pt, axis=-1, stable=True)
+    jets = jnp.take_along_axis(jets, order[:, :, None], axis=1)
+    return jets.reshape(jets.shape[0], -1)
+
+
+def sort_constituents_by_pt(jets):
+    return _chunked(_sort_by_pt, jets)
+
+
+def pad_constituents(jets, n_const):
+    """Truncate/zero-pad the flat (E,px,py,pz) layout to 4*n_const columns
+    (ref OE-VAE/utils.py:91-97)."""
+    jets = np.asarray(jets, dtype=np.float32)
+    want = 4 * n_const
+    if jets.shape[1] >= want:
+        return jets[:, :want]
+    pad = np.zeros((jets.shape[0], want - jets.shape[1]), dtype=np.float32)
+    return np.hstack([jets, pad])
+
+
+@jax.jit
+def _jets_4v(jets):
+    """Summed-constituent jet kinematics: (pt_calo, m_calo).
+
+    Device rewrite of ``get_4v`` (ref OE-VAE/utils.py:300-308).
+    """
+    n = jets.shape[1] // 4
+    four = jnp.sum(jets.reshape(-1, n, 4).astype(jnp.float32), axis=1)
+    e, px, py, pz = four[:, 0], four[:, 1], four[:, 2], four[:, 3]
+    pt = jnp.sqrt(px ** 2 + py ** 2)
+    m = jnp.sqrt(jnp.maximum(0.0, e ** 2 - px ** 2 - py ** 2 - pz ** 2))
+    return pt, m
+
+
+def jets_4v(jets):
+    pt, m = zip(*[
+        _jets_4v(np.asarray(jets)[i:i + _CHUNK]) for i in range(0, len(jets), _CHUNK)
+    ])
+    return {
+        "pt_calo": np.concatenate([np.asarray(p) for p in pt]),
+        "m_calo": np.concatenate([np.asarray(v) for v in m]),
+    }
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _jets_3v(jets, n_dims):
+    """Per-constituent (pt, rapidity, phi) triplets.
+
+    Device rewrite of ``jets_3v`` (ref OE-VAE/utils.py:330-343); the
+    NaN-to-zero rapidity guard is preserved via ``jnp.where``.
+    """
+    jets = jets.astype(jnp.float32).reshape(jets.shape[0], -1, n_dims)
+    if n_dims == 3:
+        px, py, pz = jets[..., 0], jets[..., 1], jets[..., 2]
+        e = jnp.sqrt(px ** 2 + py ** 2 + pz ** 2)
+    else:
+        e, px, py, pz = jets[..., 0], jets[..., 1], jets[..., 2], jets[..., 3]
+    pt = jnp.sqrt(px ** 2 + py ** 2)
+    ratio = (e + pz) / (e - pz)
+    y = jnp.where((ratio > 0) & jnp.isfinite(ratio), jnp.log(jnp.where(ratio > 0, ratio, 1.0)) / 2, 0.0)
+    phi = jnp.arctan2(py, px)
+    return jnp.stack([pt, y, phi], axis=-1)
+
+
+def jets_3v(jets, n_dims):
+    return _chunked(lambda x: _jets_3v(x, n_dims), jets)
+
+
+def drop_energy_component(jets):
+    """(E,px,py,pz) -> (px,py,pz) flat layout for n_dims=3 training
+    (ref OE-VAE/utils.py:115-119)."""
+    jets = np.asarray(jets, dtype=np.float32)
+    n = jets.shape[1] // 4
+    return jets.reshape(-1, n, 4)[..., 1:].reshape(jets.shape[0], -1)
+
+
+@jax.jit
+def _count_constituents(jets):
+    """Number of non-zero constituents per jet (ref OE-VAE/utils.py:582-594).
+
+    A constituent is counted when any of its 4 components is non-zero;
+    padding is all-zero by construction, so the count is the number of
+    blocks with non-zero L1 norm.
+    """
+    n = jets.shape[1] // 4
+    mags = jnp.sum(jnp.abs(jets.reshape(-1, n, 4).astype(jnp.float32)), axis=2)
+    return jnp.sum(mags > 0, axis=1).astype(jnp.int32)
+
+
+def count_constituents(jets):
+    return _chunked(_count_constituents, jets)
+
+
+@jax.jit
+def _cumulative_pt(jets):
+    """pt of the cumulative constituent sum (ref OE-VAE/utils.py:551-561)."""
+    n = jets.shape[1] // 4
+    csum = jnp.cumsum(jets.reshape(-1, n, 4).astype(jnp.float32), axis=1)
+    return jnp.sqrt(csum[:, :, 1] ** 2 + csum[:, :, 2] ** 2)
+
+
+def constituent_pt_cumulative(jets):
+    return _chunked(_cumulative_pt, jets)

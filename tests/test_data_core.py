@@ -1,0 +1,257 @@
+"""Unit + golden-parity tests for the data core (loader, cuts, jets,
+pairing, weights, scalers) against reference formulas (SURVEY.md S4)."""
+
+import numpy as np
+import pytest
+
+from atlasvae.utils.expr import evaluate_cut, CutError
+from atlasvae.utils.chunks import index_ranges, bin_edges, merged_bins
+from atlasvae.data import (
+    load_data, make_sample, split_sample, filtering,
+    sort_constituents_by_pt, pad_constituents, jets_4v, jets_3v,
+    drop_energy_component, count_constituents,
+    ood_pairing, ood_sampling, reweight_sample, get_weights,
+    fit_scaler, apply_scaler, inverse_scaler,
+)
+
+
+# ------------------------------------------------------------- cuts DSL
+
+def test_cut_dsl_accepts_reference_cuts():
+    sample = {"m": np.array([10.0, 50.0, 700.0]), "pt": np.array([400.0, 900.0, 6000.0])}
+    assert list(evaluate_cut('(sample["m"] >= 30)', sample)) == [False, True, True]
+    assert list(evaluate_cut('(sample["pt"] <= 5000)', sample)) == [True, True, False]
+    combined = evaluate_cut('(sample["m"] >= 30) & (sample["pt"] <= 5000)', sample)
+    assert list(combined) == [False, True, False]
+
+
+def test_cut_dsl_rejects_injection():
+    sample = {"m": np.array([1.0])}
+    for evil in ("__import__('os').system('true')", "sample.clear()", "open('/etc/passwd')"):
+        with pytest.raises(CutError):
+            evaluate_cut(evil, sample)
+
+
+def test_index_ranges_matches_reference_get_idx():
+    # ref OE-VAE/utils.py:541-548
+    assert index_ranges(10, n_bins=3) == [(0, 3), (3, 6), (6, 9), (9, 10)]
+    assert index_ranges(10, bin_size=5) == [(0, 5), (5, 10)]
+    edges = bin_edges(10.0, 2.5)
+    np.testing.assert_allclose(edges, [0, 2.5, 5.0, 7.5, 10.0])
+
+
+def test_merged_bins_min_count():
+    values = np.concatenate([np.full(50, 10.0), np.full(50, 100.0)])
+    edges = merged_bins(values, max_bins=20, min_bin_count=5)
+    idx = np.clip(np.digitize(values, edges), 1, len(edges) - 1) - 1
+    counts = np.bincount(idx, minlength=len(edges) - 1)
+    assert np.all(counts >= 5)
+
+
+# ------------------------------------------------------------ jet kernels
+
+def _random_jets(rng, n=64, n_const=8):
+    px, py, pz = rng.normal(0, 50, (3, n, n_const))
+    e = np.sqrt(px**2 + py**2 + pz**2) + rng.uniform(0, 5, (n, n_const))
+    return np.stack([e, px, py, pz], axis=-1).reshape(n, 4 * n_const).astype(np.float32)
+
+
+def test_sort_constituents_by_pt(rng):
+    jets = _random_jets(rng)
+    out = sort_constituents_by_pt(jets).reshape(jets.shape[0], -1, 4)
+    pt = np.sqrt(out[:, :, 1] ** 2 + out[:, :, 2] ** 2)
+    assert np.all(np.diff(pt, axis=1) <= 1e-4)
+    # same multiset of constituents
+    np.testing.assert_allclose(np.sort(out.reshape(-1, 4), axis=0),
+                               np.sort(jets.reshape(-1, 4), axis=0), rtol=1e-6)
+
+
+def test_jets_4v_golden(rng):
+    jets = _random_jets(rng)
+    got = jets_4v(jets)
+    # reference formula (OE-VAE/utils.py:300-308)
+    four = jets.reshape(len(jets), -1, 4).sum(axis=1)
+    e, px, py, pz = four.T
+    np.testing.assert_allclose(got["pt_calo"], np.sqrt(px**2 + py**2), rtol=1e-5)
+    np.testing.assert_allclose(got["m_calo"],
+                               np.sqrt(np.maximum(0, e**2 - px**2 - py**2 - pz**2)),
+                               rtol=1e-4, atol=1e-2)
+
+
+def test_jets_3v_golden(rng):
+    jets = _random_jets(rng, n=16, n_const=4)
+    got = jets_3v(jets, n_dims=4).reshape(16, 4, 3)
+    r = jets.reshape(16, 4, 4)
+    e, px, py, pz = r[..., 0], r[..., 1], r[..., 2], r[..., 3]
+    np.testing.assert_allclose(got[..., 0], np.sqrt(px**2 + py**2), rtol=1e-5)
+    with np.errstate(all="ignore"):
+        y = np.nan_to_num(np.log((e + pz) / (e - pz)) / 2, nan=0)
+    np.testing.assert_allclose(got[..., 1], y, rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(got[..., 2], np.arctan2(py, px), rtol=1e-5)
+
+
+def test_pad_and_drop_energy(rng):
+    jets = _random_jets(rng, n=8, n_const=4)
+    padded = pad_constituents(jets, 6)
+    assert padded.shape == (8, 24)
+    assert np.all(padded[:, 16:] == 0)
+    dropped = drop_energy_component(jets)
+    assert dropped.shape == (8, 12)
+    np.testing.assert_allclose(dropped.reshape(8, 4, 3),
+                               jets.reshape(8, 4, 4)[..., 1:])
+
+
+def test_count_constituents(rng):
+    jets = _random_jets(rng, n=8, n_const=6)
+    jets = jets.reshape(8, 6, 4)
+    jets[:, 4:] = 0.0  # zero-pad last two
+    counts = count_constituents(jets.reshape(8, 24))
+    assert np.all(counts == 4)
+
+
+# ---------------------------------------------------------------- loader
+
+def test_load_data_schema(synth_dir):
+    sample = load_data("QCD-Geneva", 1000, cuts=['(sample["m"] >= 30)'],
+                       n_const=20, n_dims=3, constituents="ON", hlvs="ON", verbose=False)
+    assert sample["constituents"].shape[1] == 60  # 3 * 20
+    assert sample["HLVs"].shape[1] == 12
+    assert np.all(sample["m"] >= 30)
+    assert set(sample) >= {"pt", "m", "weights", "JZW"}
+    # tau ratios derived per reference formula (OE-VAE/utils.py:121-128)
+    np.testing.assert_allclose(
+        sample["tau21"],
+        sample["rljet_Tau2_wta"] / np.maximum(sample["rljet_Tau1_wta"], 1e-16))
+
+
+def test_make_and_split_sample(synth_dir):
+    sample = make_sample("QCD-Geneva", "top-Geneva", 500, 500, n_const=10,
+                         n_dims=3, constituents="OFF", hlvs="ON", verbose=False)
+    bkg, sig = split_sample(sample)
+    assert len(bkg["m"]) + len(sig["m"]) == len(sample["m"])
+    assert np.all(bkg["JZW"] != -1) and np.all(sig["JZW"] == -1)
+
+
+def test_filtering_drops_nonfinite():
+    y = np.array([0, 1, 1])
+    x_true = np.ones((3, 2))
+    x_pred = np.ones((3, 2))
+    x_pred[1, 0] = np.inf
+    sample = {"m": np.arange(3.0)}
+    y2, xt2, xp2, s2 = filtering(y, x_true, x_pred, sample)
+    assert len(y2) == 2 and np.all(np.isfinite(xp2)) and list(s2["m"]) == [0.0, 2.0]
+
+
+# --------------------------------------------------------------- pairing
+
+def test_ood_pairing_matches_kinematics(rng):
+    n_bkg, n_ood = 3000, 30000
+    bkg = {"m": rng.uniform(50, 400, n_bkg).astype(np.float32),
+           "pt": rng.uniform(450, 1100, n_bkg).astype(np.float32)}
+    ood = {"m": rng.uniform(40, 420, n_ood).astype(np.float32),
+           "pt": rng.uniform(440, 1150, n_ood).astype(np.float32),
+           "weights": np.ones(n_ood, dtype=np.float32)}
+    paired = ood_pairing(bkg, ood, verbose=False)
+    assert len(paired["m"]) == n_bkg
+    # dense OoD coverage -> nearly all pairs land in the base 10x10 cell
+    dm = np.abs(paired["m"] - bkg["m"])
+    dpt = np.abs(paired["pt"] - bkg["pt"])
+    assert np.quantile(dm, 0.95) <= 10.0
+    assert np.quantile(dpt, 0.95) <= 10.0
+
+
+def test_ood_pairing_widens_when_sparse(rng):
+    bkg = {"m": np.array([100.0], dtype=np.float32),
+           "pt": np.array([500.0], dtype=np.float32)}
+    ood = {"m": np.array([390.0, 395.0], dtype=np.float32),
+           "pt": np.array([1000.0, 1005.0], dtype=np.float32)}
+    paired = ood_pairing(bkg, ood, verbose=False)
+    assert paired["m"][0] in ood["m"]  # falls back to a coarse cell
+
+
+def test_ood_sampling_resamples(rng):
+    bkg = {"m": np.zeros(100)}
+    ood = {"m": rng.normal(size=10), "weights": np.ones(10)}
+    out = ood_sampling(bkg, ood, seed=0)
+    assert len(out["m"]) == 100
+
+
+# --------------------------------------------------------------- weights
+
+def _wsample(rng, n, m_range=(30, 400), pt_range=(450, 1100)):
+    return {"m": rng.uniform(*m_range, n).astype(np.float32),
+            "pt": rng.uniform(*pt_range, n).astype(np.float32),
+            "weights": rng.uniform(0.5, 2.0, n).astype(np.float32)}
+
+
+def test_reweight_none(rng):
+    bkg, sig = _wsample(rng, 1000), _wsample(rng, 1000)
+    bkg, sig = reweight_sample(bkg, sig, {"m": 20, "pt": 40}, weight_type="None")
+    assert np.all(bkg["weights"] == 1) and np.all(sig["weights"] == 1)
+
+
+def test_reweight_xs_normalizes(rng):
+    bkg, sig = _wsample(rng, 1000), _wsample(rng, 1000)
+    bkg, sig = reweight_sample(bkg, sig, {"m": 20, "pt": 40}, weight_type="X-S")
+    np.testing.assert_allclose(np.sum(sig["weights"]), np.sum(bkg["weights"]), rtol=1e-5)
+
+
+def test_reweight_ood_2d_matches_background_shape(rng):
+    bkg = _wsample(rng, 20000)
+    sig = {"m": rng.uniform(30, 400, 20000).astype(np.float32) ** 1.1 % 370 + 30,
+           "pt": rng.uniform(450, 1100, 20000).astype(np.float32),
+           "weights": np.ones(20000, dtype=np.float32)}
+    sig["m"] = np.clip(sig["m"], 30, 400)
+    _, sig2 = reweight_sample(dict(bkg), dict(sig), {"m": 20, "pt": 40}, weight_type="OoD_2d")
+    h_b = np.histogram(bkg["m"], bins=10, range=(30, 400), weights=bkg["weights"], density=True)[0]
+    h_s = np.histogram(sig["m"], bins=10, range=(30, 400), weights=sig2["weights"], density=True)[0]
+    assert np.max(np.abs(h_b - h_s)) / np.max(h_b) < 0.25
+
+
+def test_get_weights_cap(rng):
+    bkg, sig = _wsample(rng, 5000), _wsample(rng, 50)
+    w = get_weights(bkg, sig, {"m": 20, "pt": 40}, "OoD_2d")
+    assert np.all(w <= 1e4)
+
+
+# --------------------------------------------------------------- scalers
+
+@pytest.mark.parametrize("kind", ["RobustScaler", "MaxAbsScaler",
+                                  "QuantileTransformer", "PowerTransformer"])
+def test_scaler_roundtrip(rng, kind):
+    x = rng.lognormal(0, 1, (5000, 4)).astype(np.float32)
+    scaler = fit_scaler(x, scaler_type=kind, verbose=False)
+    z = apply_scaler(x, scaler=scaler, verbose=False)
+    assert np.all(np.isfinite(z))
+    back = inverse_scaler(z, scaler=scaler)
+    good = np.abs(x) < np.quantile(np.abs(x), 0.99)
+    np.testing.assert_allclose(back[good], x[good], rtol=2e-2, atol=2e-2)
+
+
+def test_robust_scaler_matches_sklearn(rng):
+    from sklearn.preprocessing import RobustScaler
+    x = rng.normal(3, 2, (2000, 3)).astype(np.float32)
+    ours = apply_scaler(x, scaler=fit_scaler(x, scaler_type="RobustScaler", verbose=False),
+                        verbose=False)
+    theirs = RobustScaler().fit_transform(x)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-3)
+
+
+def test_quantile_scaler_matches_sklearn(rng):
+    from sklearn.preprocessing import QuantileTransformer
+    x = rng.lognormal(0, 1, (4000, 2)).astype(np.float32)
+    ours = apply_scaler(x, scaler=fit_scaler(x, scaler_type="QuantileTransformer",
+                                             verbose=False), verbose=False)
+    theirs = QuantileTransformer(output_distribution="normal", n_quantiles=4000,
+                                 random_state=0).fit_transform(x)
+    inner = (np.abs(theirs) < 2.5)
+    assert np.corrcoef(ours[inner], theirs[inner])[0, 1] > 0.999
+    np.testing.assert_allclose(ours[inner], theirs[inner], atol=0.12)
+
+
+def test_maxabs_matches_sklearn(rng):
+    from sklearn.preprocessing import MaxAbsScaler
+    x = rng.normal(0, 5, (1000, 3)).astype(np.float32)
+    ours = apply_scaler(x, scaler=fit_scaler(x, scaler_type="MaxAbsScaler", verbose=False),
+                        verbose=False)
+    np.testing.assert_allclose(ours, MaxAbsScaler().fit_transform(x), rtol=1e-5)
