@@ -56,26 +56,44 @@ def _sample_mass(kind, n, rng):
 
 
 def _make_constituents(pt, mass, n_const, n_max, rng):
-    """Massless constituents whose sum approximates (pt, m)."""
+    """Massless constituents whose sum has exactly (pt, m).
+
+    Construction: mirrored pairs of massless momenta in the jet rest
+    frame (so the total momentum vanishes and the total energy is m,
+    i.e. the invariant mass is m *exactly*), then a boost along x to the
+    requested transverse momentum.  No small-angle approximation — the
+    derived m_calo/pt_calo (see jets_4v) reproduce the generated
+    spectra up to float32 rounding.
+    """
     n_jets = len(pt)
-    frac = rng.dirichlet(np.full(n_max, 0.6), size=n_jets)
-    alive = (np.arange(n_max)[None, :] < n_const[:, None]).astype(np.float32)
-    frac = frac * alive
-    frac /= np.maximum(frac.sum(axis=1, keepdims=True), 1e-9)
-    # Angular spread: small-angle jet mass relation m ~ pt * <dR>.
-    spread = np.clip(mass / np.maximum(pt, 1e-6), 5e-3, 1.2)[:, None]
-    deta = rng.normal(0.0, 1.0, (n_jets, n_max)) * spread
-    dphi = rng.normal(0.0, 1.0, (n_jets, n_max)) * spread
-    pt_i = (frac * pt[:, None]).astype(np.float64)
-    px = pt_i * np.cos(dphi)
-    py = pt_i * np.sin(dphi)
-    pz = pt_i * np.sinh(deta)
-    e = pt_i * np.cosh(deta)
-    four = np.stack([e, px, py, pz], axis=-1) * alive[..., None]
+    n_pairs = n_max // 2
+    # isotropic unit vectors per pair
+    costh = rng.uniform(-1, 1, (n_jets, n_pairs))
+    phi = rng.uniform(0, 2 * np.pi, (n_jets, n_pairs))
+    sinth = np.sqrt(1 - costh ** 2)
+    u = np.stack([sinth * np.cos(phi), sinth * np.sin(phi), costh], axis=-1)
+    # energy fractions over alive pairs
+    alive_pairs = (np.arange(n_pairs)[None, :] < (n_const[:, None] // 2))
+    frac = rng.dirichlet(np.full(n_pairs, 0.6), size=n_jets) * alive_pairs
+    frac /= np.maximum(frac.sum(axis=1, keepdims=True), 1e-12)
+    e_pair = frac * (mass[:, None] / 2.0)          # each of the pair gets e
+    p4 = np.zeros((n_jets, n_max, 4))
+    p4[:, 0::2, 0] = e_pair
+    p4[:, 1::2, 0] = e_pair
+    p4[:, 0::2, 1:] = e_pair[..., None] * u
+    p4[:, 1::2, 1:] = -e_pair[..., None] * u
+    # boost along x: E_jet = sqrt(pt^2 + m^2), gamma = E_jet/m
+    e_jet = np.sqrt(pt ** 2 + mass ** 2)
+    gamma = (e_jet / np.maximum(mass, 1e-9))[:, None]
+    gbeta = (pt / np.maximum(mass, 1e-9))[:, None]
+    e_new = gamma * p4[:, :, 0] + gbeta * p4[:, :, 1]
+    px_new = gbeta * p4[:, :, 0] + gamma * p4[:, :, 1]
+    p4[:, :, 0], p4[:, :, 1] = e_new, px_new
     # Descending-pt ordering, as the production files assume.
-    order = np.argsort(-pt_i * alive, axis=1, kind="stable")
-    four = np.take_along_axis(four, order[:, :, None], axis=1)
-    return four.reshape(n_jets, 4 * n_max).astype(np.float32)
+    pt_i = np.sqrt(p4[:, :, 1] ** 2 + p4[:, :, 2] ** 2)
+    order = np.argsort(-pt_i, axis=1, kind="stable")
+    p4 = np.take_along_axis(p4, order[:, :, None], axis=1)
+    return p4.reshape(n_jets, 4 * n_max).astype(np.float32)
 
 
 def make_synthetic_dataset(path, kind, n_events, n_const_max=100, seed=0):
@@ -113,7 +131,11 @@ def make_synthetic_dataset(path, kind, n_events, n_const_max=100, seed=0):
 
     if cfg["jzw"] == "slices":
         jzw = rng.integers(0, 4, n_events).astype(np.float32)
-        weights = (10.0 ** -jzw * rng.lognormal(0.0, 0.1, n_events)).astype(np.float32)
+        # Mild per-slice weights: spread wide enough to exercise the
+        # cross-section machinery, narrow enough that weighted histograms
+        # keep near-Poisson statistics (real JZW weights behave likewise
+        # after the reference's luminosity scaling).
+        weights = (1.25 ** -jzw * rng.lognormal(0.0, 0.1, n_events)).astype(np.float32)
         dsid = (361020 + jzw).astype(np.float32)
     else:
         jzw = np.full(n_events, cfg["jzw"], dtype=np.float32)

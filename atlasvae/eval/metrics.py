@@ -1,0 +1,121 @@
+"""Per-jet anomaly discriminants as one vmapped device program.
+
+The reference forks one OS process per metric over host numpy
+(ref OE-VAE/plots.py:22-29 fan-out; formulas in OE-VAE/utils.py:346-375
+``loss_function`` and :378-386 ``latent_loss``).  Here each metric is a
+jitted kernel over the full (jets, features) matrices; computing the
+whole bank launches a handful of fused XLA programs instead of
+processes.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.vae import encode
+from ..losses import kld_loss
+
+METRIC_NAMES = ("MSE", "MAE", "MARE", "KLD", "JSD", "X-S", "Inputs", "Latent")
+
+_CHUNK = 1_000_000
+
+
+def _kld_terms(p, q):
+    """Elementwise p*log2(p/q) with the reference's nan_to_num guard
+    (ref OE-VAE/utils.py:347-350)."""
+    ratio = p / q
+    term = p * jnp.log2(ratio)
+    return jnp.where(jnp.isfinite(term), term, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("metric",))
+def _metric_kernel(p, q, metric):
+    if metric in ("Inputs", "Inputs_scaled"):
+        return jnp.mean(p, axis=1)
+    if metric == "MSE":
+        return jnp.mean((p - q) ** 2, axis=1)
+    if metric == "MAE":
+        return jnp.mean(jnp.abs(p - q), axis=1)
+    if metric == "MARE":
+        return jnp.mean(jnp.abs(p - q) / p, axis=1)
+    if metric == "KLD":
+        return jnp.sum(_kld_terms(p, q), axis=1)
+    if metric == "JSD":
+        m = (p + q) / 2
+        return jnp.sum((_kld_terms(p, m) + _kld_terms(q, m)) / 2, axis=1)
+    if metric == "X-S":
+        return jnp.sum(_kld_terms(p, p * q), axis=1)
+    raise ValueError(f"unknown metric {metric!r}")
+
+
+def loss_function(p, q, n_dims=3, metric="MAE", x_losses=None, multiloss=True):
+    """One discriminant over (true, predicted) matrices
+    (ref OE-VAE/utils.py:346-375; same signature contract)."""
+    p = np.asarray(p, np.float32)
+    q = np.asarray(q, np.float32)
+    out = np.concatenate([
+        np.asarray(_metric_kernel(jnp.asarray(p[i:i + _CHUNK]),
+                                  jnp.asarray(q[i:i + _CHUNK]), metric))
+        for i in range(0, len(p), _CHUNK)
+    ])
+    if multiloss and x_losses is not None:
+        x_losses[metric] = out
+        return None
+    return out
+
+
+@jax.jit
+def _latent_kernel(params, x):
+    z_mean, z_log_var = encode(params, x)
+    kld = kld_loss(z_mean, z_log_var)
+    return jnp.where(jnp.isfinite(kld), kld, 0.0)
+
+
+def latent_loss(x_true, params, chunk=100_000):
+    """Encoder KLD per jet, chunked like the reference's 1e5 batching
+    (ref OE-VAE/utils.py:378-386)."""
+    x_true = np.asarray(x_true, np.float32)
+    return np.concatenate([
+        np.asarray(_latent_kernel(params, jnp.asarray(x_true[i:i + chunk])))
+        for i in range(0, len(x_true), chunk)
+    ])
+
+
+def loss_mapping(x):
+    """Map any loss distribution into [0, 1]
+    (ref OE-VAE/plots.py:15-20, exact branch structure)."""
+    x = np.asarray(x)
+    if np.all((x >= 0) & (x <= 1)):
+        return x
+    if np.all((x >= -1) & (x <= 0)):
+        return x + 1
+    if np.all(x >= 0):
+        return x / (np.abs(x) + 1)
+    if np.all(x <= 0):
+        return x / (np.abs(x) + 1) + 1
+    return (x / (np.abs(x) + 1) + 1) / 2
+
+
+def compute_metric_bank(x_true, x_pred, params=None, metrics=("Latent", "MAE", "KLD", "JSD"),
+                        n_dims=3, sample=None, normal_losses=True):
+    """The reference's per-metric process fan-out as sequential device
+    launches (ref OE-VAE/plots.py:21-35)."""
+    x_losses = {}
+    for metric in metrics:
+        if metric == "Latent":
+            if params is not None:
+                x_losses["Latent"] = latent_loss(x_true, params)
+        elif metric == "Inputs":
+            if sample is not None and "constituents" in sample:
+                x_losses["Inputs"] = loss_function(sample["constituents"], x_pred,
+                                                   n_dims, "Inputs", multiloss=False)
+            x_losses["Inputs_scaled"] = loss_function(x_true, x_pred, n_dims,
+                                                      "Inputs_scaled", multiloss=False)
+        else:
+            x_losses[metric] = loss_function(x_true, x_pred, n_dims, metric,
+                                             multiloss=False)
+    if normal_losses:
+        x_losses = {k: loss_mapping(v) for k, v in x_losses.items()}
+    return x_losses

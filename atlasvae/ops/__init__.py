@@ -1,0 +1,5 @@
+from .fused_mlp import fused_mlp_apply
+from .gammainc import log_gammainc_lower, log_gammainc_upper, sigma_from_log_pval
+
+__all__ = ["fused_mlp_apply", "log_gammainc_lower", "log_gammainc_upper",
+           "sigma_from_log_pval"]

@@ -1,0 +1,5 @@
+from .bumphunter import BumpHunter1D, scan_histograms, batched_bump_sigma
+from .fit import fit_gaussian, gaussian
+
+__all__ = ["BumpHunter1D", "scan_histograms", "batched_bump_sigma",
+           "fit_gaussian", "gaussian"]

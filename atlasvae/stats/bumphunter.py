@@ -1,0 +1,470 @@
+"""BumpHunter1D as a vectorized TPU program.
+
+Re-implements the reference's vendored pyBumpHunter fork
+(ref OE-VAE/BumpHunter/bumphunter_1dim.py, arXiv:1101.0390) with the
+same public surface (``bump_scan``, ``plot_bump``, ``bump_info``,
+``plot_stat``, ``plot_tomography``, ``signal_inject``,
+``save_state``/``load_state``/``reset``) and a redesigned core:
+
+* the (width x position) window scan is one fixed-shape array program:
+  windowed counts via cumulative sums, per-window Poisson p-values via
+  the log-space regularized incomplete gamma (atlasvae.ops.gammainc),
+  masked min-reduction over windows (ref ``_scan_hist``
+  :326-475 loops in Python per width and position);
+* the npe pseudo-experiments are one ``jax.random.poisson`` draw and a
+  vmapped scan — data + 1000 pseudo scans execute as a single device
+  launch (ref loops one thread per scan, :1108-1190);
+* p-values are carried as **log p** end-to-end, so extreme significances
+  need no mpmath (ref :17, dps=1000; see ops/gammainc.py docstring) and
+  the sigma ceiling disappears.
+
+Behavioral parity notes: t = -ln(min p) (ref :1194); global p-value =
+fraction of pseudo t >= t_data with the 0-case lower limit
+-ndtri(1/npe) (ref :1196-1219 #DG); per-bin signed significances as in
+``plot_bump`` (ref :1772-1794); empty-window widths fall back to p=1
+(ref :402-407).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.gammainc import log_gammainc_lower, log_gammainc_upper, sigma_from_log_pval
+
+
+# --------------------------------------------------------------- core scan
+
+@functools.partial(jax.jit, static_argnames=("widths", "scan_steps", "mode",
+                                              "use_sideband", "sideband_width"))
+def scan_histograms(hists, ref, widths, scan_steps, hinf, hsup, mode="excess",
+                    use_sideband=False, sideband_width=None):
+    """Scan K histograms against one reference in a single program.
+
+    Args:
+      hists: (K, nbins) data + pseudo-data histograms.
+      ref: (nbins,) background histogram.
+      widths: static tuple of window widths (bins).
+      scan_steps: static tuple of per-width position strides.
+      hinf, hsup: scan range [hinf, hsup) from the first/last non-empty
+        reference bins (ref :365-367), dynamic scalars.
+    Returns:
+      min_log_pval: (K,) log of the min window p-value per histogram.
+      min_loc: (K,) window start bin.
+      min_width: (K,) window width (bins).
+      signal_eval: (K,) data-minus-reference in the min window.
+      log_pvals: (n_widths, K, nbins) per-window log p-values (masked
+        windows = 0), for res_ar/tomography.
+    """
+    nbins = ref.shape[0]
+    k = hists.shape[0]
+    c_h = jnp.concatenate([jnp.zeros((k, 1)), jnp.cumsum(hists, axis=1)], axis=1)
+    c_r = jnp.concatenate([jnp.zeros(1), jnp.cumsum(ref)], axis=0)
+    pos = jnp.arange(nbins)
+
+    if use_sideband:
+        vinf, vsup = hinf, hsup
+        if sideband_width is not None:
+            hinf = hinf + sideband_width
+            hsup = hsup - sideband_width
+        ref_total = c_r[vsup] - c_r[vinf]
+        hist_total = c_h[:, vsup] - c_h[:, vinf]
+
+    all_logp, all_nh, all_nr = [], [], []
+    for w, step in zip(widths, scan_steps):
+        nh = c_h[:, w:] - c_h[:, :-w]          # (K, nbins-w+1)
+        nr = c_r[w:] - c_r[:-w]                # (nbins-w+1,)
+        pad = nbins - nh.shape[1]
+        nh = jnp.pad(nh, ((0, 0), (0, pad)))
+        nr = jnp.pad(nr, (0, pad))
+        p = pos
+        valid = (p >= hinf) & (p + w <= hsup) & ((p - hinf) % step == 0)
+        nr_b = jnp.broadcast_to(nr[None, :], nh.shape)
+        if use_sideband:
+            scale = (hist_total[:, None] - nh) / jnp.maximum(ref_total - nr_b, 1e-12)
+            nr_b = nr_b * scale
+        if mode == "excess":
+            window_ok = (nh > nr_b) & (nr_b > 0)
+            logp = log_gammainc_lower(nh, jnp.maximum(nr_b, 1e-30))
+        else:  # deficit
+            window_ok = nh < nr_b
+            logp = log_gammainc_upper(nh + 1.0, jnp.maximum(nr_b, 1e-30))
+        logp = jnp.where(window_ok & valid[None, :], logp, 0.0)
+        all_logp.append(logp)
+        all_nh.append(nh)
+        all_nr.append(nr_b)
+
+    log_pvals = jnp.stack(all_logp)            # (W, K, nbins)
+    nh_all = jnp.stack(all_nh)
+    nr_all = jnp.stack(all_nr)
+
+    flat = log_pvals.transpose(1, 0, 2).reshape(k, -1)   # (K, W*nbins)
+    arg = jnp.argmin(flat, axis=1)
+    min_log_pval = jnp.take_along_axis(flat, arg[:, None], axis=1)[:, 0]
+    w_idx = arg // nbins
+    min_loc = arg % nbins
+    widths_arr = jnp.asarray(widths)
+    min_width = widths_arr[w_idx]
+    nh_flat = nh_all.transpose(1, 0, 2).reshape(k, -1)
+    nr_flat = nr_all.transpose(1, 0, 2).reshape(k, -1)
+    signal_eval = (jnp.take_along_axis(nh_flat, arg[:, None], 1)
+                   - jnp.take_along_axis(nr_flat, arg[:, None], 1))[:, 0]
+    return min_log_pval, min_loc, min_width, signal_eval, log_pvals
+
+
+@functools.partial(jax.jit, static_argnames=("npe",))
+def _poisson_pseudo(key, ref, npe):
+    return jax.random.poisson(key, ref, shape=(npe,) + ref.shape).astype(jnp.float32)
+
+
+@jax.jit
+def _bin_significance(data_hist, ref_hist):
+    """Per-bin signed significance (ref plot_bump :1772-1794)."""
+    excess = (data_hist > ref_hist) & (ref_hist > 0)
+    deficit = data_hist < ref_hist
+    logp_e = log_gammainc_lower(data_hist, jnp.maximum(ref_hist, 1e-30))
+    logp_d = log_gammainc_upper(data_hist + 1.0, jnp.maximum(ref_hist, 1e-30))
+    logp = jnp.where(excess, logp_e, jnp.where(deficit, logp_d, 0.0))
+    sig = sigma_from_log_pval(logp)
+    sig = jnp.where(excess | deficit, sig, 0.0)
+    sig = jnp.maximum(sig, 0.0)                     # ref :1792
+    sig = jnp.where(jnp.isfinite(sig), sig, 0.0)    # ref :1793
+    return jnp.where(deficit, -sig, sig)            # ref :1794
+
+
+# ------------------------------------------------------------------ class
+
+class BumpHunter1D:
+    """Drop-in equivalent of the reference BumpHunter1D
+    (ref bumphunter_1dim.py:19-317 constructor surface)."""
+
+    def __init__(self, rang=None, mode="excess", width_min=1, width_max=None,
+                 width_step=1, scan_step=1, npe=100, bins=60, weights=None,
+                 nworker=4, sigma_limit=5, str_min=0.5, str_step=0.25,
+                 str_scale="lin", signal_exp=None, flip_sig=True,
+                 npe_inject=100, seed=None, use_sideband=False,
+                 sideband_width=None):
+        self.rang = rang
+        self.mode = mode
+        self.width_min = width_min
+        self.width_max = width_max
+        self.width_step = width_step
+        self.scan_step = scan_step
+        self.npe = npe
+        self.bins = bins
+        self.weights = weights
+        self.nworker = nworker  # kept for API parity; scans are vectorized
+        self.sigma_limit = sigma_limit
+        self.str_min = str_min
+        self.str_step = str_step
+        self.str_scale = str_scale
+        self.signal_exp = signal_exp
+        self.flip_sig = flip_sig
+        self.npe_inject = npe_inject
+        self.seed = seed
+        self.use_sideband = use_sideband
+        self.sideband_width = sideband_width
+        self.reset()
+
+    # ------------------------------------------------------------- utils
+
+    def reset(self):
+        """Clear result state (ref :704-727)."""
+        self.global_Pval = 0
+        self.significance = 0
+        self.res_ar = []
+        self.min_Pval_ar = []
+        self.log_Pval_ar = []
+        self.min_loc_ar = []
+        self.min_width_ar = []
+        self.t_ar = []
+        self.signal_eval = 0
+        self.norm_scale = None
+        self.signal_min = 0
+        self.signal_ratio = None
+        self.data_inject = []
+        self.sigma_ar = []
+
+    def save_state(self):
+        """Snapshot every knob + result into a dict (ref :729-779)."""
+        keys = ["mode", "rang", "bins", "weights", "width_min", "width_max",
+                "width_step", "scan_step", "npe", "nworker", "seed",
+                "sigma_limit", "str_min", "str_step", "str_scale",
+                "signal_exp", "flip_sig", "npe_inject", "use_sideband",
+                "global_Pval", "significance", "res_ar", "min_Pval_ar",
+                "log_Pval_ar", "min_loc_ar", "min_width_ar", "t_ar",
+                "signal_eval", "norm_scale", "signal_min", "signal_ratio",
+                "data_inject"]
+        return {k: getattr(self, k) for k in keys}
+
+    def load_state(self, state):
+        """Restore from a save_state dict (ref :781-919)."""
+        defaults = BumpHunter1D().__dict__
+        for k, v in defaults.items():
+            setattr(self, k, state.get(k, v))
+        for k, v in state.items():
+            setattr(self, k, v)
+
+    # --------------------------------------------------------- internals
+
+    def _widths(self, nbins):
+        wmax = self.width_max if self.width_max is not None else nbins // 2
+        self.width_max = wmax
+        widths = tuple(range(self.width_min, wmax + 1, self.width_step))
+        if self.scan_step == "full":
+            steps = widths
+        elif self.scan_step == "half":
+            steps = tuple(max(1, w // 2) for w in widths)
+        else:
+            steps = tuple(int(self.scan_step) for _ in widths)
+        return widths, steps
+
+    def _histogram(self, data, bkg, is_hist):
+        if not is_hist:
+            bkg_hist, bins = np.histogram(bkg, bins=self.bins,
+                                          weights=self.weights, range=self.rang)
+            data_hist = np.histogram(data, bins=bins, range=self.rang)[0]
+            self.bins = bins
+        else:
+            bkg_hist = np.asarray(bkg, dtype=np.float64)
+            if self.weights is not None:
+                bkg_hist = bkg_hist * self.weights
+            data_hist = np.asarray(data, dtype=np.float64)
+        return data_hist.astype(np.float32), bkg_hist.astype(np.float32)
+
+    def _scan_range(self, ref):
+        non0 = np.nonzero(ref > 0)[0]
+        if len(non0) == 0:
+            return 0, len(ref)
+        return int(non0.min()), int(non0.max()) + 1
+
+    # ------------------------------------------------------------ public
+
+    def bump_scan(self, data, bkg, is_hist=False, do_pseudo=True, verbose=True):
+        """Full BumpHunter scan: data + npe pseudo-experiments, global
+        p-value and significance (ref :922-1226)."""
+        data_hist, bkg_hist = self._histogram(data, bkg, is_hist)
+        widths, steps = self._widths(len(data_hist))
+        hinf, hsup = self._scan_range(bkg_hist)
+        if verbose:
+            print(f"{len(widths)} values of width will be tested")
+            print("SCAN")
+
+        if do_pseudo:
+            key = jax.random.PRNGKey(0 if self.seed is None else self.seed)
+            pseudo = _poisson_pseudo(key, jnp.asarray(bkg_hist), self.npe)
+            hists = jnp.concatenate([jnp.asarray(data_hist)[None, :], pseudo])
+        else:
+            hists = jnp.asarray(data_hist)[None, :]
+
+        out = scan_histograms(hists, jnp.asarray(bkg_hist), widths, steps,
+                              hinf, hsup, self.mode, self.use_sideband,
+                              self.sideband_width)
+        min_logp, min_loc, min_width, signal_eval, log_pvals = map(np.asarray, out)
+
+        self.log_Pval_ar = min_logp
+        with np.errstate(under="ignore"):
+            self.min_Pval_ar = np.exp(min_logp.astype(np.float64))
+        self.min_loc_ar = min_loc.astype(int)
+        self.min_width_ar = min_width.astype(int)
+        self.signal_eval = float(signal_eval[0])
+        self.res_ar = [np.exp(log_pvals[w, 0].astype(np.float64)) for w in range(len(widths))]
+        self.t_ar = -min_logp.astype(np.float64)  # t = -ln(min p), ref :1194
+
+        if len(self.t_ar) > 1:
+            tdat = self.t_ar[0]
+            s = int(np.sum(self.t_ar[1:] >= tdat))
+            self.global_Pval = s / self.npe
+            if verbose:
+                print(f"Global p-value : {self.global_Pval:1.4f}  ({s} / {self.npe})")
+            if self.global_Pval == 1:
+                self.significance = 0
+            elif self.global_Pval == 0:
+                # lower limit -ndtri(1/npe), ref :1212 #DG
+                self.significance = float(sigma_from_log_pval(np.log(1.0 / self.npe)))
+                if verbose:
+                    print(f"Significance > {self.significance:1.5f} (lower limit)")
+            else:
+                self.significance = float(sigma_from_log_pval(np.log(self.global_Pval)))
+                if verbose:
+                    print(f"Significance = {self.significance:1.5f}")
+        elif verbose:
+            print("No pseudo data found : can't compute global p-value")
+
+    def bump_info(self, data, is_hist=False, verbose=True):
+        """Result summary; returns the *local* significance
+        -ndtri(min p of data), unbounded (ref :2018-2127 #DG return)."""
+        bins = self.bins if is_hist or not np.isscalar(self.bins) else \
+            np.histogram_bin_edges(data, bins=self.bins, range=self.rang)
+        bmin = bins[self.min_loc_ar[0]]
+        bmax = bins[self.min_loc_ar[0] + self.min_width_ar[0]]
+        loc_sigma = float(sigma_from_log_pval(self.log_Pval_ar[0]))
+        if verbose:
+            print(f"\nBump edges : [{bmin:.3g}, {bmax:.3g}]"
+                  f"  (loc={self.min_loc_ar[0]}, width={self.min_width_ar[0]})")
+            print(f"Bump mean | width : {(bmax + bmin) / 2:.3g} | {bmax - bmin:.3g}")
+            print(f"Evaluated number of signal events : {self.signal_eval:.3g}")
+            print(f"Local p-value | test statistic : {self.min_Pval_ar[0]:.5g}"
+                  f" | {self.t_ar[0]:.5g}")
+            print(f"Local significance : {loc_sigma:.5g}")
+            print(f"Global p-value : {self.global_Pval:.5g}")
+            if self.global_Pval == 0:
+                print(f"Global significance : >{self.significance:.3g}  (lower limit)")
+            else:
+                print(f"Global significance : {self.significance:.3g}")
+        return loc_sigma
+
+    def plot_bump(self, data, bkg, is_hist=False, use_sideband=None, label="",
+                  filename=None, make_histo=False):
+        """Per-bin signed significances + optional bump plot; returns
+        (bin_sigma, (Bmin, Bmax)) (ref :1646-1860)."""
+        data_hist, bkg_hist = self._histogram(data, bkg, is_hist)
+        bins = self.bins
+        bmin = bins[self.min_loc_ar[0]]
+        bmax = bins[self.min_loc_ar[0] + self.min_width_ar[0]]
+        if use_sideband is None:
+            use_sideband = self.use_sideband
+        if use_sideband and self.norm_scale is not None:
+            bkg_hist = bkg_hist * self.norm_scale
+        sig = np.asarray(_bin_significance(jnp.asarray(data_hist),
+                                           jnp.asarray(bkg_hist)))
+        if make_histo or filename is not None:
+            from ..plotting.bump import plot_bump_histogram
+            plot_bump_histogram(data_hist, bkg_hist, bins, sig, (bmin, bmax),
+                                self.rang, label, filename)
+        return sig, (bmin, bmax)
+
+    def plot_stat(self, show_Pval=False, filename=None):
+        """BumpHunter test-statistic distribution plot (ref :1867-1918)."""
+        from ..plotting.bump import plot_stat_distribution
+        plot_stat_distribution(self.t_ar, self.global_Pval, show_Pval, filename)
+
+    def plot_tomography(self, data, is_hist=False, filename=None):
+        """p-value vs window position per width (ref :1513-1644)."""
+        from ..plotting.bump import plot_tomography as _plot
+        widths, _ = self._widths(len(self.res_ar[0]) if self.res_ar else 1)
+        _plot(self.bins, self.res_ar, widths, filename)
+
+    def signal_inject(self, sig, bkg, is_hist=False, verbose=True):
+        """Signal-injection sensitivity scan: raise the injected strength
+        until the median significance reaches sigma_limit
+        (ref :1233-1506)."""
+        if not is_hist:
+            bkg_hist, bins = np.histogram(bkg, bins=self.bins,
+                                          weights=self.weights, range=self.rang)
+            sig_base = np.histogram(sig, bins=bins, range=self.rang)[0]
+            self.bins = bins
+            if self.signal_exp is None:
+                self.signal_exp = len(np.asarray(sig))
+            sig_scale = self.signal_exp / max(len(np.asarray(sig)), 1)
+        else:
+            bkg_hist = np.asarray(bkg, dtype=np.float64)
+            if self.weights is not None:
+                bkg_hist = bkg_hist * self.weights
+            sig_base = np.asarray(sig, dtype=np.float64)
+            if self.signal_exp is None:
+                self.signal_exp = float(sig_base.sum())
+            sig_scale = self.signal_exp / max(float(sig_base.sum()), 1e-12)
+        bkg_hist = bkg_hist.astype(np.float32)
+        widths, steps = self._widths(len(bkg_hist))
+        hinf, hsup = self._scan_range(bkg_hist)
+        key = jax.random.PRNGKey(0 if self.seed is None else self.seed)
+
+        # Background-only t distribution.
+        key, sub = jax.random.split(key)
+        pseudo_bkg = _poisson_pseudo(sub, jnp.asarray(bkg_hist), self.npe)
+        t_bkg = -np.asarray(scan_histograms(pseudo_bkg, jnp.asarray(bkg_hist),
+                                            widths, steps, hinf, hsup, self.mode,
+                                            self.use_sideband, self.sideband_width)[0])
+
+        self.sigma_ar = []
+        self.global_Pval, self.significance = 1.0, 0.0
+        strength, i = 0.0, 1
+        data_hist = bkg_hist
+        while (self.significance < self.sigma_limit
+               and self.global_Pval > 1 / self.npe):
+            if self.str_scale == "lin":
+                strength = self.str_min if i == 1 else strength + self.str_step
+            elif self.str_scale == "log":
+                if i == 1:
+                    strength = 10 ** self.str_min
+                    self.str_step = strength
+                else:
+                    strength += self.str_step
+                    if abs(strength - 10 * self.str_step) < 1e-6:
+                        self.str_step *= 10
+            else:
+                print("ERROR : Bad str_scale value ! Must be either 'lin' or 'log'")
+                return
+            if verbose:
+                print(f"   STEP {i} : signal strength = {strength}")
+            self.signal_min = self.signal_exp * strength
+            if self.mode == "deficit":
+                self.signal_min = -self.signal_min
+            sig_hist = sig_base * strength * sig_scale
+            if self.mode == "deficit" and self.flip_sig:
+                sig_hist = -sig_hist
+            data_hist = (bkg_hist + sig_hist).astype(np.float32)
+            key, sub = jax.random.split(key)
+            pseudo_data = _poisson_pseudo(sub, jnp.asarray(np.maximum(data_hist, 0)),
+                                          self.npe_inject)
+            t_inj = -np.asarray(scan_histograms(pseudo_data, jnp.asarray(bkg_hist),
+                                                widths, steps, hinf, hsup, self.mode,
+                                                self.use_sideband,
+                                                self.sideband_width)[0])
+            tdat, tinf, tsup = (np.median(t_inj), np.quantile(t_inj, 0.16),
+                                np.quantile(t_inj, 0.84))
+            qs = [np.sum(t_bkg > t) / self.npe for t in (tdat, tinf, tsup)]
+            self.global_Pval = qs[0]
+            sigmas = [float(sigma_from_log_pval(np.log(max(q, 1.0 / self.npe))))
+                      for q in qs]
+            self.significance = sigmas[0]
+            self.sigma_ar.append([sigmas[0], abs(sigmas[0] - sigmas[1]),
+                                  abs(sigmas[0] - sigmas[2])])
+            if verbose:
+                print(f"Global p-value : {self.global_Pval:1.4f}   "
+                      f"significance = {self.significance:1.5f}")
+            i += 1
+        if verbose:
+            if self.significance > self.sigma_limit:
+                print("REACHED SIGMA LIMIT")
+            elif self.global_Pval <= 1 / self.npe:
+                print(f"REACHED STAT LIMIT AT {self.significance:.3f} SIGMA")
+        self.signal_ratio = abs(self.signal_min / self.signal_exp)
+        self.data_inject = data_hist
+        self.t_ar = np.append(t_bkg, -np.log(np.maximum(1e-300, 1.0)))
+        self.sigma_ar = np.array(self.sigma_ar)
+
+
+# --------------------------------------------------- batched cut scanning
+
+def batched_bump_sigma(data_hists, bkg_hists, widths, scan_steps, npe=1000,
+                       mode="excess", seed=0):
+    """Run independent BumpHunter scans for many (data, bkg) histogram
+    pairs in one vmapped program — the reference fans this out as one OS
+    process per threshold cut (ref OE-VAE/plots.py:289-290).
+
+    Returns (local_sigma, global_sigma, t_data) arrays of shape (n_cuts,).
+    """
+    data_hists = jnp.asarray(data_hists, jnp.float32)
+    bkg_hists = jnp.asarray(bkg_hists, jnp.float32)
+    n_cuts, nbins = data_hists.shape
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_cuts)
+
+    def one(key, data_hist, bkg_hist):
+        pseudo = jax.random.poisson(key, bkg_hist,
+                                    shape=(npe, nbins)).astype(jnp.float32)
+        hists = jnp.concatenate([data_hist[None, :], pseudo])
+        non0 = bkg_hist > 0
+        idx = jnp.arange(nbins)
+        hinf = jnp.min(jnp.where(non0, idx, nbins))
+        hsup = jnp.max(jnp.where(non0, idx, -1)) + 1
+        min_logp, _, _, _, _ = scan_histograms(hists, bkg_hist, widths,
+                                               scan_steps, hinf, hsup, mode)
+        t = -min_logp
+        s = jnp.sum(t[1:] >= t[0])
+        global_logp = jnp.log(jnp.maximum(s, 1.0) / npe)
+        return sigma_from_log_pval(min_logp[0]), sigma_from_log_pval(global_logp), t[0]
+
+    return jax.vmap(one)(keys, data_hists, bkg_hists)

@@ -1,0 +1,52 @@
+"""Checkpointing: weights-only (reference parity) and full train state.
+
+The reference checkpoints weights-only HDF5 + pickled history appended
+across restarts (ref OE-VAE/models.py:227,160-161; SURVEY.md S5 notes
+optimizer state is never saved — resume restarts Adam moments).  Here:
+
+* ``save_weights``/``load_weights``: parameter pytree only, keyed npz —
+  same drop-in semantics as Keras save_weights/load_weights,
+* ``save_pytree``/``load_pytree``: arbitrary pytrees (params + optimizer
+  state + step), fixing the reference's lossy resume while keeping the
+  weights-only path for parity.
+"""
+
+import pickle
+
+import jax
+import numpy as np
+
+
+def _flatten(tree):
+    flat, treedef = jax.tree_util.tree_flatten(tree)
+    return flat, treedef
+
+
+def save_pytree(path, tree):
+    flat, _ = _flatten(tree)
+    np.savez(path, **{f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(flat)})
+
+
+def load_pytree(path, template):
+    flat, treedef = _flatten(template)
+    with np.load(path) as data:
+        leaves = [data[f"leaf_{i}"] for i in range(len(flat))]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def save_weights(params, path):
+    save_pytree(path, params)
+
+
+def load_weights(path, template):
+    return load_pytree(path, template)
+
+
+def save_history(history, path):
+    with open(path, "wb") as f:
+        pickle.dump(history, f)
+
+
+def load_history(path):
+    with open(path, "rb") as f:
+        return pickle.load(f)

@@ -1,0 +1,135 @@
+"""VAE training loop: epochs over streamed loads, plateau LR, checkpoints.
+
+Mirrors the reference's ``train_model`` control flow
+(ref OE-VAE/models.py:135-240) with the per-batch eager loop replaced by
+one jitted scan per load (see ``step.py``):
+
+* epoch metrics are weighted per-sample means (tf.keras.metrics.Mean),
+* validation runs every epoch on ~1e6-row batches (ref models.py:202),
+* history is pickled every epoch and appended across restarts when
+  ``model_in`` is set (ref models.py:160-161,216),
+* plateau controller: monitor 'Train loss', patience 3, factor 2,
+  min_delta 1e-3, min_lr 1e-4, save-best weights (ref models.py:222-240).
+"""
+
+import os
+import time
+
+import jax
+import numpy as np
+
+from .step import make_vae_step_fns, make_optimizer, batch_load
+from .checkpoint import save_weights, save_history, load_history
+
+
+def features(sample):
+    """Assemble the model input matrix from a sample dict
+    (ref OE-VAE/models.py:110-118)."""
+    if "constituents" in sample and "HLVs" in sample:
+        return np.hstack([sample["constituents"], sample["HLVs"]])
+    if "constituents" in sample:
+        return sample["constituents"]
+    return sample["HLVs"]
+
+
+def train_model(params, train_sample, valid_sample, oe_type="KLD", n_epochs=1,
+                batch_size=5000, beta=0.0, lamb=0.0, margin=0.0, lr=1e-3,
+                hist_file=None, model_in=None, model_out=None, mesh=None,
+                seed=0, activation="relu", valid_batch_size=int(1e6)):
+    """Train the VAE; returns (params, history).
+
+    ``train_sample``/``valid_sample`` iterate (bkg_sample, ood_sample)
+    load pairs (BatchGenerator or a list of such pairs).
+    """
+    optimizer = make_optimizer(lr)
+    opt_state = optimizer.init(params)
+    n_devices = int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
+    train_on_load, valid_losses = make_vae_step_fns(
+        optimizer, oe_type, beta, lamb, margin, activation, mesh)
+
+    history = {"MSE": []}
+    if beta != 0:
+        history["KLD"] = []
+    if lamb != 0:
+        history["OE"] = []
+    history.update({"Train loss": [], "Valid loss": []})
+    if hist_file and os.path.isfile(hist_file) and model_in and os.path.isfile(model_in):
+        history = load_history(hist_file)
+
+    key = jax.random.PRNGKey(seed)
+    count = 0
+    print("STARTING TRAINING (loads/epoch: %d)" % len(train_sample))
+    for epoch in range(n_epochs):
+        start_time = time.time()
+        print("\nEpoch %d/%d:" % (epoch + 1, n_epochs))
+        sums = np.zeros(4)
+        n_seen = 0.0
+        for bkg_sample, ood_sample in train_sample:
+            batches = batch_load(features(bkg_sample), features(ood_sample),
+                                 bkg_sample["weights"], ood_sample["weights"],
+                                 batch_size, n_devices)
+            key, sub = jax.random.split(key)
+            params, opt_state, metrics = train_on_load(params, opt_state, sub, *batches)
+            metrics = np.asarray(metrics)
+            sums += metrics[:, :4].sum(axis=0)
+            n_seen += metrics[:, 4].sum()
+            losses = {"MSE": sums[0] / n_seen}
+            if beta != 0:
+                losses["KLD"] = sums[1] / n_seen
+            if lamb != 0:
+                losses["OE"] = sums[2] / n_seen
+            losses["Train loss"] = sums[3] / n_seen
+            ticker = "  ".join(f"{k} = {v:4.3e}" for k, v in losses.items())
+            print(f"Batches {int(metrics[:, 4].sum() // max(batch_size, 1))}: "
+                  f"mean losses  -->  {ticker}", flush=True)
+        valid_sum, valid_n = 0.0, 0.0
+        for bkg_sample, ood_sample in valid_sample:
+            batches = batch_load(features(bkg_sample), features(ood_sample),
+                                 bkg_sample["weights"], ood_sample["weights"],
+                                 min(valid_batch_size, len(bkg_sample["weights"])),
+                                 n_devices)
+            key, sub = jax.random.split(key)
+            metrics = np.asarray(valid_losses(params, sub, *batches))
+            valid_sum += metrics[:, 0].sum()
+            valid_n += metrics[:, 1].sum()
+        losses["Valid loss"] = valid_sum / max(valid_n, 1)
+        print(f"Valid loss = {losses['Valid loss']:4.3e}  "
+              f"({time.time() - start_time:.1f}s)")
+        for k in history:
+            history[k] = list(history[k]) + [float(losses[k]) if k in losses else 0.0]
+        if hist_file:
+            save_history(history, hist_file)
+        if epoch > 0:
+            opt_state, count = model_checkpoint(params, opt_state, history,
+                                                model_out, count)
+            if count is None:
+                break
+    return params, history
+
+
+def model_checkpoint(params, opt_state, history, model_out, count,
+                     metric="Train loss", patience=3, factor=2,
+                     min_delta=1e-3, min_lr=1e-4):
+    """Best-metric checkpointing + LR-plateau + early stop
+    (ref OE-VAE/models.py:222-240, semantics preserved exactly)."""
+    hist = history[metric]
+    if hist[-1] < np.min(hist[:-1]) - min_delta:
+        print(f"{metric} improved from {np.min(hist[:-1]):4.2f} to "
+              f"{hist[-1]:4.2f}"
+              + (f"  -->  saving model weights to {model_out}" if model_out else ""))
+        if model_out:
+            save_weights(params, model_out)
+        count = 0
+    elif hist[-1] > np.min(hist[-(patience + 1):-1]) - min_delta:
+        count += 1
+    if count >= patience:
+        lr = float(opt_state.hyperparams["learning_rate"])
+        print(f"No improvement for {count} epochs  -->  ", end="", flush=True)
+        if lr < min_lr:
+            print("terminating training")
+            return opt_state, None
+        new_lr = lr / factor
+        print(f"reducing learning rate from {lr} to {new_lr}")
+        opt_state.hyperparams["learning_rate"] = np.float32(new_lr)
+        count = 0
+    return opt_state, count

@@ -1,0 +1,156 @@
+"""Jitted VAE training steps: whole data loads as single device programs.
+
+The reference trains eagerly — one Python-dispatched GradientTape step
+per batch (ref OE-VAE/models.py:177-200).  Here a *load* (up to ~1e6
+jets) is moved to the device once and ``lax.scan`` iterates its batches
+inside one compiled program: zero per-batch host round-trips, and under
+data parallelism the gradient ``psum`` is the only cross-chip traffic
+per batch.
+
+Semantics preserved from the reference:
+* gradient of the **sum** of per-sample losses (tf.GradientTape on a
+  vector loss sums components, ref models.py:183),
+* gradient guard: non-finite -> 0, clip to +-1e6 (ref models.py:185),
+* per-sample weighted losses accumulated into epoch means
+  (tf.keras.metrics.Mean, ref models.py:149-153,187-190).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..losses import get_losses
+from ..models.vae import clip_values
+
+
+def clip_gradients(grads, max_val=1e6):
+    return jax.tree.map(lambda g: clip_values(g, max_val), grads)
+
+
+def make_optimizer(lr):
+    """Adam with an injectable learning rate (for the plateau schedule,
+    ref OE-VAE/models.py:236-238)."""
+    return optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+
+
+def make_vae_step_fns(optimizer, oe_type="KLD", beta=0.0, lamb=0.0, margin=0.0,
+                      activation="relu", mesh=None, data_axis="data"):
+    """Build (train_on_load, valid_losses) jitted functions.
+
+    Inputs are shaped (n_batches, batch, features) with a (n_batches,
+    batch) float ``valid`` mask for tail padding.  When ``mesh`` is
+    given, both functions run under ``shard_map`` with the batch axis
+    sharded over ``data_axis`` and gradients/metrics reduced with psum
+    over ICI (replacing MirroredStrategy's NCCL all-reduce,
+    ref jet-ID/models.py:72).
+    """
+
+    def _global_noise(params, key, local_batch):
+        """Latent noise drawn at *global* batch shape, sliced per shard:
+        data-parallel runs reproduce the single-device program exactly."""
+        latent = params["encoder"]["mean"]["b"].shape[0]
+        n_shards = mesh.shape[data_axis] if mesh is not None else 1
+        k_bkg, k_ood = jax.random.split(jax.random.fold_in(key, 17))
+        shape = (n_shards * local_batch, latent)
+        noise_bkg = jax.random.normal(k_bkg, shape)
+        noise_ood = jax.random.normal(k_ood, shape)
+        if mesh is not None:
+            start = jax.lax.axis_index(data_axis) * local_batch
+            noise_bkg = jax.lax.dynamic_slice_in_dim(noise_bkg, start, local_batch)
+            noise_ood = jax.lax.dynamic_slice_in_dim(noise_ood, start, local_batch)
+        return noise_bkg, noise_ood
+
+    def batch_losses(params, key, noise, bkg_x, ood_x, bkg_w, ood_w, valid):
+        mse, kld, oe, total = get_losses(params, bkg_x, ood_x, bkg_w, ood_w,
+                                         key, oe_type, beta, lamb, margin,
+                                         activation, noise)
+        total = total * valid
+        metrics = jnp.stack([jnp.sum(mse * valid), jnp.sum(kld * valid),
+                             jnp.sum(oe * valid), jnp.sum(total), jnp.sum(valid)])
+        return jnp.sum(total), metrics
+
+    grad_fn = jax.grad(batch_losses, has_aux=True)
+
+    def _train_on_load(params, opt_state, key, bkg_x, ood_x, bkg_w, ood_w, valid):
+        in_dp = mesh is not None
+
+        def step(carry, batch):
+            params, opt_state, key = carry
+            key, sub = jax.random.split(key)
+            noise = _global_noise(params, sub, batch[0].shape[0])
+            grads, metrics = grad_fn(params, sub, noise, *batch)
+            if in_dp:
+                grads = jax.lax.psum(grads, data_axis)
+                metrics = jax.lax.psum(metrics, data_axis)
+            grads = clip_gradients(grads)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, key), metrics
+
+        (params, opt_state, _), metrics = jax.lax.scan(
+            step, (params, opt_state, key), (bkg_x, ood_x, bkg_w, ood_w, valid))
+        return params, opt_state, metrics
+
+    def _valid_losses(params, key, bkg_x, ood_x, bkg_w, ood_w, valid):
+        in_dp = mesh is not None
+
+        def step(key, batch):
+            key, sub = jax.random.split(key)
+            noise = _global_noise(params, sub, batch[0].shape[0])
+            bkg_x, ood_x, bkg_w, ood_w, valid = batch
+            _, _, _, total = get_losses(params, bkg_x, ood_x, bkg_w, ood_w,
+                                        sub, oe_type, beta, lamb, margin,
+                                        activation, noise)
+            m = jnp.stack([jnp.sum(total * valid), jnp.sum(valid)])
+            if in_dp:
+                m = jax.lax.psum(m, data_axis)
+            return key, m
+
+        _, metrics = jax.lax.scan(step, key, (bkg_x, ood_x, bkg_w, ood_w, valid))
+        return metrics
+
+    if mesh is None:
+        return jax.jit(_train_on_load), jax.jit(_valid_losses)
+
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    rep = P()
+    batch_sharded = P(None, data_axis)
+    train_sharded = shard_map(
+        _train_on_load, mesh=mesh,
+        in_specs=(rep, rep, rep, batch_sharded, batch_sharded, batch_sharded,
+                  batch_sharded, batch_sharded),
+        out_specs=(rep, rep, rep),
+        check_vma=False)
+    valid_sharded = shard_map(
+        _valid_losses, mesh=mesh,
+        in_specs=(rep, rep, batch_sharded, batch_sharded, batch_sharded,
+                  batch_sharded, batch_sharded),
+        out_specs=rep,
+        check_vma=False)
+    return jax.jit(train_sharded), jax.jit(valid_sharded)
+
+
+def batch_load(sample_x, ood_x, sample_w, ood_w, batch_size, n_devices=1):
+    """Host-side packing: pad a load to whole (possibly device-divisible)
+    batches and reshape to (n_batches, batch, ...) + validity mask."""
+    import numpy as np
+    n = len(sample_x)
+    batch_size = int(batch_size)
+    # batch divisible by device count for even sharding
+    batch_size = max(n_devices, batch_size - batch_size % n_devices)
+    n_batches = max(1, -(-n // batch_size))
+    padded = n_batches * batch_size
+    valid = np.zeros(padded, dtype=np.float32)
+    valid[:n] = 1.0
+
+    def pack(arr):
+        arr = np.asarray(arr, dtype=np.float32)
+        out = np.zeros((padded,) + arr.shape[1:], dtype=np.float32)
+        out[:n] = arr
+        return out.reshape((n_batches, batch_size) + arr.shape[1:])
+
+    return (pack(sample_x), pack(ood_x), pack(sample_w), pack(ood_w),
+            valid.reshape(n_batches, batch_size))

@@ -8,10 +8,16 @@ jax.device_count() == 8.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; the config
+# update is authoritative.
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu" and jax.device_count() == 8
 
 import pathlib
 import sys

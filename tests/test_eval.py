@@ -1,0 +1,145 @@
+"""Eval-layer tests: metric bank vs reference formulas, ROC vs sklearn,
+decorrelation flattening, cut-scan behavior."""
+
+import numpy as np
+import pytest
+
+from atlasvae.eval import (loss_function, loss_mapping, latent_loss,
+                           roc_rates, get_rates, auc_score, best_threshold,
+                           make_cut, mass_deco, bump_hunter, bump_scan)
+
+
+@pytest.fixture(scope="module")
+def pq(rng=None):
+    r = np.random.default_rng(0)
+    p = r.uniform(0.01, 1.0, (500, 12)).astype(np.float32)
+    q = np.clip(p + r.normal(0, 0.1, p.shape), 0.01, 1.2).astype(np.float32)
+    return p, q
+
+
+def test_metric_bank_golden(pq):
+    p, q = pq
+    # reference formulas (OE-VAE/utils.py:346-375)
+    with np.errstate(all="ignore"):
+        kld_terms = np.nan_to_num(p * np.log2(p / q))
+        m = (p + q) / 2
+        kld_pm = np.nan_to_num(p * np.log2(p / m))
+        kld_qm = np.nan_to_num(q * np.log2(q / m))
+        xs_terms = np.nan_to_num(p * np.log2(p / (p * q)))
+    ref = {
+        "MSE": np.mean((p - q) ** 2, axis=1),
+        "MAE": np.mean(np.abs(p - q), axis=1),
+        "MARE": np.mean(np.abs(p - q) / p, axis=1),
+        "KLD": np.sum(kld_terms, axis=1),
+        "JSD": np.sum((kld_pm + kld_qm) / 2, axis=1),
+        "X-S": np.sum(xs_terms, axis=1),
+    }
+    for metric, expected in ref.items():
+        ours = loss_function(p, q, 3, metric, multiloss=False)
+        # float32 log2 vs the reference's float64: tolerance is absolute
+        # where KLD-like sums cancel toward zero
+        np.testing.assert_allclose(ours, expected, rtol=2e-3, atol=5e-4)
+
+
+def test_latent_loss_matches_kld():
+    import jax
+    from atlasvae.models import VAEConfig, init_vae, encode
+    from atlasvae.losses import kld_loss
+    cfg = VAEConfig(fc_layers=(16, 8), input_dim=6)
+    params = init_vae(jax.random.PRNGKey(0), cfg)
+    x = np.random.default_rng(1).normal(size=(200, 6)).astype(np.float32)
+    ours = latent_loss(x, params, chunk=64)
+    zm, zlv = encode(params, x)
+    ref = np.asarray(kld_loss(zm, zlv))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+def test_loss_mapping_branches():
+    assert np.all(loss_mapping(np.array([0.2, 0.8])) == np.array([0.2, 0.8]))
+    np.testing.assert_allclose(loss_mapping(np.array([-0.5])), [0.5])
+    out = loss_mapping(np.array([0.0, 5.0, 100.0]))
+    assert np.all((out >= 0) & (out <= 1))
+    out = loss_mapping(np.array([-3.0, 4.0]))
+    assert np.all((out >= 0) & (out <= 1))
+
+
+def test_roc_matches_sklearn():
+    from sklearn import metrics as skm
+    r = np.random.default_rng(2)
+    y = r.integers(0, 2, 2000)
+    scores = r.normal(0, 1, 2000) + (y == 0) * 1.0  # signal (0) higher
+    w = r.uniform(0.5, 2.0, 2000)
+    fpr, tpr, thr = roc_rates(y, scores, w)
+    ref_fpr, ref_tpr, ref_thr = skm.roc_curve(y, scores, pos_label=0, sample_weight=w)
+    ours_auc = auc_score(y, scores, w)
+    ref_auc = skm.auc(ref_fpr, ref_tpr)
+    np.testing.assert_allclose(ours_auc, ref_auc, rtol=1e-3)
+    # spot check interpolated agreement at common thresholds
+    common = np.interp(ref_thr[1:-1][::50], thr[::-1], tpr[::-1])
+    np.testing.assert_allclose(common, ref_tpr[1:-1][::50], atol=5e-3)
+
+
+def test_best_threshold_and_make_cut():
+    y = np.array([0] * 50 + [1] * 50)
+    scores = np.concatenate([np.full(50, 0.9), np.full(50, 0.1)])
+    scores += np.linspace(0, 1e-4, 100)
+    w = np.ones(100)
+    rates = get_rates(y, scores, w)
+    thr, gain = best_threshold(y, rates, w, "gain")
+    assert 0.1 < thr < 0.9
+    sample = {"m": np.arange(100.0), "weights": w}
+    cut = make_cut(y, scores, sample, rates, "MAE", "gain")
+    assert len(cut["m"]) == 50  # keeps only high-score (signal-like) jets
+
+
+def test_mass_deco_flattens_background():
+    r = np.random.default_rng(3)
+    n = 20000
+    m = r.uniform(50, 500, n)
+    pt = r.uniform(450, 1000, n)
+    y = np.ones(n, dtype=int)
+    loss = (m / 600) + r.normal(0, 0.04, n)  # strongly mass-correlated
+    sample = {"m": m, "pt": pt}
+    flat = mass_deco(y, sample, loss.copy(), deco="2d")
+    # after flattening, bkg loss should be ~uniform and decorrelated from m
+    corr_before = abs(np.corrcoef(m, loss)[0, 1])
+    corr_after = abs(np.corrcoef(m, flat)[0, 1])
+    # binned CDF flattening leaves some within-bin residual correlation;
+    # small (m, pt) cells quantize the CDF (reference behavior), so only
+    # the decorrelation itself is asserted
+    assert corr_before > 0.9
+    assert corr_after < 0.15
+    assert np.all((flat >= 0) & (flat <= 1))
+
+
+def _eval_sample(r, n_bkg=30000, n_sig=3000):
+    m_bkg = r.exponential(80, n_bkg) + 30
+    m_sig = r.normal(300, 15, n_sig)
+    sample = {
+        "m": np.concatenate([m_bkg, m_sig]).astype(np.float32),
+        "pt": r.uniform(450, 1000, n_bkg + n_sig).astype(np.float32),
+        "weights": np.ones(n_bkg + n_sig, dtype=np.float32),
+        "JZW": np.concatenate([np.zeros(n_bkg), -np.ones(n_sig)]).astype(np.float32),
+    }
+    y_true = np.where(sample["JZW"] == -1, 0, 1)
+    # discriminant: signal scores higher, with overlap
+    loss = np.where(y_true == 0, r.normal(0.7, 0.12, n_bkg + n_sig),
+                    r.normal(0.4, 0.15, n_bkg + n_sig))
+    return sample, y_true, np.clip(loss, 0, 1).astype(np.float32)
+
+
+def test_bump_hunter_wrapper():
+    r = np.random.default_rng(4)
+    sample, y_true, _ = _eval_sample(r)
+    loc_sigma, max_sigma = bump_hunter(sample, m_range=(0, 800), npe=100)
+    assert np.isfinite(loc_sigma) and loc_sigma > 3
+
+
+def test_bump_scan_over_cuts(tmp_path):
+    r = np.random.default_rng(5)
+    sample, y_true, loss = _eval_sample(r)
+    best = bump_scan(y_true, loss, "MAE", sample, "2HDM-Geneva", None,
+                     n_cuts=20, npe=100, make_plots=False)
+    assert best is not None
+    assert best["metric"] == "MAE"
+    assert 0 < best["eff"] <= 100

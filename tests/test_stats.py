@@ -1,0 +1,180 @@
+"""Statistics engine tests: log-gamma vs scipy, sigma inversion vs
+closed form, BumpHunter window scan vs a hand-rolled reference
+implementation, global p-value behavior, extreme-significance regime."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.special import gammainc, gammaincc
+from scipy.stats import norm
+
+from atlasvae.ops.gammainc import (log_gammainc_lower, log_gammainc_upper,
+                                   sigma_from_log_pval)
+from atlasvae.stats import BumpHunter1D, scan_histograms, batched_bump_sigma
+
+
+def test_log_gammainc_vs_scipy():
+    cases = [(a, a * r) for a in [1, 3, 10, 50, 100, 1000, 1e5]
+             for r in [0.2, 0.8, 0.95, 1.0, 1.05, 1.3, 3.0]]
+    a = np.array([c[0] for c in cases], np.float32)
+    x = np.array([c[1] for c in cases], np.float32)
+    with np.errstate(divide="ignore"):
+        ref_p = np.log(gammainc(a.astype(np.float64), x.astype(np.float64)))
+        ref_q = np.log(gammaincc(a.astype(np.float64), x.astype(np.float64)))
+    ours_p = np.asarray(log_gammainc_lower(a, x))
+    ours_q = np.asarray(log_gammainc_upper(a, x))
+    for ours, ref in [(ours_p, ref_p), (ours_q, ref_q)]:
+        ok = np.isfinite(ref)
+        err = np.abs(ours[ok] - ref[ok]) / np.maximum(np.abs(ref[ok]), 1)
+        assert err.max() < 2e-3
+
+
+def test_poisson_tail_semantics():
+    """P(X >= n | lam) = gammainc(n, lam): the BumpHunter excess p-value."""
+    n, lam = 12, 5.0
+    from scipy.stats import poisson
+    ref = poisson.sf(n - 1, lam)  # P(X >= n)
+    ours = float(np.exp(log_gammainc_lower(np.float32(n), np.float32(lam))))
+    np.testing.assert_allclose(ours, ref, rtol=1e-3)
+    # deficit: P(X <= n | lam) = gammaincc(n+1, lam)
+    ref_d = poisson.cdf(n, lam)
+    ours_d = float(np.exp(log_gammainc_upper(np.float32(n + 1), np.float32(lam))))
+    np.testing.assert_allclose(ours_d, ref_d, rtol=1e-3)
+
+
+def test_sigma_from_log_pval():
+    for lp in [-0.5, -3.0, -10.0, -40.0, -60.1, -500.0]:
+        ours = float(sigma_from_log_pval(jnp.float32(lp)))
+        ref = -norm.ppf(np.exp(lp)) if lp > -700 else None
+        if ref is not None:
+            np.testing.assert_allclose(ours, ref, rtol=2e-3)
+    # beyond the reference's mpmath dps=5000 ceiling of sigma=151.7
+    # (ref OE-AAE/BumpHunter/bumphunter_1dim.py:17-24)
+    huge = float(sigma_from_log_pval(jnp.float32(-1e6)))
+    assert 1.4e3 < huge < 1.5e3 and np.isfinite(huge)
+
+
+def _reference_scan(hist, ref, widths, scan_step=1):
+    """Direct re-derivation of the reference _scan_hist loop
+    (ref bumphunter_1dim.py:326-475) in plain numpy, for golden parity."""
+    non0 = [i for i in range(len(ref)) if ref[i] > 0]
+    hinf, hsup = min(non0), max(non0) + 1
+    best_p, best_loc, best_w = 1.0, 0, widths[0]
+    for w in widths:
+        pos = np.arange(hinf, hsup - w + 1, scan_step)
+        if len(pos) == 0:
+            continue
+        nref = np.array([ref[p:p + w].sum() for p in pos], float)
+        nhist = np.array([hist[p:p + w].sum() for p in pos], float)
+        pvals = np.ones(len(pos))
+        mask = (nhist > nref) & (nref > 0)
+        pvals[mask] = gammainc(nhist[mask], nref[mask])
+        i = int(np.argmin(pvals))
+        if pvals[i] < best_p:
+            best_p, best_loc, best_w = pvals[i], pos[i], w
+    return best_p, best_loc, best_w
+
+
+def test_scan_matches_reference_loop(rng):
+    nbins = 40
+    ref = rng.uniform(50, 200, nbins).astype(np.float32)
+    hist = np.asarray(rng.poisson(ref), np.float32)
+    hist[18:21] += 60  # inject a bump
+    widths = (2, 3, 4, 5, 6)
+    steps = (1, 1, 1, 1, 1)
+    min_logp, min_loc, min_width, _, _ = map(
+        np.asarray,
+        scan_histograms(jnp.asarray(hist)[None, :], jnp.asarray(ref),
+                        widths, steps, 0, nbins))
+    ref_p, ref_loc, ref_w = _reference_scan(hist, ref, widths)
+    np.testing.assert_allclose(np.exp(min_logp[0]), ref_p, rtol=1e-3)
+    assert min_loc[0] == ref_loc
+    assert min_width[0] == ref_w
+
+
+def test_bump_scan_finds_injected_signal(rng):
+    """Signal injection must give large sigma; background-only ~0."""
+    edges = np.linspace(0, 400, 81)
+    bkg_m = rng.exponential(80, 200_000) + 20
+    sig_m = rng.normal(250, 12, 3_000)
+    bkg_hist = np.histogram(bkg_m, bins=edges)[0]
+    data_hist = np.histogram(np.concatenate([bkg_m, sig_m]), bins=edges)[0]
+    hunter = BumpHunter1D(rang=[0, 400], width_min=2, width_max=6, width_step=1,
+                          scan_step=1, npe=300, bins=edges, seed=0)
+    hunter.bump_scan(data_hist, bkg_hist, is_hist=True, verbose=False)
+    loc_sigma = hunter.bump_info(data_hist, is_hist=True, verbose=False)
+    assert loc_sigma > 5.0
+    assert hunter.significance > 2.0
+    # bump location covers the injected mass
+    bmin = edges[hunter.min_loc_ar[0]]
+    bmax = edges[hunter.min_loc_ar[0] + hunter.min_width_ar[0]]
+    assert bmin <= 250 <= bmax
+
+    # background-only: global p-value should be large / sigma small
+    h2 = BumpHunter1D(rang=[0, 400], width_min=2, width_max=6, npe=300,
+                      bins=edges, seed=1)
+    pseudo = rng.poisson(np.maximum(bkg_hist, 0)).astype(float)
+    h2.bump_scan(pseudo, bkg_hist, is_hist=True, verbose=False)
+    assert h2.global_Pval > 0.01
+
+
+def test_plot_bump_bin_sigma_signs(rng):
+    edges = np.linspace(0, 100, 21)
+    bkg = np.full(20, 1000.0)
+    data = bkg.copy()
+    data[5] = 1300  # excess
+    data[10] = 700  # deficit
+    hunter = BumpHunter1D(width_min=1, width_max=3, npe=50, bins=edges, seed=0)
+    hunter.bump_scan(data, bkg, is_hist=True, verbose=False)
+    sig, (bmin, bmax) = hunter.plot_bump(data, bkg, is_hist=True)
+    assert sig[5] > 5
+    assert sig[10] < -5
+    assert sig[0] == 0  # equal bins -> 0 significance
+
+
+def test_extreme_significance_no_ceiling():
+    """A gigantic excess must produce a finite, huge local sigma — the
+    regime where the reference needs mpmath dps>=1000."""
+    edges = np.linspace(0, 100, 21)
+    bkg = np.full(20, 100.0)
+    data = bkg.copy()
+    data[8:10] += 5000.0
+    hunter = BumpHunter1D(width_min=2, width_max=4, npe=50, bins=edges, seed=0)
+    hunter.bump_scan(data, bkg, is_hist=True, verbose=False)
+    loc_sigma = hunter.bump_info(data, is_hist=True, verbose=False)
+    assert np.isfinite(loc_sigma) and loc_sigma > 60  # past float64 p underflow
+
+
+def test_batched_bump_sigma(rng):
+    edges = np.linspace(0, 400, 41)
+    bkg_m = rng.exponential(80, 50_000) + 20
+    bkg_hist = np.histogram(bkg_m, bins=edges)[0].astype(float)
+    sig_hist = np.histogram(rng.normal(250, 10, 2000), bins=edges)[0].astype(float)
+    data = np.stack([bkg_hist + s * sig_hist for s in [0.0, 0.5, 1.0]])
+    bkgs = np.stack([bkg_hist] * 3)
+    loc, glob, t = map(np.asarray, batched_bump_sigma(
+        data, bkgs, widths=(2, 3, 4), scan_steps=(1, 1, 1), npe=200))
+    assert loc[2] > loc[1] > loc[0]
+    assert np.isfinite(loc).all()
+
+
+def test_save_load_state_roundtrip():
+    hunter = BumpHunter1D(npe=10, width_max=3, bins=np.linspace(0, 10, 6))
+    state = hunter.save_state()
+    other = BumpHunter1D()
+    other.load_state(state)
+    assert other.npe == 10 and other.width_max == 3
+
+
+def test_signal_inject_reaches_limit(rng):
+    edges = np.linspace(0, 400, 41)
+    bkg_m = rng.exponential(80, 100_000) + 20
+    bkg_hist = np.histogram(bkg_m, bins=edges)[0].astype(float)
+    sig_hist = np.histogram(rng.normal(250, 10, 2000), bins=edges)[0].astype(float)
+    hunter = BumpHunter1D(width_min=2, width_max=5, npe=100, npe_inject=50,
+                          bins=edges, seed=0, sigma_limit=3,
+                          str_min=0.5, str_step=0.5, str_scale="lin",
+                          signal_exp=2000)
+    hunter.signal_inject(sig_hist, bkg_hist, is_hist=True, verbose=False)
+    assert hunter.significance >= 3 or hunter.global_Pval <= 1 / hunter.npe
+    assert hunter.signal_ratio is not None

@@ -1,0 +1,121 @@
+"""Training engine tests: loss decreases, DP = single-device parity,
+plateau controller semantics, checkpoint round trip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from atlasvae.models import VAEConfig, init_vae
+from atlasvae.train.step import make_vae_step_fns, make_optimizer, batch_load
+from atlasvae.train.loop import train_model, model_checkpoint, features
+from atlasvae.train.checkpoint import save_weights, load_weights
+from atlasvae.parallel import data_parallel_mesh
+
+
+def _toy_load(n=512, dim=12, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(0, 1, (n, dim)).astype(np.float32)
+    ood = rng.normal(3, 1, (n, dim)).astype(np.float32)
+    w = np.ones(n, dtype=np.float32)
+    return {"HLVs": x, "weights": w}, {"HLVs": ood, "weights": w}
+
+
+def test_training_reduces_loss():
+    cfg = VAEConfig(fc_layers=(32, 16, 8), input_dim=12)
+    params = init_vae(jax.random.PRNGKey(0), cfg)
+    load = _toy_load()
+    params, history = train_model(params, [load], [load], oe_type="MAE",
+                                  n_epochs=8, batch_size=128, beta=0.1,
+                                  lamb=1.0, margin=1.0, lr=1e-3)
+    assert history["Train loss"][-1] < history["Train loss"][0]
+    assert len(history["Valid loss"]) == 8
+
+
+def test_dp_matches_single_device():
+    """shard_map DP over 8 virtual devices must reproduce the
+    single-device step bit-for-bit-ish (same grads via psum)."""
+    cfg = VAEConfig(fc_layers=(16, 8), input_dim=6)
+    params = init_vae(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(1e-3)
+    opt_state = opt.init(params)
+    bkg, ood = _toy_load(n=256, dim=6)
+    batches = batch_load(bkg["HLVs"], ood["HLVs"], bkg["weights"], ood["weights"],
+                         64, n_devices=8)
+    key = jax.random.PRNGKey(7)
+
+    single_step, _ = make_vae_step_fns(opt, "KLD", 1.0, 1.0, 1.0)
+    mesh = data_parallel_mesh(8)
+    dp_step, _ = make_vae_step_fns(opt, "KLD", 1.0, 1.0, 1.0, mesh=mesh)
+
+    p1, _, m1 = single_step(params, opt.init(params), key, *batches)
+    p2, _, m2 = dp_step(params, opt.init(params), key, *batches)
+    # metrics identical up to reduction order; params close
+    np.testing.assert_allclose(np.asarray(m1)[:, :4].sum(0),
+                               np.asarray(m2)[:, :4].sum(0), rtol=2e-3)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_batch_load_padding():
+    x = np.ones((10, 3), np.float32)
+    w = np.ones(10, np.float32)
+    bx, ox, bw, ow, valid = batch_load(x, x, w, w, batch_size=4, n_devices=1)
+    assert bx.shape == (3, 4, 3)
+    assert valid.sum() == 10
+
+
+def test_model_checkpoint_plateau(tmp_path):
+    cfg = VAEConfig(fc_layers=(8, 4), input_dim=4)
+    params = init_vae(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(1e-3)
+    opt_state = opt.init(params)
+    out = str(tmp_path / "model.npz")
+    # improving -> saves, count resets
+    hist = {"Train loss": [10.0, 5.0]}
+    opt_state, count = model_checkpoint(params, opt_state, hist, out, 0)
+    assert count == 0 and (tmp_path / "model.npz").exists()
+    # stagnating for patience epochs -> halve LR
+    hist = {"Train loss": [5.0, 5.3, 5.2, 5.4, 5.5]}
+    count = 2
+    opt_state, count = model_checkpoint(params, opt_state, hist, out, count)
+    assert count == 0
+    assert float(opt_state.hyperparams["learning_rate"]) == pytest.approx(5e-4)
+    # LR below min -> terminate
+    opt_state.hyperparams["learning_rate"] = np.float32(5e-5)
+    hist = {"Train loss": [5.0, 5.3, 5.2, 5.4, 5.5]}
+    opt_state, count = model_checkpoint(params, opt_state, hist, out, 2)
+    assert count is None
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = VAEConfig(fc_layers=(8, 4), input_dim=4)
+    params = init_vae(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "w.npz")
+    save_weights(params, path)
+    loaded = load_weights(path, params)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_history_append_on_resume(tmp_path):
+    cfg = VAEConfig(fc_layers=(8, 4), input_dim=4)
+    params = init_vae(jax.random.PRNGKey(0), cfg)
+    load = _toy_load(n=64, dim=4)
+    hist_file = str(tmp_path / "history.pkl")
+    model_out = str(tmp_path / "model.npz")
+    params, h1 = train_model(params, [load], [load], oe_type="MAE", n_epochs=2,
+                             batch_size=32, lr=1e-3, hist_file=hist_file,
+                             model_in="", model_out=model_out)
+    save_weights(params, model_out)
+    # resume: history must append (ref OE-VAE/models.py:160-161)
+    params, h2 = train_model(params, [load], [load], oe_type="MAE", n_epochs=2,
+                             batch_size=32, lr=1e-3, hist_file=hist_file,
+                             model_in=model_out, model_out=model_out)
+    assert len(h2["Train loss"]) == 4
+
+
+def test_features_assembly():
+    s = {"constituents": np.ones((4, 6)), "HLVs": np.zeros((4, 2)), "weights": np.ones(4)}
+    assert features(s).shape == (4, 8)
+    assert features({"HLVs": np.zeros((4, 2))}).shape == (4, 2)
