@@ -28,3 +28,13 @@ Subpackage map (reference layer in brackets, see SURVEY.md S1):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("ATLASVAE_PLATFORM"):
+    # The axon TPU plugin ignores JAX_PLATFORMS; the config update is the
+    # only reliable backend override (e.g. ATLASVAE_PLATFORM=cpu for
+    # host-only runs or when the TPU tunnel is held by another process).
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["ATLASVAE_PLATFORM"])

@@ -1,0 +1,154 @@
+"""jet-ID entry point: supervised CNN/FCN classifier training + results.
+
+Mirrors the reference's classifier CLI surface (ref
+jet-ID/classifier.py:16-61 flags; sample selection :80-118; training
+:257-271; results :287) on the TPU-native stack.  The multi-GPU
+MirroredStrategy path (ref jet-ID/models.py:69-81) is replaced by the
+mesh utilities; the per-replica batch scaling (batch = n_gpus * 5e3,
+ref classifier.py:136-138) carries over as batch = n_devices * 5e3.
+"""
+
+import os
+import sys
+from argparse import ArgumentParser
+from pathlib import Path
+
+import numpy as np
+
+
+def build_parser():
+    parser = ArgumentParser()
+    parser.add_argument("--n_train", default=1e5, type=float)
+    parser.add_argument("--n_valid", default=1e5, type=float)
+    parser.add_argument("--batch_size", default=5e3, type=float)
+    parser.add_argument("--n_epochs", default=100, type=int)
+    parser.add_argument("--n_classes", default=2, type=int)
+    parser.add_argument("--n_folds", default=1, type=int)
+    parser.add_argument("--n_devices", default=0, type=int)   # was n_gpus
+    parser.add_argument("--NN_type", default="FCN")
+    parser.add_argument("--FCN_neurons", default=[200, 200], type=int, nargs="+")
+    parser.add_argument("--weight_type", default="none")
+    parser.add_argument("--bkg_ratio", default=0, type=float)
+    parser.add_argument("--lr", default=1e-3, type=float)
+    parser.add_argument("--patience", default=10, type=int)
+    parser.add_argument("--n_const", default=20, type=int)
+    parser.add_argument("--n_dims", default=3, type=int)
+    parser.add_argument("--constituents", default="ON")
+    parser.add_argument("--HLVs", default="ON")
+    parser.add_argument("--scaler_type", default="RobustScaler")
+    parser.add_argument("--model_in", default="")
+    parser.add_argument("--model_out", default="model.npz")
+    parser.add_argument("--results_out", default="valid_results.pkl")
+    parser.add_argument("--output_dir", default="outputs")
+    parser.add_argument("--plotting", default="ON")
+    parser.add_argument("--feature_removal", default="OFF")
+    parser.add_argument("--valid_cuts", default="")
+    # data
+    parser.add_argument("--bkg_data", default="QCD-Geneva")
+    parser.add_argument("--sig_data", default="top-Geneva")
+    parser.add_argument("--synthetic", default=0, type=float)
+    return parser
+
+
+def main(argv=None):
+    import jax
+    import pickle
+    from ..utils.logging import args_banner
+    from ..data import (make_sample, fit_scaler, apply_scaler,
+                        ensure_synthetic_registry, HLV_LIST)
+    from ..models import JetIDConfig, init_jetid
+    from ..train.jetid_loop import train_classifier, predict_classifier
+    from ..train.checkpoint import load_pytree
+    from ..eval.jetid_eval import (make_labels, get_class_weight,
+                                   get_sample_weights, compo_matrix,
+                                   valid_accuracy, discriminant)
+    from ..eval.roc import auc_score
+
+    args = build_parser().parse_args(argv)
+    for key in ["n_train", "n_valid", "batch_size"]:
+        setattr(args, key, int(getattr(args, key)))
+    out_root = args.output_dir
+    Path(out_root).mkdir(parents=True, exist_ok=True)
+    if args.synthetic:
+        ensure_synthetic_registry(n_events=int(args.synthetic),
+                                  n_const_max=max(args.n_const, 20))
+    print("\nPROGRAM ARGUMENTS:\n" + args_banner(args))
+
+    on = lambda v: v.upper() == "ON" if isinstance(v, str) else bool(v)
+    n_devices = args.n_devices or 1
+    batch_size = n_devices * args.batch_size  # ref classifier.py:137-138
+    hlv_list = list(HLV_LIST)
+    cuts = ['(sample["m"] >= 30)', '(sample["pt"] <= 5000)']
+    n_total = args.n_train + args.n_valid
+    sample = make_sample(args.bkg_data, args.sig_data, n_total, n_total, cuts,
+                         args.n_const, args.n_dims, args.constituents,
+                         args.HLVs, hlv_list, shuffling=True)
+    labels = make_labels(sample, args.n_classes)
+    n = len(labels)
+    n_train = min(args.n_train, n // 2)
+    train_idx, valid_idx = np.arange(n_train), np.arange(n_train, n)
+
+    scalars, scalar_dims = [], []
+    if on(args.HLVs):
+        scalars, scalar_dims = ["HLVs"], [sample["HLVs"].shape[1]]
+    const_dim = sample["constituents"].shape[1] if on(args.constituents) else 0
+    config = JetIDConfig(n_classes=args.n_classes, scalars=tuple(scalars),
+                         scalar_dims=tuple(scalar_dims),
+                         constituent_dim=const_dim, nn_type=args.NN_type,
+                         fcn_neurons=tuple(args.FCN_neurons))
+    params = init_jetid(jax.random.PRNGKey(0), config)
+
+    scaler = None
+    if args.scaler_type and scalars:
+        scaler = fit_scaler(sample["HLVs"][train_idx],
+                            scaler_out=out_root + f"/scaler_{args.scaler_type}.pkl",
+                            scaler_type=args.scaler_type)
+        sample["HLVs"] = apply_scaler(sample["HLVs"], scaler=scaler)
+
+    def inputs_for(idx):
+        out = {}
+        if scalars:
+            out["HLVs"] = sample["HLVs"][idx]
+        if const_dim:
+            out["constituents"] = sample["constituents"][idx]
+        return out
+
+    class_weight = get_class_weight(labels[train_idx], args.bkg_ratio)
+    sample_weight = None
+    if args.weight_type in ("bkg_ratio", "flattening", "match2class", "match2max"):
+        train_view = {k: np.asarray(v)[train_idx] for k, v in sample.items()
+                      if np.ndim(v) >= 1}
+        sample_weight, _ = get_sample_weights(train_view, labels[train_idx],
+                                              args.weight_type, args.bkg_ratio)
+
+    model_out = out_root + "/" + args.model_out
+    if args.n_epochs > 0:
+        params, history = train_classifier(
+            params, config, inputs_for(train_idx), labels[train_idx],
+            inputs_for(valid_idx), labels[valid_idx], args.n_epochs,
+            batch_size, args.lr, args.patience, class_weight, sample_weight,
+            model_out)
+    elif args.model_in and os.path.isfile(out_root + "/" + args.model_in):
+        params = load_pytree(out_root + "/" + args.model_in, params)
+
+    # validation results (ref classifier.py:287 valid_results)
+    probs = predict_classifier(params, config, inputs_for(valid_idx))
+    v_labels = labels[valid_idx]
+    matrix, accuracy = compo_matrix(v_labels, labels[train_idx], probs)
+    print(f"\nVALIDATION SAMPLE ACCURACY: {accuracy:.2f} %")
+    _, disc_labels, disc = discriminant(
+        {k: np.asarray(v)[valid_idx] for k, v in sample.items() if np.ndim(v) >= 1},
+        v_labels, probs)
+    auc = auc_score(disc_labels, disc, sample["weights"][valid_idx])
+    print(f"VALIDATION AUC (signal vs background): {auc:.4f}")
+    with open(out_root + "/" + args.results_out, "wb") as f:
+        pickle.dump((v_labels, probs, auc), f)
+    if on(args.plotting):
+        from ..plotting.performance import roc_curves
+        roc_curves(disc_labels, {"jet-ID": disc}, sample["weights"][valid_idx],
+                   ["jet-ID"], out_root)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

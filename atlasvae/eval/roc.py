@@ -35,9 +35,12 @@ def roc_rates(y_true, scores, weights=None):
     thr, tpr, fpr = map(np.asarray, _roc_kernel(
         jnp.asarray(scores), jnp.asarray(is_pos),
         jnp.asarray(np.asarray(weights, np.float32))))
-    # keep last point per unique threshold (sklearn-style curve)
+    # keep last point per unique threshold (sklearn-style curve); float32
+    # cumsum jitter can break monotonicity by ~1e-7 — enforce it
     keep = np.append(np.diff(thr) != 0, True)
-    return fpr[keep], tpr[keep], thr[keep]
+    fpr = np.maximum.accumulate(fpr[keep])
+    tpr = np.maximum.accumulate(tpr[keep])
+    return fpr, tpr, thr[keep]
 
 
 def get_rates(y_true, x_loss, weights, metric=None, return_dict=None):

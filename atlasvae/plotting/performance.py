@@ -102,7 +102,6 @@ def plot_bump_result(data, data_weights, y_true, bins, bin_sigma, loc_sigma,
 def roc_curves(y_true, x_losses, weights, metrics_list, output_dir, wps=(1, 10)):
     """Background-rejection (1/eps_bkg vs eps_sig, AUC legend) and signal
     gain plots (ref OE-VAE/plots.py:809-943)."""
-    from sklearn import metrics as skm
     metrics_dict = {m: get_rates(y_true, x_losses[m], weights, m)
                     for m in metrics_list}
     fig = plt.figure(figsize=(13, 8))
@@ -110,7 +109,7 @@ def roc_curves(y_true, x_losses, weights, metrics_list, output_dir, wps=(1, 10))
     axes.grid(True)
     for metric, (fpr, tpr, _) in metrics_dict.items():
         label = metric if metric != "Inputs_scaled" else "Inputs (scaled)"
-        auc = skm.auc(fpr, tpr) / 1e4
+        auc = np.trapezoid(tpr, fpr) / 1e4
         plt.plot(tpr, 100 / fpr, label=f"{label} (AUC: {auc:.3f})", lw=2,
                  color=_COLOR.get(metric, "black"))
     plt.yscale("log")

@@ -439,6 +439,33 @@ class BumpHunter1D:
 
 # --------------------------------------------------- batched cut scanning
 
+def batched_local_sigma(data_hists, bkg_hists, widths, scan_steps, mode="excess"):
+    """Local (data-only) BumpHunter significances for many paired
+    (data, background) histograms in one vmapped program — no
+    pseudo-experiments, since the local sigma depends only on the data
+    scan (used by the reference's per-cut grids whose plotted values are
+    loc/max sigma, ref OE-AAE/plots.py:283-285,330-332).
+
+    Returns (loc_sigma, min_loc, min_width, bin_sigma) arrays.
+    """
+    data_hists = jnp.asarray(data_hists, jnp.float32)
+    bkg_hists = jnp.asarray(bkg_hists, jnp.float32)
+    nbins = data_hists.shape[1]
+
+    def one(data_hist, bkg_hist):
+        non0 = bkg_hist > 0
+        idx = jnp.arange(nbins)
+        hinf = jnp.min(jnp.where(non0, idx, nbins))
+        hsup = jnp.max(jnp.where(non0, idx, -1)) + 1
+        min_logp, min_loc, min_width, _, _ = scan_histograms(
+            data_hist[None, :], bkg_hist, widths, scan_steps, hinf, hsup, mode)
+        bin_sigma = _bin_significance(data_hist, bkg_hist)
+        return (sigma_from_log_pval(min_logp[0]), min_loc[0], min_width[0],
+                bin_sigma)
+
+    return jax.vmap(one)(data_hists, bkg_hists)
+
+
 def batched_bump_sigma(data_hists, bkg_hists, widths, scan_steps, npe=1000,
                        mode="excess", seed=0):
     """Run independent BumpHunter scans for many (data, bkg) histogram

@@ -1,0 +1,298 @@
+"""Adversarial-autoencoder training: the 3-phase GAN cycle as jitted scans.
+
+Re-implements the reference's ``train_AAE`` (ref OE-AAE/aae.py:119-292):
+
+Per cycle (ref :120-121 ``epoch_dict``: AE x100 on the first cycle then
+x0; Disc x5; AAE x5):
+  (a) AE epochs      — weighted MAE reconstruction + lambda * OE sigmoid
+                       gap on (QCD, OoD) pairs (ref :158, aae.py:60-64,88),
+  (b) Disc epochs    — 3-class weighted sparse CE on {QCD: 0,
+                       reconstructed QCD: 1, OoD: 2} (ref :196-210),
+  (c) AAE epochs     — AE losses + beta * CE of the *frozen*
+                       discriminator on reconstructions labelled
+                       {bkg: 0, OoD: 1} (ref :240-252; fooling objective).
+
+TPU redesign: Keras ``trainable=False`` freezing becomes two optimizers
+over disjoint parameter subtrees; each phase-epoch is one ``lax.scan``
+over shuffled batches inside a single jitted program; the three phases
+share one Adam(lr=1e-6) configuration (ref aae.py:75).
+"""
+
+import functools
+import os
+import pickle
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.aae import ae_apply, discriminator_apply
+from .step import make_optimizer, clip_gradients
+from .checkpoint import save_pytree, load_pytree
+
+AE_KEYS = ("encoder", "decoder")
+DISC_KEYS = ("discriminator",)
+
+
+def _subtree(params, keys):
+    return {k: params[k] for k in keys}
+
+
+def _weighted_mean(loss, w):
+    return jnp.sum(loss * w) / jnp.maximum(jnp.sum(w), 1e-30)
+
+
+def _mae(x, y):
+    return jnp.mean(jnp.abs(x - y), axis=-1)
+
+
+def _sparse_ce(probs, labels):
+    p = jnp.take_along_axis(probs, labels[:, None].astype(jnp.int32), axis=1)[:, 0]
+    return -jnp.log(jnp.maximum(p, 1e-7))
+
+
+def make_aae_step_fns(optimizer, lamb=0.0, beta=0.0, activation="relu"):
+    """Build jitted (ae_epoch, disc_epoch, aae_epoch) scan programs.
+
+    Each takes (params, opt_state, perm, bkg_x, ood_x, bkg_w, ood_w)
+    with batch-major (n_batches, batch, ...) arrays and a shuffled batch
+    order ``perm`` (ref aae.py:149 shuffles batch order per epoch).
+    """
+
+    def ae_losses(ae_params, rest, bkg_x, ood_x, bkg_w, ood_w):
+        params = {**ae_params, **rest}
+        recon_bkg = ae_apply(params, bkg_x, activation)
+        recon_ood = ae_apply(params, ood_x, activation)
+        mae_bkg = _mae(bkg_x, recon_bkg)
+        mae_ood = _mae(ood_x, recon_ood)
+        qcd_loss = _weighted_mean(mae_bkg, bkg_w)
+        oe_loss = _weighted_mean(jax.nn.sigmoid(mae_bkg - mae_ood), ood_w)
+        return qcd_loss, oe_loss, recon_bkg, recon_ood
+
+    # ---- phase (a): autoencoder
+    def ae_batch_loss(ae_params, rest, batch):
+        bkg_x, ood_x, bkg_w, ood_w = batch
+        qcd_loss, oe_loss, _, _ = ae_losses(ae_params, rest, bkg_x, ood_x, bkg_w, ood_w)
+        total = qcd_loss + lamb * oe_loss
+        return total, jnp.stack([qcd_loss, oe_loss, total])
+
+    ae_grad = jax.grad(ae_batch_loss, has_aux=True)
+
+    @jax.jit
+    def ae_epoch(params, opt_state, perm, bkg_x, ood_x, bkg_w, ood_w):
+        ae_params = _subtree(params, AE_KEYS)
+        rest = _subtree(params, DISC_KEYS)
+
+        def step(carry, idx):
+            ae_params, opt_state = carry
+            batch = tuple(arr[idx] for arr in (bkg_x, ood_x, bkg_w, ood_w))
+            grads, metrics = ae_grad(ae_params, rest, batch)
+            grads = clip_gradients(grads)
+            updates, opt_state = optimizer.update(grads, opt_state, ae_params)
+            ae_params = optax.apply_updates(ae_params, updates)
+            return (ae_params, opt_state), metrics
+
+        (ae_params, opt_state), metrics = jax.lax.scan(
+            step, (ae_params, opt_state), perm)
+        return {**ae_params, **rest}, opt_state, metrics
+
+    # ---- phase (b): discriminator on {QCD, reconstructed QCD, OoD}
+    def disc_batch_loss(disc_params, rest, batch):
+        bkg_x, ood_x, bkg_w, ood_w = batch
+        params = {**rest, **disc_params}
+        recon_bkg = ae_apply(params, bkg_x, activation)
+        x = jnp.concatenate([bkg_x, recon_bkg, ood_x])
+        w = jnp.concatenate([bkg_w, bkg_w, ood_w])
+        labels = jnp.concatenate([jnp.zeros_like(bkg_w), jnp.ones_like(bkg_w),
+                                  2 * jnp.ones_like(ood_w)])
+        probs = discriminator_apply(params, x, activation)
+        ce = _sparse_ce(probs, labels)
+        loss = _weighted_mean(ce, w)
+        acc = _weighted_mean((jnp.argmax(probs, axis=1) == labels).astype(jnp.float32), w)
+        return loss, jnp.stack([loss, acc])
+
+    disc_grad = jax.grad(disc_batch_loss, has_aux=True)
+
+    @jax.jit
+    def disc_epoch(params, opt_state, perm, bkg_x, ood_x, bkg_w, ood_w):
+        disc_params = _subtree(params, DISC_KEYS)
+        rest = _subtree(params, AE_KEYS)
+
+        def step(carry, idx):
+            disc_params, opt_state = carry
+            batch = tuple(arr[idx] for arr in (bkg_x, ood_x, bkg_w, ood_w))
+            grads, metrics = disc_grad(disc_params, rest, batch)
+            grads = clip_gradients(grads)
+            updates, opt_state = optimizer.update(grads, opt_state, disc_params)
+            disc_params = optax.apply_updates(disc_params, updates)
+            return (disc_params, opt_state), metrics
+
+        (disc_params, opt_state), metrics = jax.lax.scan(
+            step, (disc_params, opt_state), perm)
+        return {**rest, **disc_params}, opt_state, metrics
+
+    # ---- phase (c): AAE — AE trained to fool the frozen discriminator
+    def aae_batch_loss(ae_params, disc_params, batch):
+        bkg_x, ood_x, bkg_w, ood_w = batch
+        qcd_loss, oe_loss, recon_bkg, recon_ood = ae_losses(
+            ae_params, disc_params, bkg_x, ood_x, bkg_w, ood_w)
+        # reconstructions of everything, judged by the frozen disc with
+        # fooling labels {bkg: 0 (QCD), OoD: 1 (recon-QCD)} (ref :240-252)
+        recon_all = jnp.concatenate([recon_bkg, recon_ood])
+        labels = jnp.concatenate([jnp.zeros_like(bkg_w), jnp.ones_like(ood_w)])
+        w_all = jnp.concatenate([bkg_w, ood_w])
+        frozen = jax.lax.stop_gradient(disc_params)
+        probs = discriminator_apply({**frozen}, recon_all, activation)
+        d_ce = _weighted_mean(_sparse_ce(probs, labels), w_all)
+        d_acc = _weighted_mean((jnp.argmax(probs, axis=1) == labels).astype(jnp.float32),
+                               w_all)
+        total = qcd_loss + lamb * oe_loss + beta * d_ce
+        return total, jnp.stack([qcd_loss, oe_loss, total, d_ce, d_acc])
+
+    aae_grad = jax.grad(aae_batch_loss, has_aux=True)
+
+    @jax.jit
+    def aae_epoch(params, opt_state, perm, bkg_x, ood_x, bkg_w, ood_w):
+        ae_params = _subtree(params, AE_KEYS)
+        disc_params = _subtree(params, DISC_KEYS)
+
+        def step(carry, idx):
+            ae_params, opt_state = carry
+            batch = tuple(arr[idx] for arr in (bkg_x, ood_x, bkg_w, ood_w))
+            grads, metrics = aae_grad(ae_params, disc_params, batch)
+            grads = clip_gradients(grads)
+            updates, opt_state = optimizer.update(grads, opt_state, ae_params)
+            ae_params = optax.apply_updates(ae_params, updates)
+            return (ae_params, opt_state), metrics
+
+        (ae_params, opt_state), metrics = jax.lax.scan(
+            step, (ae_params, opt_state), perm)
+        return {**ae_params, **disc_params}, opt_state, metrics
+
+    return ae_epoch, disc_epoch, aae_epoch
+
+
+def train_aae(params, train_generator, n_cycles, batch_size, output_dir,
+              model_out="AAE.npz", hist_file="history.pkl", ae_weights="",
+              lamb=0.0, beta=0.0, lr=1e-6, seed=0, feature_key="HLVs"):
+    """The full cycle schedule (ref OE-AAE/aae.py:119-292).
+
+    Uses ONE load from the generator (the reference takes
+    ``train_generator[0]``, ref :124) and runs the AE/Disc/AAE phase
+    epochs per cycle.  Returns (params, loss_history) with the
+    reference's (cycle, epoch_counter, value) history tuples.
+    """
+    epoch_dict = {"AE": np.full(n_cycles, 0), "Disc": np.full(n_cycles, 5),
+                  "AAE": np.full(n_cycles, 5)}
+    if n_cycles > 0:
+        epoch_dict["AE"][0] = 100
+
+    sample = train_generator[0]
+    bkg_sample, ood_sample = sample if isinstance(sample, tuple) else (sample["bkg"], sample["OoD"])
+    bkg_x = np.asarray(bkg_sample[feature_key], np.float32)
+    ood_x = np.asarray(ood_sample[feature_key], np.float32)
+    bkg_w = np.asarray(bkg_sample["weights"], np.float32)
+    ood_w = np.asarray(ood_sample["weights"], np.float32)
+    n = len(bkg_x)
+    n_batches = int(np.ceil(n / batch_size))
+    pad = n_batches * batch_size - n
+    if pad:  # zero-weight tail padding
+        bkg_x = np.concatenate([bkg_x, np.zeros((pad,) + bkg_x.shape[1:], np.float32)])
+        ood_x = np.concatenate([ood_x, np.zeros((pad,) + ood_x.shape[1:], np.float32)])
+        bkg_w = np.concatenate([bkg_w, np.zeros(pad, np.float32)])
+        ood_w = np.concatenate([ood_w, np.zeros(pad, np.float32)])
+    shape = (n_batches, batch_size)
+    batches = tuple(jnp.asarray(a.reshape(shape + a.shape[1:]))
+                    for a in (bkg_x, ood_x, bkg_w, ood_w))
+
+    optimizer = make_optimizer(lr)
+    opt_ae = optimizer.init(_subtree(params, AE_KEYS))
+    opt_disc = optimizer.init(_subtree(params, DISC_KEYS))
+    ae_epoch, disc_epoch, aae_epoch = make_aae_step_fns(optimizer, lamb, beta)
+
+    loss_history = {k: [] for k in ["QCD-AE Loss", "OoD-AE Loss", "OE Loss",
+                                    "AE Loss", "Disc Loss", "Disc Accuracy"]}
+    rng = np.random.default_rng(seed)
+    epoch_counter = 0
+
+    ae_path = os.path.join(output_dir, ae_weights) if ae_weights else None
+    if ae_path and os.path.isfile(ae_path):
+        print("\nLoading pre-trained AE file from:", ae_path)
+        ae = load_pytree(ae_path, _subtree(params, AE_KEYS))
+        params = {**params, **ae}
+        epoch_dict["AE"][0] = epoch_dict["AE"][1] if n_cycles > 1 else 0
+
+    for cycle in range(n_cycles):
+        print(f"\n*** CYCLE {cycle + 1}/{n_cycles} ***")
+        # (a) AE
+        n_epochs = int(epoch_dict["AE"][cycle])
+        if n_epochs:
+            print("TRAINING AUTOENCODER")
+        start = time.time()
+        for epoch in range(n_epochs):
+            perm = jnp.asarray(rng.permutation(n_batches))
+            params, opt_ae, metrics = ae_epoch(params, opt_ae, perm, *batches)
+            m = np.asarray(metrics).mean(axis=0)
+            epoch_counter += 1
+            loss_history["QCD-AE Loss"].append((cycle + 1, epoch_counter, float(m[0])))
+            if lamb != 0:
+                loss_history["OE Loss"].append((cycle + 1, epoch_counter, float(m[1])))
+            loss_history["AE Loss"].append((cycle + 1, epoch_counter, float(m[2])))
+            if (epoch + 1) % 10 == 0 or epoch + 1 == n_epochs:
+                print(f"Epoch {epoch + 1}/{n_epochs}: AE Loss = {m[2]:4.3e} "
+                      f"({time.time() - start:.1f}s)")
+        if cycle == 0 and n_epochs and ae_path and not os.path.isfile(ae_path):
+            last_ae = loss_history["AE Loss"][-1][2]
+            if last_ae < 100:  # ref aae.py:172-176 sanity gate
+                print("Saving pre-trained AE file to:", ae_path)
+                save_pytree(ae_path, _subtree(params, AE_KEYS))
+            else:
+                raise RuntimeError(f"first-cycle AE loss {last_ae} >= 100 "
+                                   "(reference aborts here, ref aae.py:176)")
+
+        # (b) discriminator
+        n_epochs = int(epoch_dict["Disc"][cycle])
+        if n_epochs:
+            print("TRAINING DISCRIMINATOR")
+        start = time.time()
+        for epoch in range(n_epochs):
+            perm = jnp.asarray(rng.permutation(n_batches))
+            params, opt_disc, metrics = disc_epoch(params, opt_disc, perm, *batches)
+            m = np.asarray(metrics).mean(axis=0)
+            epoch_counter += 1
+            loss_history["Disc Loss"].append((cycle + 1, epoch_counter, float(m[0])))
+            loss_history["Disc Accuracy"].append((cycle + 1, epoch_counter, float(m[1])))
+            print(f"Epoch {epoch + 1}/{n_epochs}: Disc Loss = {m[0]:4.3e} "
+                  f"Acc = {100 * m[1]:4.1f}% ({time.time() - start:.1f}s)")
+
+        # (c) AAE with frozen discriminator
+        n_epochs = int(epoch_dict["AAE"][cycle])
+        if n_epochs:
+            print("TRAINING AAE")
+        start = time.time()
+        for epoch in range(n_epochs):
+            perm = jnp.asarray(rng.permutation(n_batches))
+            params, opt_ae, metrics = aae_epoch(params, opt_ae, perm, *batches)
+            m = np.asarray(metrics).mean(axis=0)
+            epoch_counter += 1
+            loss_history["QCD-AE Loss"].append((cycle + 1, epoch_counter, float(m[0])))
+            if lamb != 0:
+                loss_history["OE Loss"].append((cycle + 1, epoch_counter, float(m[1])))
+            # 'AE Loss' excludes the beta*CE fooling term (ref aae.py:277)
+            loss_history["AE Loss"].append(
+                (cycle + 1, epoch_counter, float(m[0] + lamb * m[1])))
+            loss_history["Disc Loss"].append((cycle + 1, epoch_counter, float(m[3])))
+            loss_history["Disc Accuracy"].append((cycle + 1, epoch_counter, float(m[4])))
+            print(f"Epoch {epoch + 1}/{n_epochs}: AAE Loss = {m[2]:4.3e} "
+                  f"D_CE = {m[3]:4.3e} ({time.time() - start:.1f}s)")
+
+    if hist_file:
+        with open(os.path.join(output_dir, hist_file) if output_dir else hist_file,
+                  "wb") as f:
+            pickle.dump(loss_history, f)
+    if model_out:
+        save_pytree(os.path.join(output_dir, model_out) if output_dir else model_out,
+                    params)
+    return params, loss_history

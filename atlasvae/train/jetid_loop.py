@@ -1,0 +1,161 @@
+"""Supervised jet-ID training: jitted steps + Keras-callback semantics.
+
+Replaces the reference's ``model.fit`` + callback stack
+(ref jet-ID/models.py:94-99, jet-ID/classifier.py:257-271):
+
+* weighted sparse categorical cross-entropy with optional class weights
+  (ref classifier compile :79) and per-sample weights,
+* ModelCheckpoint(save_best_only, monitor val_loss) +
+  ReduceLROnPlateau(patience 5, factor 0.5, min_delta 1e-6) +
+  EarlyStopping(restore_best_weights) + TerminateOnNaN
+  (ref jet-ID/models.py:94-99),
+* MirroredStrategy data parallelism becomes the shard_map mesh from
+  atlasvae.parallel (batch scaling n_gpus x 5e3, ref classifier.py:136-138).
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.jetid import jetid_apply
+from .step import make_optimizer, clip_gradients
+from .checkpoint import save_pytree, load_pytree
+
+
+def _ce_loss(probs, labels, weights):
+    p = jnp.take_along_axis(probs, labels[:, None].astype(jnp.int32), axis=1)[:, 0]
+    ce = -jnp.log(jnp.maximum(p, 1e-7))
+    return jnp.sum(ce * weights) / jnp.maximum(jnp.sum(weights), 1e-30)
+
+
+def make_jetid_step_fns(optimizer, config):
+    def batch_loss(params, batch, key):
+        inputs, labels, weights = batch
+        probs = jetid_apply(params, config, inputs, key=key, train=True)
+        loss = _ce_loss(probs, labels, weights)
+        acc = jnp.sum((jnp.argmax(probs, 1) == labels) * weights) / \
+            jnp.maximum(jnp.sum(weights), 1e-30)
+        return loss, jnp.stack([loss, acc])
+
+    grad_fn = jax.grad(batch_loss, has_aux=True)
+
+    @jax.jit
+    def train_epoch(params, opt_state, key, inputs, labels, weights):
+        def step(carry, batch):
+            params, opt_state, key = carry
+            key, sub = jax.random.split(key)
+            grads, metrics = grad_fn(params, batch, sub)
+            grads = clip_gradients(grads)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, key), metrics
+
+        (params, opt_state, _), metrics = jax.lax.scan(
+            step, (params, opt_state, key), (inputs, labels, weights))
+        return params, opt_state, metrics
+
+    @jax.jit
+    def eval_epoch(params, inputs, labels, weights):
+        def step(_, batch):
+            inputs, labels, w = batch
+            probs = jetid_apply(params, config, inputs, train=False)
+            loss = _ce_loss(probs, labels, w)
+            return None, jnp.stack([loss * jnp.sum(w), jnp.sum(w)])
+
+        _, metrics = jax.lax.scan(step, None, (inputs, labels, weights))
+        return metrics
+
+    return train_epoch, eval_epoch
+
+
+def _pack(inputs, labels, weights, batch_size):
+    n = len(labels)
+    n_batches = max(1, -(-n // batch_size))
+    padded = n_batches * batch_size
+
+    def pad(a):
+        a = np.asarray(a)
+        out = np.zeros((padded,) + a.shape[1:], a.dtype)
+        out[:n] = a
+        return out.reshape((n_batches, batch_size) + a.shape[1:])
+
+    w = np.zeros(padded, np.float32)
+    w[:n] = weights
+    return ({k: jnp.asarray(pad(v)) for k, v in inputs.items()},
+            jnp.asarray(pad(labels.astype(np.int32))),
+            jnp.asarray(w.reshape(n_batches, batch_size)))
+
+
+def train_classifier(params, config, inputs, labels, valid_inputs, valid_labels,
+                     epochs=100, batch_size=5000, lr=1e-3, patience=10,
+                     class_weight=None, sample_weight=None, model_out=None,
+                     seed=0, verbose=True):
+    """Fit the classifier; returns (best params, history dict)."""
+    weights = np.ones(len(labels), np.float32) if sample_weight is None \
+        else np.asarray(sample_weight, np.float32)
+    if class_weight is not None:
+        weights = weights * np.asarray([class_weight[int(l)] for l in labels],
+                                       np.float32)
+    optimizer = make_optimizer(lr)
+    opt_state = optimizer.init(params)
+    train_epoch, eval_epoch = make_jetid_step_fns(optimizer, config)
+    batches = _pack(inputs, labels, weights, batch_size)
+    v_batches = _pack(valid_inputs, valid_labels,
+                      np.ones(len(valid_labels), np.float32),
+                      min(batch_size, len(valid_labels)))
+    key = jax.random.PRNGKey(seed)
+    history = {"loss": [], "val_loss": [], "accuracy": []}
+    best_val, best_params, lr_wait, stop_wait = np.inf, params, 0, 0
+    min_delta = 1e-6
+    for epoch in range(epochs):
+        start = time.time()
+        key, sub = jax.random.split(key)
+        params, opt_state, metrics = train_epoch(params, opt_state, sub, *batches)
+        m = np.asarray(metrics)
+        if not np.isfinite(m).all():  # TerminateOnNaN (ref models.py:99)
+            print("NaN loss encountered — terminating training")
+            break
+        vm = np.asarray(eval_epoch(params, *v_batches))
+        val_loss = vm[:, 0].sum() / vm[:, 1].sum()
+        history["loss"].append(float(m[:, 0].mean()))
+        history["accuracy"].append(float(m[:, 1].mean()))
+        history["val_loss"].append(float(val_loss))
+        if verbose:
+            print(f"Epoch {epoch + 1}/{epochs}: loss={m[:, 0].mean():.4f} "
+                  f"acc={100 * m[:, 1].mean():.2f}% val_loss={val_loss:.4f} "
+                  f"({time.time() - start:.1f}s)")
+        if val_loss < best_val - min_delta:  # ModelCheckpoint(best)
+            best_val, best_params = val_loss, params
+            lr_wait = stop_wait = 0
+            if model_out:
+                save_pytree(model_out, params)
+        else:
+            lr_wait += 1
+            stop_wait += 1
+            if lr_wait >= 5:  # ReduceLROnPlateau (ref models.py:96)
+                new_lr = float(opt_state.hyperparams["learning_rate"]) * 0.5
+                opt_state.hyperparams["learning_rate"] = np.float32(new_lr)
+                if verbose:
+                    print(f"Reducing learning rate to {new_lr}")
+                lr_wait = 0
+            if stop_wait >= patience:  # EarlyStopping(restore_best)
+                if verbose:
+                    print("Early stopping — restoring best weights")
+                break
+    return best_params, history
+
+
+def predict_classifier(params, config, inputs, batch_size=20_000):
+    """Chunked class-probability inference (ref classifier predict,
+    jet-ID/utils.py:547-551)."""
+    apply_fn = jax.jit(lambda p, i: jetid_apply(p, config, i, train=False))
+    n = len(next(iter(inputs.values())))
+    out = []
+    for i in range(0, n, batch_size):
+        chunk = {k: jnp.asarray(np.asarray(v)[i:i + batch_size])
+                 for k, v in inputs.items()}
+        out.append(np.asarray(apply_fn(params, chunk)))
+    return np.concatenate(out)

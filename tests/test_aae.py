@@ -1,0 +1,141 @@
+"""AAE tests: GAN cycle semantics, frozen-discriminator freezing,
+discriminant bank, 2-D cut grid scan correctness."""
+
+import jax
+import numpy as np
+import pytest
+
+from atlasvae.models import AAEConfig, init_aae, ae_apply, discriminator_apply
+from atlasvae.train.aae_loop import train_aae, make_aae_step_fns, _subtree, AE_KEYS, DISC_KEYS
+from atlasvae.train.step import make_optimizer
+from atlasvae.eval.aae_eval import (make_discriminant, adjust_weights,
+                                    aae_loss_mapping, aae_bump_scan_2d, get_data)
+
+
+def _toy_sample(n=512, dim=8, seed=0):
+    rng = np.random.default_rng(seed)
+    bkg = {"HLVs": rng.normal(0, 1, (n, dim)).astype(np.float32),
+           "weights": np.ones(n, np.float32)}
+    ood = {"HLVs": rng.normal(2.5, 1, (n, dim)).astype(np.float32),
+           "weights": np.ones(n, np.float32)}
+    return bkg, ood
+
+
+def test_phase_freezing():
+    """AE phase must not touch disc params; disc phase must not touch AE;
+    AAE phase must not touch disc (Keras trainable=False parity,
+    ref OE-AAE/aae.py:99,184,227)."""
+    cfg = AAEConfig(input_dim=8, ae_layers=(16, 8), disc_layers=(16, 3))
+    params = init_aae(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(1e-3)
+    ae_epoch, disc_epoch, aae_epoch = make_aae_step_fns(opt, lamb=1.0, beta=1.0)
+    bkg, ood = _toy_sample(n=64, dim=8)
+    import jax.numpy as jnp
+    batches = tuple(jnp.asarray(a.reshape(2, 32, *a.shape[1:]) if a.ndim > 1
+                                else a.reshape(2, 32))
+                    for a in (bkg["HLVs"], ood["HLVs"], bkg["weights"], ood["weights"]))
+    perm = jnp.arange(2)
+
+    def leaves(tree):
+        return [np.asarray(x) for x in jax.tree.leaves(tree)]
+
+    p1, _, _ = ae_epoch(params, opt.init(_subtree(params, AE_KEYS)), perm, *batches)
+    for a, b in zip(leaves(_subtree(p1, DISC_KEYS)), leaves(_subtree(params, DISC_KEYS))):
+        np.testing.assert_array_equal(a, b)
+    assert any(not np.array_equal(a, b) for a, b in
+               zip(leaves(_subtree(p1, AE_KEYS)), leaves(_subtree(params, AE_KEYS))))
+
+    p2, _, _ = disc_epoch(params, opt.init(_subtree(params, DISC_KEYS)), perm, *batches)
+    for a, b in zip(leaves(_subtree(p2, AE_KEYS)), leaves(_subtree(params, AE_KEYS))):
+        np.testing.assert_array_equal(a, b)
+
+    p3, _, _ = aae_epoch(params, opt.init(_subtree(params, AE_KEYS)), perm, *batches)
+    for a, b in zip(leaves(_subtree(p3, DISC_KEYS)), leaves(_subtree(params, DISC_KEYS))):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_train_aae_cycle(tmp_path):
+    cfg = AAEConfig(input_dim=8, ae_layers=(16, 8), disc_layers=(16, 3))
+    params = init_aae(jax.random.PRNGKey(0), cfg)
+    bkg, ood = _toy_sample()
+    params, hist = train_aae(params, [(bkg, ood)], n_cycles=2, batch_size=128,
+                             output_dir=str(tmp_path), lamb=1.0, beta=1.0,
+                             lr=1e-3)
+    assert (tmp_path / "AAE.npz").exists()
+    assert (tmp_path / "history.pkl").exists()
+    # AE improves over the pure-AE phase of cycle 1 (the adversarial
+    # phase can legitimately raise the reconstruction loss afterwards)
+    cycle1_qcd = [v for c, _, v in hist["QCD-AE Loss"] if c == 1]
+    assert cycle1_qcd[-1] < cycle1_qcd[0]
+    accs = [v for _, _, v in hist["Disc Accuracy"]]
+    assert accs[-1] > 0.4  # disc learns the 3-class task above chance
+
+
+def test_make_discriminant_formulas():
+    rng = np.random.default_rng(0)
+    p = rng.uniform(0.1, 1, (100, 6))
+    q = rng.uniform(0.1, 1, (100, 6))
+    np.testing.assert_allclose(make_discriminant(p, q, "MAE"),
+                               np.mean(np.abs(p - q), axis=1), rtol=1e-6)
+    np.testing.assert_allclose(make_discriminant(p, q, "MSE"),
+                               np.mean((p - q) ** 2, axis=1), rtol=1e-6)
+    jsd = make_discriminant(p, q, "JSD")
+    assert np.all(jsd >= 0) and np.all(jsd <= 1.01)
+
+
+def test_aae_loss_mapping_negative_branch():
+    out = aae_loss_mapping(np.array([-4.0, -1.5]))
+    np.testing.assert_allclose(out, [1 / 5, 1 / 2.5])
+
+
+def test_adjust_weights_normalizes_peak():
+    rng = np.random.default_rng(1)
+    n = 10000
+    sample = {"m": np.concatenate([rng.exponential(80, n) + 30,
+                                   rng.normal(300, 10, 1000)]),
+              "weights": np.ones(n + 1000, np.float32)}
+    y_true = np.concatenate([np.ones(n, int), np.zeros(1000, int)])
+    factor = adjust_weights(sample, y_true, factor=20)
+    assert factor > 0 and np.isfinite(factor)
+
+
+def test_get_data_discriminants():
+    cfg = AAEConfig(input_dim=8, ae_layers=(16, 8), disc_layers=(16, 3))
+    params = init_aae(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(2)
+    n = 400
+    x = rng.normal(0, 1, (n, 8)).astype(np.float32)
+    sample = {"m": rng.uniform(50, 500, n), "pt": rng.uniform(450, 1000, n),
+              "weights": np.ones(n, np.float32)}
+    y_true = rng.integers(0, 2, n)
+    x_loss = get_data(params, sample, y_true, x, normal_loss="ON", deco="OFF")
+    assert set(x_loss) == {"Autoencoder", "Discriminator", "Auto+Disc"}
+    for v in x_loss.values():
+        assert np.all((v >= 0) & (v <= 1))
+
+
+def test_bump_scan_2d_grid_counts():
+    """The suffix-cumsum grid must equal brute-force masking counts."""
+    rng = np.random.default_rng(3)
+    n = 20000
+    m_bkg = rng.exponential(80, n) + 30
+    m_sig = rng.normal(300, 15, 2000)
+    sample = {"m": np.concatenate([m_bkg, m_sig]),
+              "pt": rng.uniform(450, 1000, n + 2000),
+              "weights": np.ones(n + 2000, np.float32),
+              "JZW": np.concatenate([np.zeros(n), -np.ones(2000)])}
+    y_true = np.where(sample["JZW"] == -1, 0, 1)
+    l1 = np.where(y_true == 0, rng.normal(0.7, 0.1, n + 2000),
+                  rng.normal(0.4, 0.12, n + 2000))
+    l2 = np.where(y_true == 0, rng.normal(0.65, 0.1, n + 2000),
+                  rng.normal(0.45, 0.12, n + 2000))
+    x_loss = {"Autoencoder": np.clip(l1, 0, 1), "Discriminator": np.clip(l2, 0, 1)}
+    best = aae_bump_scan_2d(y_true, x_loss, sample, "2HDM", None, n_cuts=12,
+                            make_plots=False)
+    assert best is not None
+    cuts = (x_loss["Autoencoder"] >= best["cuts"]["Autoencoder"]) & \
+           (x_loss["Discriminator"] >= best["cuts"]["Discriminator"])
+    # the chosen cuts keep signal preferentially
+    kept_sig = np.sum(cuts & (y_true == 0)) / 2000
+    kept_bkg = np.sum(cuts & (y_true == 1)) / n
+    assert kept_sig > kept_bkg

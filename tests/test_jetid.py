@@ -1,0 +1,125 @@
+"""jet-ID tests: classifier learns, callbacks behave, weighting schemes,
+CV fold merge, discriminant combination, multi_cuts grid."""
+
+import jax
+import numpy as np
+import pytest
+
+from atlasvae.models import JetIDConfig, init_jetid
+from atlasvae.train.jetid_loop import train_classifier, predict_classifier
+from atlasvae.train.checkpoint import save_pytree
+from atlasvae.eval.jetid_eval import (make_labels, get_class_weight,
+                                      get_sample_weights, upsampling,
+                                      downsampling, compo_matrix, cross_valid,
+                                      discriminant, multi_cuts, valid_accuracy)
+
+
+def _toy_classes(n=2000, dim=10, seed=0):
+    rng = np.random.default_rng(seed)
+    x0 = rng.normal(1.0, 1.0, (n // 2, dim))
+    x1 = rng.normal(-1.0, 1.0, (n // 2, dim))
+    x = np.concatenate([x0, x1]).astype(np.float32)
+    y = np.concatenate([np.zeros(n // 2, int), np.ones(n // 2, int)])
+    perm = rng.permutation(n)
+    return x[perm], y[perm]
+
+
+@pytest.fixture(scope="module")
+def trained():
+    cfg = JetIDConfig(n_classes=2, scalars=("s",), scalar_dims=(10,), nn_type="FCN",
+                      fcn_neurons=(32, 16), dropout=0.0)
+    x, y = _toy_classes()
+    params = init_jetid(jax.random.PRNGKey(0), cfg)
+    params, hist = train_classifier(params, cfg, {"s": x[:1500]}, y[:1500],
+                                    {"s": x[1500:]}, y[1500:], epochs=10,
+                                    batch_size=250, lr=1e-3, verbose=False)
+    return cfg, params, x, y, hist
+
+
+def test_classifier_learns(trained):
+    cfg, params, x, y, hist = trained
+    probs = predict_classifier(params, cfg, {"s": x[1500:]})
+    assert valid_accuracy(y[1500:], probs) > 0.9
+    assert hist["val_loss"][-1] <= hist["val_loss"][0]
+
+
+def test_make_labels():
+    sample = {"JZW": np.array([-1.0, 0.0, 2.0])}
+    np.testing.assert_array_equal(make_labels(sample), [0, 1, 1])
+
+
+def test_class_weight():
+    labels = np.array([0] * 10 + [1] * 90)
+    assert get_class_weight(labels, bkg_ratio=0) is None
+    cw = get_class_weight(labels, bkg_ratio=1)
+    # signal class upweighted relative to its population
+    assert cw[0] > cw[1]
+
+
+@pytest.mark.parametrize("scheme", ["flattening", "match2max", "bkg_ratio",
+                                    "match2class"])
+def test_sample_weights_schemes(scheme):
+    rng = np.random.default_rng(1)
+    n = 5000
+    sample = {"pt": rng.uniform(450, 1200, n),
+              "eta": rng.normal(0, 1.2, n)}
+    labels = rng.integers(0, 2, n)
+    w, bins = get_sample_weights(sample, labels, scheme, bkg_ratio=1)
+    assert w is not None and np.all(w >= 0)
+    np.testing.assert_allclose(np.sum(w), n, rtol=1e-5)  # normalization
+
+
+def test_downsampling_and_upsampling():
+    rng = np.random.default_rng(2)
+    n = 2000
+    sample = {"pt": rng.uniform(10, 400, n), "x": rng.normal(size=n)}
+    labels = rng.integers(0, 2, n)
+    v_s, v_l, t_s, t_l = downsampling(sample, labels, pt_key="pt")
+    assert len(v_l) + len(t_l) == n
+    bins = [0, 100, 200, 500]
+    idx = np.digitize(sample["pt"], bins, right=True) - 1
+    h_sig = np.histogram(sample["pt"][labels == 0], bins)[0]
+    h_bkg = np.histogram(sample["pt"][labels != 0], bins)[0]
+    up_s, up_l = upsampling(sample, labels, bins, idx, h_sig, h_bkg,
+                            h_sig * 1.5, h_bkg * 1.5)
+    assert len(up_l) > n  # upsampled
+
+
+def test_compo_matrix(trained):
+    cfg, params, x, y, _ = trained
+    probs = predict_classifier(params, cfg, {"s": x[1500:]})
+    matrix, acc = compo_matrix(y[1500:], y[:1500], probs)
+    assert matrix.shape == (2, 2)
+    assert 80 < acc <= 100
+
+
+def test_cross_valid_merges_folds(tmp_path, trained):
+    cfg, params, x, y, _ = trained
+    # save the same params for both folds
+    save_pytree(str(tmp_path / "model_1.npz"), params)
+    save_pytree(str(tmp_path / "model_2.npz"), params)
+    sample = {"s": x, "eventNumber": np.arange(len(y))}
+    probs = cross_valid(sample, y, cfg, str(tmp_path), 2, params)
+    assert probs.shape == (len(y), 2)
+    assert np.all(probs >= 0)  # every row filled (fixes valid_sprobs bug)
+    assert valid_accuracy(y, probs) > 0.9
+
+
+def test_discriminant_multiclass():
+    rng = np.random.default_rng(3)
+    n = 300
+    labels = rng.integers(0, 3, n)
+    probs = rng.dirichlet([1, 1, 1], n)
+    sample = {"m": rng.uniform(0, 1, n)}
+    s2, l2, disc = discriminant(sample, labels, probs, sig_list=[0], bkg="bkg")
+    assert set(np.unique(l2)) <= {0, 1}
+    assert np.all((disc >= 0) & (disc <= 1))
+
+
+def test_multi_cuts_grid(trained):
+    cfg, params, x, y, _ = trained
+    probs = predict_classifier(params, cfg, {"s": x[1500:]})
+    rates = multi_cuts(y[1500:], probs, step=0.25)
+    assert rates.shape[1] == 3  # per-class efficiencies + combined bkg
+    # sorted by descending signal efficiency
+    assert np.all(np.diff(rates[:, 0]) <= 1e-9)
