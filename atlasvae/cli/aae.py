@@ -155,6 +155,12 @@ def main(argv=None):
             best = aae_bump_scan(y_true, x_loss["Autoencoder"], "Autoencoder",
                                  sample, sig_label, output_dir)
         roc_curves(y_true, x_loss, sample["weights"], list(x_loss), output_dir)
+        from ..plotting.aae_plots import plot_discriminant, plot_correlations
+        for disc_name in x_loss:
+            plot_discriminant(y_true, x_loss[disc_name], sample["weights"],
+                              output_dir, sig_label,
+                              best.get("cuts") if best else None, disc_name)
+        plot_correlations(y_true, x_loss, sample, output_dir)
         print("best cut:", best)
     return 0
 

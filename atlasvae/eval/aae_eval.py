@@ -250,6 +250,8 @@ def aae_bump_scan_2d(y_true, x_loss, sample, sig_label, output_dir,
         "bkg_eff": 100 * fpr[best_flat],
     }
     if make_plots and output_dir is not None:
+        from ..plotting.aae_plots import binary_dics_eff
+        binary_dics_eff(tpr, fpr, output_dir, sig_label, fpr[best_flat])
         cuts = (loss_1 >= best_cuts["cuts"][names[0]]) & \
                (loss_2 >= best_cuts["cuts"][names[1]])
         cut_sample = {k: v[cuts] for k, v in sample.items()}

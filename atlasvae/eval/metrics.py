@@ -17,7 +17,8 @@ import numpy as np
 from ..models.vae import encode
 from ..losses import kld_loss
 
-METRIC_NAMES = ("MSE", "MAE", "MARE", "KLD", "JSD", "X-S", "Inputs", "Latent")
+METRIC_NAMES = ("MSE", "MAE", "MARE", "KLD", "JSD", "X-S", "Inputs", "Latent",
+                "EMD", "KSD")
 
 _CHUNK = 1_000_000
 
@@ -52,9 +53,29 @@ def _metric_kernel(p, q, metric):
 
 def loss_function(p, q, n_dims=3, metric="MAE", x_losses=None, multiloss=True):
     """One discriminant over (true, predicted) matrices
-    (ref OE-VAE/utils.py:346-375; same signature contract)."""
+    (ref OE-VAE/utils.py:346-375; same signature contract).
+
+    EMD/KSD treat rows as constituent clouds / samples and run the
+    vmapped device programs in atlasvae.ops.emd (replacing the
+    reference's energyflow/scipy process fan-outs, ref utils.py:311-343).
+    """
     p = np.asarray(p, np.float32)
     q = np.asarray(q, np.float32)
+    if metric == "EMD":
+        from ..data.jets import jets_3v
+        from ..ops.emd import emd_pairs
+        out = emd_pairs(jets_3v(p, n_dims), jets_3v(q, n_dims))
+        if multiloss and x_losses is not None:
+            x_losses[metric] = out
+            return None
+        return out
+    if metric == "KSD":
+        from ..ops.emd import ks_pairs
+        out = ks_pairs(p, q)
+        if multiloss and x_losses is not None:
+            x_losses[metric] = out
+            return None
+        return out
     out = np.concatenate([
         np.asarray(_metric_kernel(jnp.asarray(p[i:i + _CHUNK]),
                                   jnp.asarray(q[i:i + _CHUNK]), metric))

@@ -42,14 +42,24 @@ def merged_bins(values, edges=None, max_bins=100, min_bin_count=2, logspace=True
             edges = np.linspace(lo, hi, num=max_bins)
     edges = np.asarray(edges, dtype=np.float64)
     min_count = max(2, min_bin_count)
+    # One digitize; deleting an interior edge merges two bins, which on
+    # the count array is a single addition — equivalent to the
+    # reference's re-digitize-per-deletion loop at O(bins^2) instead of
+    # O(bins^2 * n).
+    idx = np.clip(np.digitize(values, edges), 1, len(edges) - 1) - 1
+    counts = list(np.bincount(idx, minlength=len(edges) - 1))
+    edges = list(edges)
     while len(edges) > 2:
-        idx = np.clip(np.digitize(values, edges), 1, len(edges) - 1) - 1
-        counts = np.bincount(idx, minlength=len(edges) - 1)
-        sparse = np.where(counts < min_count)[0]
-        if sparse.size == 0:
+        sparse = [i for i, c in enumerate(counts) if c < min_count]
+        if not sparse:
             break
-        # Remove the highest sparse bin's interior edge, as the reference
-        # does (reverse scan, one deletion per pass).
         drop = sparse[-1]
-        edges = np.delete(edges, drop if drop > 0 else 1)
-    return edges
+        if drop > 0:  # merge bin `drop` into its left neighbor
+            counts[drop - 1] += counts[drop]
+            del counts[drop]
+            del edges[drop]
+        else:  # first bin sparse: merge into the right neighbor
+            counts[1] += counts[0]
+            del counts[0]
+            del edges[1]
+    return np.asarray(edges)

@@ -39,8 +39,12 @@ def main():
     train_on_load, _ = make_vae_step_fns(optimizer, oe_type="MAE", beta=2.0,
                                          lamb=5.0, margin=1.0)
 
+    # One jitted call per load, like the reference's epoch structure: the
+    # 30 GB load budget (ref OE-VAE/utils.py:48) holds the whole canonical
+    # 8e6-jet HLV epoch in ONE load, so a large n_batches-per-call is the
+    # production shape (and amortizes the ~40 ms remote-tunnel latency).
     batch_size = 10_000
-    n_batches = 100
+    n_batches = 1000
     n = batch_size * n_batches
     rng = np.random.default_rng(0)
     x = rng.normal(size=(n, 12)).astype(np.float32)
@@ -55,7 +59,7 @@ def main():
     # timed runs.  block_until_ready does NOT synchronize through the
     # axon remote-device tunnel; a device->host transfer does, so each
     # rep fetches the (tiny) metrics array to force completion.
-    reps = 7
+    reps = 5
     times = []
     for _ in range(reps):
         start = time.perf_counter()

@@ -1,0 +1,78 @@
+"""EMD/KSD device-metric tests: KS vs scipy exact; EMD vs brute-force OT
+on tiny problems and metric properties."""
+
+import numpy as np
+import pytest
+
+from atlasvae.ops.emd import emd_pairs, ks_pairs
+
+
+def test_ks_matches_scipy(rng):
+    from scipy.stats import ks_2samp
+    p = rng.normal(0, 1, (50, 40)).astype(np.float32)
+    q = rng.normal(0.3, 1.2, (50, 40)).astype(np.float32)
+    ours = ks_pairs(p, q)
+    ref = np.array([ks_2samp(p[i], q[i]).statistic for i in range(50)])
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def _brute_force_emd(p, q, r=1.0):
+    """Exact tiny-problem EMD by linear programming."""
+    from scipy.optimize import linprog
+    pt_p, pt_q = p[:, 0], q[:, 0]
+    dy = p[:, None, 1] - q[None, :, 1]
+    dphi = np.mod(p[:, None, 2] - q[None, :, 2] + np.pi, 2 * np.pi) - np.pi
+    cost = np.sqrt(dy ** 2 + dphi ** 2) / r
+    n, m = len(pt_p), len(pt_q)
+    # balanced transport of min(sum_p, sum_q) mass
+    a = pt_p / pt_p.sum()
+    b = pt_q / pt_q.sum()
+    A_eq = []
+    for i in range(n):
+        row = np.zeros((n, m))
+        row[i, :] = 1
+        A_eq.append(row.ravel())
+    for j in range(m):
+        row = np.zeros((n, m))
+        row[:, j] = 1
+        A_eq.append(row.ravel())
+    # drop the (redundant) final column constraint to keep the LP feasible
+    A = np.array(A_eq)[:-1]
+    b_vec = np.concatenate([a, b])[:-1]
+    res = linprog(cost.ravel(), A_eq=A, b_eq=b_vec, bounds=(0, None),
+                  method="highs")
+    assert res.status == 0, res.message
+    return res.fun * min(pt_p.sum(), pt_q.sum()) + abs(pt_p.sum() - pt_q.sum())
+
+
+def test_emd_close_to_exact_ot(rng):
+    jets_p = rng.uniform(0.2, 2.0, (6, 5, 3)).astype(np.float32)
+    jets_q = rng.uniform(0.2, 2.0, (6, 5, 3)).astype(np.float32)
+    jets_p[..., 1:] = rng.normal(0, 0.5, (6, 5, 2))
+    jets_q[..., 1:] = rng.normal(0, 0.5, (6, 5, 2))
+    ours = emd_pairs(jets_p, jets_q, n_iters=300, eps_final=0.002)
+    exact = np.array([_brute_force_emd(jets_p[i], jets_q[i]) for i in range(6)])
+    np.testing.assert_allclose(ours, exact, rtol=0.08, atol=0.02)
+
+
+def test_emd_identity_and_symmetry(rng):
+    jets = rng.uniform(0.2, 2.0, (4, 6, 3)).astype(np.float32)
+    jets[..., 1:] = rng.normal(0, 0.5, (4, 6, 2))
+    self_d = emd_pairs(jets, jets)
+    assert np.all(self_d < 0.05)  # ~0 at finite epsilon
+    other = jets.copy()
+    other[..., 1] += 1.0
+    d_ab = emd_pairs(jets, other)
+    d_ba = emd_pairs(other, jets)
+    np.testing.assert_allclose(d_ab, d_ba, rtol=1e-2, atol=1e-3)  # Sinkhorn asymmetric updates
+    assert np.all(d_ab > self_d)
+
+
+def test_emd_mass_penalty(rng):
+    jets = rng.uniform(0.5, 1.0, (2, 4, 3)).astype(np.float32)
+    jets[..., 1:] = 0.0
+    scaled = jets.copy()
+    scaled[..., 0] *= 2.0  # same positions, double pt
+    d = emd_pairs(jets, scaled)
+    total = jets[..., 0].sum(axis=1)
+    np.testing.assert_allclose(d, total, rtol=0.05)  # pure extra-mass term
