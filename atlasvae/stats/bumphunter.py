@@ -241,9 +241,14 @@ class BumpHunter1D:
 
     # ------------------------------------------------------------ public
 
-    def bump_scan(self, data, bkg, is_hist=False, do_pseudo=True, verbose=True):
+    def bump_scan(self, data, bkg, is_hist=False, do_pseudo=True,
+                  multi_chan=False, verbose=True):
         """Full BumpHunter scan: data + npe pseudo-experiments, global
-        p-value and significance (ref :922-1226)."""
+        p-value and significance (ref :922-1226).  ``multi_chan=True``
+        takes per-channel lists and combines channels per ref
+        ``_scan_hist_multi`` (:478-700)."""
+        if multi_chan:
+            return self._bump_scan_multi(data, bkg, is_hist, do_pseudo, verbose)
         data_hist, bkg_hist = self._histogram(data, bkg, is_hist)
         widths, steps = self._widths(len(data_hist))
         hinf, hsup = self._scan_range(bkg_hist)
@@ -291,6 +296,79 @@ class BumpHunter1D:
                     print(f"Significance = {self.significance:1.5f}")
         elif verbose:
             print("No pseudo data found : can't compute global p-value")
+
+    def _bump_scan_multi(self, data, bkg, is_hist=False, do_pseudo=True,
+                         verbose=True):
+        """Multi-channel scan (ref ``_scan_hist_multi`` :478-700): each
+        channel is scanned independently; channels combine only when the
+        per-channel best windows *overlap* in physical coordinates, and
+        the combined statistic is t = -ln(prod of per-channel min p)
+        (ref :696).  No-overlap scans get p = 1 (ref :649-656).
+
+        Note: the reference's overlap-clipping contains a latent bug
+        (``min_loc_current -= min_loc_current - 1`` pins the left edge to
+        bin 1, ref :667-669); the intended interval intersection is
+        implemented instead (SURVEY.md S7 fix policy).
+        """
+        n_chan = len(data)
+        bins_in = self.bins if isinstance(self.bins, list) else \
+            [self.bins for _ in range(n_chan)]
+        per_chan = []
+        key = jax.random.PRNGKey(0 if self.seed is None else self.seed)
+        for ch in range(n_chan):
+            self_bins = bins_in[ch]
+            saved_bins, self.bins = self.bins, self_bins
+            data_hist, bkg_hist = self._histogram(data[ch], bkg[ch], is_hist)
+            bins_in[ch] = self.bins
+            self.bins = saved_bins
+            widths, steps = self._widths(len(data_hist))
+            hinf, hsup = self._scan_range(bkg_hist)
+            if do_pseudo:
+                key, sub = jax.random.split(key)
+                pseudo = _poisson_pseudo(sub, jnp.asarray(bkg_hist), self.npe)
+                hists = jnp.concatenate([jnp.asarray(data_hist)[None, :], pseudo])
+            else:
+                hists = jnp.asarray(data_hist)[None, :]
+            out = scan_histograms(hists, jnp.asarray(bkg_hist), widths, steps,
+                                  hinf, hsup, self.mode, self.use_sideband,
+                                  self.sideband_width)
+            per_chan.append(tuple(map(np.asarray, out[:4])))
+        self.bins = bins_in
+
+        k = len(per_chan[0][0])
+        logp = np.stack([c[0] for c in per_chan])         # (C, K)
+        locs = np.stack([c[1] for c in per_chan]).astype(int)
+        widths_arr = np.stack([c[2] for c in per_chan]).astype(int)
+        # physical window edges per channel/scan
+        lo = np.stack([np.asarray(bins_in[ch])[locs[ch]] for ch in range(n_chan)])
+        hi = np.stack([np.asarray(bins_in[ch])[locs[ch] + widths_arr[ch]]
+                       for ch in range(n_chan)])
+        inter_lo = np.max(lo, axis=0)
+        inter_hi = np.min(hi, axis=0)
+        overlap = inter_lo < inter_hi
+        combined_logp = np.where(overlap, logp.sum(axis=0), 0.0)
+
+        self.log_Pval_ar = combined_logp
+        with np.errstate(under="ignore"):
+            self.min_Pval_ar = np.exp(logp.astype(np.float64)).T  # (K, C)
+        self.min_loc_ar = locs.T
+        self.min_width_ar = widths_arr.T
+        self.signal_eval = np.array([per_chan[ch][3][0] for ch in range(n_chan)])
+        self.t_ar = -combined_logp.astype(np.float64)
+        if k > 1:
+            tdat = self.t_ar[0]
+            s = int(np.sum(self.t_ar[1:] >= tdat))
+            self.global_Pval = s / self.npe
+            if self.global_Pval == 1:
+                self.significance = 0
+            elif self.global_Pval == 0:
+                self.significance = float(sigma_from_log_pval(np.log(1.0 / self.npe)))
+            else:
+                self.significance = float(sigma_from_log_pval(np.log(self.global_Pval)))
+            if verbose:
+                print(f"Global p-value : {self.global_Pval:1.4f}  "
+                      f"significance = {self.significance:1.5f}")
+        return (inter_lo[0], inter_hi[0]) if overlap[0] else None
 
     def bump_info(self, data, is_hist=False, verbose=True):
         """Result summary; returns the *local* significance
