@@ -40,13 +40,14 @@ def kld_loss(z_mean, z_log_var):
 
 
 def oe_loss(recon_bkg_loss, kld_bkg, params, x_bkg, x_ood, oe_type, margin, key,
-            activation="relu", noise=None):
+            activation="relu", noise=None, impl="xla"):
     """Outlier-exposure term.  For 'KLD' the gap is between latent KLDs;
     otherwise between reconstruction losses (ref models.py:88-105)."""
     if oe_type == "KLD":
-        z_mean_ood, z_log_var_ood = encode(params, x_ood, activation)
+        z_mean_ood, z_log_var_ood = encode(params, x_ood, activation, impl)
         return jax.nn.relu(kld_bkg - kld_loss(z_mean_ood, z_log_var_ood) + margin)
-    recon_ood, _, _ = vae_apply(params, x_ood, key, activation, noise=noise)
+    recon_ood, _, _ = vae_apply(params, x_ood, key, activation, noise=noise,
+                                impl=impl)
     loss_ood = reconstruction_loss(x_ood, recon_ood, oe_type)
     gap = recon_bkg_loss - loss_ood
     if oe_type in ("MSE", "MAE"):
@@ -55,7 +56,8 @@ def oe_loss(recon_bkg_loss, kld_bkg, params, x_bkg, x_ood, oe_type, margin, key,
 
 
 def get_losses(params, bkg_x, ood_x, bkg_w, ood_w, key, oe_type="KLD",
-               beta=0.0, lamb=0.0, margin=0.0, activation="relu", noise=None):
+               beta=0.0, lamb=0.0, margin=0.0, activation="relu", noise=None,
+               impl="xla"):
     """Per-sample loss vectors (MSE, KLD, OE, total), ref models.py:108-132.
 
     ``noise``: optional (noise_bkg, noise_ood) explicit latent draws for
@@ -64,12 +66,13 @@ def get_losses(params, bkg_x, ood_x, bkg_w, ood_w, key, oe_type="KLD",
     k_bkg, k_ood = jax.random.split(key)
     noise_bkg, noise_ood = noise if noise is not None else (None, None)
     recon, z_mean, z_log_var = vae_apply(params, bkg_x, k_bkg, activation,
-                                         noise=noise_bkg)
+                                         noise=noise_bkg, impl=impl)
     loss_mse = reconstruction_loss(bkg_x, recon, oe_type) * bkg_w
     loss_kld = kld_loss(z_mean, z_log_var) * bkg_w * beta
     raw_recon = reconstruction_loss(bkg_x, recon, oe_type)
     loss_oe = oe_loss(raw_recon, kld_loss(z_mean, z_log_var), params,
-                      bkg_x, ood_x, oe_type, margin, k_ood, activation, noise_ood)
+                      bkg_x, ood_x, oe_type, margin, k_ood, activation,
+                      noise_ood, impl)
     loss_oe = loss_oe * ood_w * lamb
     total = loss_mse + loss_kld + loss_oe
     return loss_mse, loss_kld, loss_oe, total

@@ -56,7 +56,14 @@ def clip_values(x, max_val=1e6):
     return jnp.clip(x, -max_val, max_val)
 
 
-def encode(params, x, activation="relu"):
+def encode(params, x, activation="relu", impl="xla"):
+    """impl='pallas' runs the whole encoder as one fused VMEM-resident
+    kernel (atlasvae.ops.fused_vae); requires relu activation.  The
+    encoder input receives a zero cotangent under the fused path (inputs
+    are data in every training graph)."""
+    if impl == "pallas" and activation == "relu":
+        from ..ops.fused_vae import fused_encoder
+        return fused_encoder(params["encoder"], x)
     h = mlp_apply(params["encoder"]["hidden"], x, activation)
     z_mean = dense_apply(params["encoder"]["mean"], h)
     z_log_var = dense_apply(params["encoder"]["logvar"], h)
@@ -70,20 +77,25 @@ def reparameterize(key, z_mean, z_log_var, noise=None):
     return z_mean + sigma * noise
 
 
-def decode(params, z, activation="relu"):
+def decode(params, z, activation="relu", impl="xla"):
+    if impl == "pallas" and activation == "relu":
+        from ..ops.fused_vae import fused_decoder
+        return fused_decoder(params["decoder"], z)
     h = mlp_apply(params["decoder"]["hidden"], z, activation)
     return dense_apply(params["decoder"]["out"], h)
 
 
-def vae_apply(params, x, key, activation="relu", sample=True, noise=None):
+def vae_apply(params, x, key, activation="relu", sample=True, noise=None,
+              impl="xla"):
     """Full forward pass -> (reconstruction, z_mean, z_log_var).
 
     ``noise``: optional explicit standard-normal draw for the latent
     sample.  Passing a slice of a *global-batch* draw makes data-parallel
     shards reproduce the single-device program bit-for-bit (see
     train/step.py), which the per-shard PRNG stream cannot.
+    ``impl='pallas'``: fused encoder/decoder kernels (ops/fused_vae).
     """
-    z_mean, z_log_var = encode(params, x, activation)
+    z_mean, z_log_var = encode(params, x, activation, impl)
     z = reparameterize(key, z_mean, z_log_var, noise) if sample else z_mean
-    reconstructed = clip_values(decode(params, z, activation))
+    reconstructed = clip_values(decode(params, z, activation, impl))
     return reconstructed, z_mean, z_log_var

@@ -36,7 +36,8 @@ def make_optimizer(lr):
 
 
 def make_vae_step_fns(optimizer, oe_type="KLD", beta=0.0, lamb=0.0, margin=0.0,
-                      activation="relu", mesh=None, data_axis="data"):
+                      activation="relu", mesh=None, data_axis="data",
+                      impl="xla"):
     """Build (train_on_load, valid_losses) jitted functions.
 
     Inputs are shaped (n_batches, batch, features) with a (n_batches,
@@ -65,7 +66,7 @@ def make_vae_step_fns(optimizer, oe_type="KLD", beta=0.0, lamb=0.0, margin=0.0,
     def batch_losses(params, key, noise, bkg_x, ood_x, bkg_w, ood_w, valid):
         mse, kld, oe, total = get_losses(params, bkg_x, ood_x, bkg_w, ood_w,
                                          key, oe_type, beta, lamb, margin,
-                                         activation, noise)
+                                         activation, noise, impl)
         total = total * valid
         metrics = jnp.stack([jnp.sum(mse * valid), jnp.sum(kld * valid),
                              jnp.sum(oe * valid), jnp.sum(total), jnp.sum(valid)])
@@ -102,7 +103,7 @@ def make_vae_step_fns(optimizer, oe_type="KLD", beta=0.0, lamb=0.0, margin=0.0,
             bkg_x, ood_x, bkg_w, ood_w, valid = batch
             _, _, _, total = get_losses(params, bkg_x, ood_x, bkg_w, ood_w,
                                         sub, oe_type, beta, lamb, margin,
-                                        activation, noise)
+                                        activation, noise, impl)
             m = jnp.stack([jnp.sum(total * valid), jnp.sum(valid)])
             if in_dp:
                 m = jax.lax.psum(m, data_axis)
