@@ -130,6 +130,10 @@ def main(argv=None):
 
     print("\n+" + 36 * "-" + "+\n+--- VALIDATION SAMPLE EVALUATION ---+\n+"
           + 36 * "-" + "+\n")
+    hist_path = os.path.join(out_root, args.hist_file)
+    if os.path.isfile(hist_path):
+        from ..plotting.history import plot_history
+        plot_history(hist_path, out_root)
     if os.path.isfile(args.model_out):
         params = load_pytree(args.model_out, params)
     for sig_data in args.sig_list:
