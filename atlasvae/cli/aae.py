@@ -148,9 +148,11 @@ def main(argv=None):
         if "HLVs" in sample:
             sample["HLVs"] = apply_scaler(sample["HLVs"], args.n_dims, hlv_scaler)
         x_true = features(sample)
-        x_loss = get_data(params, sample, y_true, x_true, args.normal_loss,
-                          args.decorrelation if on(args.decorrelation) or
-                          args.decorrelation in ("m", "pt", "2d") else "OFF")
+        # --decorrelation accepts m/pt/2d; bare 'ON' means the canonical
+        # 2-D flattening (ref OE-AAE/train.sh:11 decorrelation=2d)
+        deco = args.decorrelation if args.decorrelation in ("m", "pt", "2d") \
+            else ("2d" if on(args.decorrelation) else "OFF")
+        x_loss = get_data(params, sample, y_true, x_true, args.normal_loss, deco)
         sig_label = sig_data.split("-")[0].split("_")[0]
         print((sig_data + ": plotting performance results").upper())
         if on(args.scan_2d):

@@ -61,7 +61,14 @@ def load_data(data_type, idx, cuts=(), n_const=20, n_dims=3, constituents="OFF",
             sorted_const = sort_constituents_by_pt(raw)
             if _on(constituents):
                 sample["constituents"] = pad_constituents(sorted_const, n_const)
-            if need_derived:
+                if need_derived:
+                    # derived kinematics use the TRUNCATED constituents,
+                    # as the reference does (ref OE-VAE/utils.py:91,98-99)
+                    sample.update(jets_4v(sample["constituents"]))
+            elif need_derived:
+                # constituents OFF + no stored kinematics: the reference
+                # would crash here (utils.py:100 KeyError); derive from
+                # the full array as a robustness extension
                 sample.update(jets_4v(sorted_const))
 
     sample["pt"] = sample.pop("rljet_pt_comb" if "rljet_pt_comb" in sample else "pt_calo")

@@ -39,8 +39,12 @@ def _part1by1(x):
 
 
 def _morton(im, ipt):
-    """Interleave m-bits (even positions) and pt-bits (odd positions)."""
-    return _part1by1(im) | (_part1by1(ipt) << 1)
+    """Interleave pt-bits into the even (first-dropped) positions and
+    m-bits into the odd positions: coarsening one level doubles the
+    pt-window first, then the m-window, matching the reference's
+    alternating widening order (ref OE-VAE/utils.py:204-211 doubles
+    pt_width before m_width)."""
+    return _part1by1(ipt) | (_part1by1(im) << 1)
 
 
 def _codes(m, pt, m0, pt0):

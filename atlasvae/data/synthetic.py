@@ -168,10 +168,8 @@ _SYNTHETIC_KINDS = {
 def ensure_synthetic_registry(directory=None, n_events=20_000, n_const_max=100,
                               names=None, seed=0):
     """Create-and-register synthetic files for the standard sample names."""
-    directory = data_dir() if directory is None else directory
-    directory.mkdir(parents=True, exist_ok=True) if hasattr(directory, "mkdir") else None
     import pathlib
-    directory = pathlib.Path(directory)
+    directory = pathlib.Path(data_dir() if directory is None else directory)
     directory.mkdir(parents=True, exist_ok=True)
     names = names or list(_SYNTHETIC_KINDS)
     for i, name in enumerate(names):

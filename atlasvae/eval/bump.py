@@ -5,11 +5,12 @@
   (ref OE-VAE/utils.py:467-529).
 * ``bump_scan``: significance vs background-efficiency curve over ~100
   logit-spaced cuts.  The reference fans one OS process per cut, each
-  running a full Python BumpHunter (npe=1000 scans each — the dominant
-  eval cost, ref OE-VAE/plots.py:262-332 and SURVEY.md S3.2).  Here all
-  cuts' histograms are built host-side (cheap) and every scan — cuts x
-  (1 + npe) pseudo-experiments — executes as ONE vmapped device program
-  (stats.batched_bump_sigma).
+  running a full Python BumpHunter with npe=1000 pseudo-experiments whose
+  global p-value is then *discarded* — only the data-only local sigma is
+  plotted (ref OE-VAE/plots.py:285-291 + utils.py:494).  Here all cuts'
+  histograms are built host-side (cheap) and the data scans execute as
+  ONE vmapped device program (stats.batched_local_sigma) — ~1000x less
+  work for the identical curve.
 * ``generate_cuts``: background-suppression plots at fixed efficiencies
   (ref OE-VAE/plots.py:88-104).
 """
@@ -19,7 +20,7 @@ import os
 import numpy as np
 
 from ..utils.chunks import bin_edges, merged_bins
-from ..stats import BumpHunter1D, batched_bump_sigma, fit_gaussian
+from ..stats import BumpHunter1D, batched_local_sigma, fit_gaussian
 from .roc import get_rates, make_cut
 
 _WIDTHS = (2, 3, 4, 5, 6)     # ref OE-VAE/utils.py:483
@@ -124,9 +125,13 @@ def bump_scan(y_true, x_loss, loss_metric, sample, sig_data, output_dir,
     pad = lambda h: np.pad(h, (0, nbins - len(h)))
     data_mat = np.stack([pad(h) for h in data_hists])
     bkg_mat = np.stack([pad(h) for h in bkg_hists])
-    loc_sigma, glob_sigma, _ = map(np.asarray, batched_bump_sigma(
-        data_mat, bkg_mat, _WIDTHS, _STEPS, npe=npe))
-    sigma = loc_sigma  # the reference plots the local significance
+    # the plotted quantity is the data-only LOCAL sigma — no pseudo
+    # experiments needed for the per-cut curve (the reference runs the
+    # full npe=1000 pseudo scan per cut and then uses only loc_sigma,
+    # ref OE-VAE/plots.py:285-291 + utils.py:494 return)
+    loc_sigma, _, _, _ = map(np.asarray, batched_local_sigma(
+        data_mat, bkg_mat, _WIDTHS, _STEPS))
+    sigma = loc_sigma
     kept = np.asarray(kept)
     thresholds_k, eff_k = np.take(thresholds, kept), np.take(eff, kept)
     finite = np.isfinite(sigma)

@@ -85,17 +85,18 @@ def combine_roc_curves(pos_rates, output_dir, file_name="ROC_curves.png"):
     plt.close(fig)
 
 
-def pt_reconstruction(x_true, x_pred, y_true, weights, output_dir, n_bins=200):
+def pt_reconstruction(x_true, x_pred, y_true, weights, output_dir, n_bins=200,
+                      n_dims=4):
     """True vs reconstructed jet-pt distributions
-    (ref OE-VAE/plots.py:966-991).  Accepts flat (E,px,py,pz) or
-    (px,py,pz) constituent layouts."""
+    (ref OE-VAE/plots.py:966-991).  ``n_dims`` selects the constituent
+    layout: 4 = flat (E,px,py,pz) blocks, 3 = flat (px,py,pz)."""
     from ..data.jets import jets_4v
 
     def jet_pt(x):
         x = np.asarray(x, np.float32)
-        if x.shape[1] % 4 == 0:
+        if n_dims == 4:
             return jets_4v(x)["pt_calo"]
-        total = x.reshape(len(x), -1, 3).sum(axis=1)
+        total = x.reshape(len(x), -1, n_dims).sum(axis=1)
         return np.hypot(total[:, 0], total[:, 1])
 
     pt_true = jet_pt(x_true)

@@ -268,6 +268,14 @@ class BumpHunter1D:
                               self.sideband_width)
         min_logp, min_loc, min_width, signal_eval, log_pvals = map(np.asarray, out)
 
+        if not do_pseudo and np.size(self.log_Pval_ar) > 1:
+            # Reuse the cached pseudo-experiment distribution from the
+            # previous scan: only slot 0 (the data) is replaced
+            # (ref :1086-1096 keeps min_Pval_ar when do_pseudo=False).
+            min_logp = np.concatenate([min_logp, self.log_Pval_ar[1:]])
+            min_loc = np.concatenate([min_loc, self.min_loc_ar[1:]])
+            min_width = np.concatenate([min_width, self.min_width_ar[1:]])
+
         self.log_Pval_ar = min_logp
         with np.errstate(under="ignore"):
             self.min_Pval_ar = np.exp(min_logp.astype(np.float64))
@@ -276,6 +284,16 @@ class BumpHunter1D:
         self.signal_eval = float(signal_eval[0])
         self.res_ar = [np.exp(log_pvals[w, 0].astype(np.float64)) for w in range(len(widths))]
         self.t_ar = -min_logp.astype(np.float64)  # t = -ln(min p), ref :1194
+
+        if self.use_sideband:
+            # best-window sideband scale of the data scan, for plot_bump
+            # (ref :419,453-454,475 stores min_scale as norm_scale)
+            loc, w = int(min_loc[0]), int(min_width[0])
+            nh = float(np.sum(data_hist[loc:loc + w]))
+            nr = float(np.sum(bkg_hist[loc:loc + w]))
+            hist_total = float(np.sum(data_hist[hinf:hsup]))
+            ref_total = float(np.sum(bkg_hist[hinf:hsup]))
+            self.norm_scale = (hist_total - nh) / max(ref_total - nr, 1e-12)
 
         if len(self.t_ar) > 1:
             tdat = self.t_ar[0]
@@ -372,18 +390,32 @@ class BumpHunter1D:
 
     def bump_info(self, data, is_hist=False, verbose=True):
         """Result summary; returns the *local* significance
-        -ndtri(min p of data), unbounded (ref :2018-2127 #DG return)."""
-        bins = self.bins if is_hist or not np.isscalar(self.bins) else \
-            np.histogram_bin_edges(data, bins=self.bins, range=self.rang)
-        bmin = bins[self.min_loc_ar[0]]
-        bmax = bins[self.min_loc_ar[0] + self.min_width_ar[0]]
+        -ndtri(min p of data), unbounded (ref :2018-2127 #DG return).
+        Multi-channel state reports the combined overlap window
+        (ref :2055-2060)."""
+        if np.ndim(self.min_loc_ar) == 2:  # multi-channel scan state
+            bins_list = self.bins
+            locs = self.min_loc_ar[0]
+            widths = self.min_width_ar[0]
+            lo = max(np.asarray(bins_list[ch])[locs[ch]]
+                     for ch in range(len(locs)))
+            hi = min(np.asarray(bins_list[ch])[locs[ch] + widths[ch]]
+                     for ch in range(len(locs)))
+            bmin, bmax = lo, hi
+        else:
+            bins = self.bins if is_hist or not np.isscalar(self.bins) else \
+                np.histogram_bin_edges(data, bins=self.bins, range=self.rang)
+            bmin = bins[self.min_loc_ar[0]]
+            bmax = bins[self.min_loc_ar[0] + self.min_width_ar[0]]
         loc_sigma = float(sigma_from_log_pval(self.log_Pval_ar[0]))
         if verbose:
+            sig_ev = float(np.sum(self.signal_eval))
+            min_p = float(np.prod(np.atleast_1d(self.min_Pval_ar[0])))
             print(f"\nBump edges : [{bmin:.3g}, {bmax:.3g}]"
                   f"  (loc={self.min_loc_ar[0]}, width={self.min_width_ar[0]})")
             print(f"Bump mean | width : {(bmax + bmin) / 2:.3g} | {bmax - bmin:.3g}")
-            print(f"Evaluated number of signal events : {self.signal_eval:.3g}")
-            print(f"Local p-value | test statistic : {self.min_Pval_ar[0]:.5g}"
+            print(f"Evaluated number of signal events : {sig_ev:.3g}")
+            print(f"Local p-value | test statistic : {min_p:.5g}"
                   f" | {self.t_ar[0]:.5g}")
             print(f"Local significance : {loc_sigma:.5g}")
             print(f"Global p-value : {self.global_Pval:.5g}")
@@ -460,6 +492,7 @@ class BumpHunter1D:
         self.global_Pval, self.significance = 1.0, 0.0
         strength, i = 0.0, 1
         data_hist = bkg_hist
+        t_inj = np.zeros(0)
         while (self.significance < self.sigma_limit
                and self.global_Pval > 1 / self.npe):
             if self.str_scale == "lin":
@@ -511,7 +544,9 @@ class BumpHunter1D:
                 print(f"REACHED STAT LIMIT AT {self.significance:.3f} SIGMA")
         self.signal_ratio = abs(self.signal_min / self.signal_exp)
         self.data_inject = data_hist
-        self.t_ar = np.append(t_bkg, -np.log(np.maximum(1e-300, 1.0)))
+        # background t's + the last injection's t distribution
+        # (ref :1426,:1500 t_ar = append(t_ar_bkg, -log(min_Pval_ar)))
+        self.t_ar = np.append(t_bkg, t_inj)
         self.sigma_ar = np.array(self.sigma_ar)
 
 

@@ -24,7 +24,10 @@ def _flatten(tree):
 
 def save_pytree(path, tree):
     flat, _ = _flatten(tree)
-    np.savez(path, **{f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(flat)})
+    # write through a file handle: np.savez(path) silently appends
+    # '.npz' to bare paths, which would break isfile/load round trips
+    with open(path, "wb") as f:
+        np.savez(f, **{f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(flat)})
 
 
 def load_pytree(path, template):
