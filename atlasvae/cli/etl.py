@@ -1,0 +1,44 @@
+"""ETL entry point: ROOT -> HDF5 conversion and shuffle-merging.
+
+Mirrors the reference's root2h5 CLI (ref tools/root2h5.py:10-16:
+sample_type / n_constituents / merging / tag flags).  ROOT reading
+requires uproot; the merging path works on any HDF5 directory.
+"""
+
+import sys
+from argparse import ArgumentParser
+
+
+def build_parser():
+    parser = ArgumentParser()
+    parser.add_argument("--sample_type", default="topo-dijet",
+                        choices=["topo-dijet", "topo-ttbar", "UFO-dijet",
+                                 "UFO-ttbar", "BSM"])
+    parser.add_argument("--n_constituents", default="unknown")
+    parser.add_argument("--merging", default="OFF")
+    parser.add_argument("--tag", default=0, type=int)
+    parser.add_argument("--input_path", default=".")
+    parser.add_argument("--output_path", default=".")
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from ..etl.merging import file_processing
+    from ..etl.root2h5 import convert
+
+    n_const = args.n_constituents
+    if n_const != "unknown":
+        n_const = int(n_const)
+    if args.merging.upper() == "ON":
+        out = file_processing(args.input_path, n_const)
+        print("Merged into:", out)
+        return 0
+    out = convert(args.input_path, args.output_path, args.sample_type,
+                  n_const, args.tag)
+    print("Converted to:", out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

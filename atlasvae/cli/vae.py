@@ -155,7 +155,7 @@ def main(argv=None):
                                    args.n_train, ood_sample, args.weight_type,
                                    train_cuts, args.constituents, args.HLVs,
                                    hlv_list, bin_sizes, hlv_scaler, const_scaler,
-                                   is_train=True)
+                                   is_train=True, output_dir=args.output_dir)
         valid_gen = BatchGenerator(bkg_data, ood_data, args.n_const, args.n_dims,
                                    args.n_valid, ood_sample, args.weight_type,
                                    train_cuts, args.constituents, args.HLVs,

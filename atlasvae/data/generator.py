@@ -29,7 +29,7 @@ class BatchGenerator:
     def __init__(self, bkg_data, ood_data, n_const, n_dims, n_bkg, ood_sample=None,
                  weight_type="X-S", cuts=(), constituents="ON", hlvs="ON",
                  hlv_list=None, bin_sizes=None, hlv_scaler=None, const_scaler=None,
-                 is_train=False, mem_gb=30, pairing_seed=0):
+                 is_train=False, mem_gb=30, pairing_seed=0, output_dir=None):
         self.bkg_data = bkg_data
         self.ood_data = ood_data
         self.n_const = n_const
@@ -46,6 +46,7 @@ class BatchGenerator:
         self.const_scaler = const_scaler
         self.is_train = is_train
         self.pairing_seed = pairing_seed
+        self.output_dir = output_dir
         span = self.n_bkg[1] - self.n_bkg[0]
         self.load_size = min(span, int(1e9 * mem_gb / max(n_const * n_dims * 4, 1)))
 
@@ -66,6 +67,14 @@ class BatchGenerator:
         if self.bin_sizes is not None:
             bkg_sample, ood_sample = reweight_sample(bkg_sample, ood_sample,
                                                      self.bin_sizes, self.weight_type)
+        if self.output_dir is not None and gen_idx == 0:
+            # training-distribution plots on the first load
+            # (ref OE-VAE/utils.py:65-68)
+            from ..plotting.distributions import sample_distributions
+            merged = {key: np.concatenate([bkg_sample[key], ood_sample[key]])
+                      for key in ("m", "pt", "weights", "JZW")}
+            sample_distributions(merged, self.ood_data, self.output_dir, "train",
+                                 self.weight_type, self.bin_sizes)
         if "constituents" in bkg_sample:
             bkg_sample["constituents"] = apply_scaler(
                 bkg_sample["constituents"], self.n_dims, self.const_scaler, "QCD")

@@ -146,6 +146,32 @@ def make_sample(bkg_data, sig_data, bkg_idx=1, sig_idx=1, cuts=(), n_const=20, n
     return sample
 
 
+def merge_samples(data_files, idx, cuts=(), n_const=20, n_dims=3,
+                  constituents="ON", hlvs="OFF", hlv_list=None, verbose=True):
+    """Load a global index range spanning multiple HDF5 files
+    (ref jet-ID/utils.py:207-246 ``batch_idx``/``merge_samples``: global
+    event indices are mapped onto per-file slices and concatenated)."""
+    sizes = []
+    for path in data_files:
+        with h5py.File(get_file(path), "r") as f:
+            sizes.append(len(next(iter(f.values()))))
+    edges = np.concatenate([[0], np.cumsum(sizes)])
+    lo, hi = int(idx[0]), int(idx[1])
+    parts = []
+    for i, path in enumerate(data_files):
+        a = max(lo, edges[i])
+        b = min(hi, edges[i + 1])
+        if a >= b:
+            continue
+        parts.append(load_data(path, (a - edges[i], b - edges[i]), cuts,
+                               n_const, n_dims, constituents, hlvs, hlv_list,
+                               verbose=verbose))
+    keys = set(parts[0])
+    for p in parts[1:]:
+        keys &= set(p)
+    return {key: np.concatenate([p[key] for p in parts]) for key in keys}
+
+
 def split_sample(sample):
     """Split into (background, signal) by the JZW label
     (ref OE-VAE/utils.py:145-149)."""
