@@ -131,6 +131,21 @@ def main(argv=None):
     elif args.model_in and os.path.isfile(out_root + "/" + args.model_in):
         params = load_pytree(out_root + "/" + args.model_in, params)
 
+    if on(args.feature_removal) and scalars:
+        # feature-ablation ranking over the HLV columns
+        # (ref jet-ID/utils.py:644-674)
+        from ..eval.jetid_eval import feature_removal
+        names = hlv_list[:sample["HLVs"].shape[1]]
+        drops = feature_removal(
+            config, inputs_for(train_idx), labels[train_idx],
+            inputs_for(valid_idx), labels[valid_idx], names,
+            init_fn=lambda i: init_jetid(jax.random.PRNGKey(i), config),
+            epochs=max(2, args.n_epochs // 4), batch_size=batch_size,
+            lr=args.lr)
+        print("\nFEATURE-ABLATION RANKING (accuracy drop when removed):")
+        for name, drop in sorted(drops.items(), key=lambda kv: -kv[1]):
+            print(f"  {name:20s} {100 * drop:+.2f} %")
+
     # validation results (ref classifier.py:287 valid_results)
     probs = predict_classifier(params, config, inputs_for(valid_idx))
     v_labels = labels[valid_idx]

@@ -53,3 +53,23 @@ def save_history(history, path):
 def load_history(path):
     with open(path, "rb") as f:
         return pickle.load(f)
+
+
+# ------------------------------------------------------- orbax backend
+
+def save_orbax(path, tree):
+    """Full-state checkpoint via orbax (atomic, sharding-aware) — the
+    production alternative to the npz path for multi-host runs."""
+    import os
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(str(path)), tree, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_orbax(path, template):
+    import os
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(str(path)),
+                         jax.tree.map(np.asarray, template))

@@ -119,3 +119,14 @@ def test_features_assembly():
     s = {"constituents": np.ones((4, 6)), "HLVs": np.zeros((4, 2)), "weights": np.ones(4)}
     assert features(s).shape == (4, 8)
     assert features({"HLVs": np.zeros((4, 2))}).shape == (4, 2)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from atlasvae.train.checkpoint import save_orbax, load_orbax
+    cfg = VAEConfig(fc_layers=(8, 4), input_dim=4)
+    params = init_vae(jax.random.PRNGKey(3), cfg)
+    path = tmp_path / "orbax_ckpt"
+    save_orbax(path, params)
+    loaded = load_orbax(path, params)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
