@@ -99,9 +99,17 @@ def fit_scaler(sample, n_dims=3, scaler_out=None, scaler_type="RobustScaler",
     if reshape:
         x = x.reshape(-1, n_dims)
     if scaler_type == "QuantileTransformer":
-        n_q = min(_N_QUANTILES, len(x))
+        # sklearn subsamples to 1e5 rows before computing the quantile
+        # table (QuantileTransformer(subsample=1e5) default); matching
+        # that keeps multi-million-row fits cheap and statistics equal
+        if len(x) > 100_000:
+            idx = np.random.default_rng(0).choice(len(x), 100_000, replace=False)
+            x_fit = x[idx]
+        else:
+            x_fit = x
+        n_q = min(_N_QUANTILES, len(x_fit))
         refs = np.linspace(0, 1, n_q)
-        quantiles = np.nanquantile(x, refs, axis=0)
+        quantiles = np.nanquantile(x_fit, refs, axis=0)
         scaler = Scaler(kind="quantile-normal", quantiles=quantiles.astype(np.float32))
     elif scaler_type == "PowerTransformer":
         lams = np.array([_fit_yj_lambda(x[:, j]) for j in range(x.shape[1])])

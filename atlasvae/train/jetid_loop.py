@@ -148,6 +148,69 @@ def train_classifier(params, config, inputs, labels, valid_inputs, valid_labels,
     return best_params, history
 
 
+def train_classifier_streaming(params, config, load_iter_fn, valid_inputs,
+                               valid_labels, epochs=10, batch_size=5000,
+                               lr=1e-3, patience=10, model_out=None, seed=0,
+                               verbose=True):
+    """Generator-based training for datasets larger than device memory
+    (ref jet-ID/classifier.py:257-266 generator path).
+
+    ``load_iter_fn()`` returns an iterable of (inputs, labels, weights)
+    loads per epoch; each load is packed and scanned on device, with the
+    same best-checkpoint / plateau / early-stop semantics as
+    ``train_classifier``.
+    """
+    optimizer = make_optimizer(lr)
+    opt_state = optimizer.init(params)
+    train_epoch, eval_epoch = make_jetid_step_fns(optimizer, config)
+    v_batches = _pack(valid_inputs, valid_labels,
+                      np.ones(len(valid_labels), np.float32),
+                      min(batch_size, len(valid_labels)))
+    key = jax.random.PRNGKey(seed)
+    history = {"loss": [], "val_loss": [], "accuracy": []}
+    best_val, best_params, lr_wait, stop_wait = np.inf, params, 0, 0
+    for epoch in range(epochs):
+        start = time.time()
+        sums = np.zeros(2)
+        n_loads = 0
+        for inputs, labels, weights in load_iter_fn():
+            if weights is None:
+                weights = np.ones(len(labels), np.float32)
+            batches = _pack(inputs, labels, weights, batch_size)
+            key, sub = jax.random.split(key)
+            params, opt_state, metrics = train_epoch(params, opt_state, sub,
+                                                     *batches)
+            m = np.asarray(metrics)
+            if not np.isfinite(m).all():
+                print("NaN loss encountered — terminating training")
+                return best_params, history
+            sums += m.mean(axis=0)
+            n_loads += 1
+        vm = np.asarray(eval_epoch(params, *v_batches))
+        val_loss = vm[:, 0].sum() / vm[:, 1].sum()
+        history["loss"].append(float(sums[0] / max(n_loads, 1)))
+        history["accuracy"].append(float(sums[1] / max(n_loads, 1)))
+        history["val_loss"].append(float(val_loss))
+        if verbose:
+            print(f"Epoch {epoch + 1}/{epochs}: loss={history['loss'][-1]:.4f} "
+                  f"val_loss={val_loss:.4f} ({time.time() - start:.1f}s)")
+        if val_loss < best_val - 1e-6:
+            best_val, best_params = val_loss, params
+            lr_wait = stop_wait = 0
+            if model_out:
+                save_pytree(model_out, params)
+        else:
+            lr_wait += 1
+            stop_wait += 1
+            if lr_wait >= 5:
+                new_lr = float(opt_state.hyperparams["learning_rate"]) * 0.5
+                opt_state.hyperparams["learning_rate"] = np.float32(new_lr)
+                lr_wait = 0
+            if stop_wait >= patience:
+                break
+    return best_params, history
+
+
 def predict_classifier(params, config, inputs, batch_size=20_000):
     """Chunked class-probability inference (ref classifier predict,
     jet-ID/utils.py:547-551)."""

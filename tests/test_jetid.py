@@ -123,3 +123,22 @@ def test_multi_cuts_grid(trained):
     assert rates.shape[1] == 3  # per-class efficiencies + combined bkg
     # sorted by descending signal efficiency
     assert np.all(np.diff(rates[:, 0]) <= 1e-9)
+
+
+def test_streaming_training_matches_quality():
+    from atlasvae.train.jetid_loop import train_classifier_streaming
+    cfg = JetIDConfig(n_classes=2, scalars=("s",), scalar_dims=(10,), nn_type="FCN",
+                      fcn_neurons=(32, 16), dropout=0.0)
+    x, y = _toy_classes()
+    params = init_jetid(jax.random.PRNGKey(5), cfg)
+
+    def loads():
+        for lo, hi in [(0, 750), (750, 1500)]:
+            yield {"s": x[lo:hi]}, y[lo:hi], None
+
+    params, hist = train_classifier_streaming(
+        params, cfg, loads, {"s": x[1500:]}, y[1500:], epochs=8,
+        batch_size=250, lr=1e-3, verbose=False)
+    probs = predict_classifier(params, cfg, {"s": x[1500:]})
+    assert valid_accuracy(y[1500:], probs) > 0.9
+    assert hist["val_loss"][-1] <= hist["val_loss"][0]

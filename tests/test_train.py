@@ -130,3 +130,33 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     loaded = load_orbax(path, params)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_full_state_resume_is_exact(tmp_path):
+    """Checkpointing (params + optimizer state) and resuming must
+    continue the run bit-for-bit — fixing the reference's lossy
+    weights-only resume that restarts Adam moments (SURVEY.md S5)."""
+    from atlasvae.train.checkpoint import save_pytree, load_pytree
+    cfg = VAEConfig(fc_layers=(16, 8), input_dim=6)
+    params = init_vae(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(1e-3)
+    bkg, ood = _toy_load(n=256, dim=6)
+    batches = batch_load(bkg["HLVs"], ood["HLVs"], bkg["weights"], ood["weights"], 64)
+    step, _ = make_vae_step_fns(opt, "MAE", 1.0, 1.0, 1.0)
+    k1, k2 = jax.random.PRNGKey(1), jax.random.PRNGKey(2)
+
+    # straight-through: two loads
+    p, o = params, opt.init(params)
+    p, o, _ = step(p, o, k1, *batches)
+    p, o, _ = step(p, o, k2, *batches)
+
+    # checkpoint after load 1, restore, continue
+    p2, o2 = params, opt.init(params)
+    p2, o2, _ = step(p2, o2, k1, *batches)
+    state_path = str(tmp_path / "state.ckpt")
+    save_pytree(state_path, {"params": p2, "opt": o2})
+    restored = load_pytree(state_path, {"params": p2, "opt": o2})
+    p3, o3, _ = step(restored["params"], restored["opt"], k2, *batches)
+
+    for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(p3)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
