@@ -8,6 +8,7 @@ from .jets import (
     drop_energy_component,
     count_constituents,
     constituent_pt_cumulative,
+    constituent_images,
 )
 from .pairing import ood_pairing, ood_sampling
 from .weights import reweight_sample, get_weights, weights_factors
@@ -20,6 +21,7 @@ __all__ = [
     "load_data", "make_sample", "split_sample", "sample_cuts", "filtering", "HLV_LIST",
     "sort_constituents_by_pt", "pad_constituents", "jets_4v", "jets_3v",
     "drop_energy_component", "count_constituents", "constituent_pt_cumulative",
+    "constituent_images",
     "ood_pairing", "ood_sampling",
     "reweight_sample", "get_weights", "weights_factors",
     "fit_scaler", "apply_scaler", "inverse_scaler", "Scaler",

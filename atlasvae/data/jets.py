@@ -130,6 +130,41 @@ def count_constituents(jets):
     return _chunked(_count_constituents, jets)
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _const_images(jets, n_pixels, extent):
+    """pt-weighted (eta, phi) calorimeter-style images from constituent
+    4-vectors — the device-side equivalent of the reference's detector
+    images fed to the jet-ID CNN towers (ref jet-ID/classifier.py:74-77
+    image shapes; ref tools/root_utils.py preprocessing centers jets, so
+    images are binned around the origin)."""
+    n = jets.shape[1] // 4
+    p4 = jets.reshape(-1, n, 4).astype(jnp.float32)
+    e, px, py, pz = p4[..., 0], p4[..., 1], p4[..., 2], p4[..., 3]
+    pt = jnp.sqrt(px ** 2 + py ** 2)
+    p_tot = jnp.sqrt(px ** 2 + py ** 2 + pz ** 2)
+    ratio = jnp.clip(pz / jnp.maximum(p_tot, 1e-30), -1 + 1e-6, 1 - 1e-6)
+    eta = jnp.arctanh(ratio)
+    phi = jnp.arctan2(py, px)
+    alive = (jnp.abs(p4).sum(axis=-1) > 0)
+    ix = jnp.clip(((eta + extent) / (2 * extent) * n_pixels).astype(jnp.int32),
+                  0, n_pixels - 1)
+    iy = jnp.clip(((phi + extent) / (2 * extent) * n_pixels).astype(jnp.int32),
+                  0, n_pixels - 1)
+    flat_idx = ix * n_pixels + iy
+
+    def one(idx, weight, mask):
+        return jnp.zeros(n_pixels * n_pixels).at[idx].add(weight * mask)
+
+    images = jax.vmap(one)(flat_idx, pt, alive.astype(jnp.float32))
+    return images.reshape(-1, n_pixels, n_pixels)
+
+
+def constituent_images(jets, n_pixels=16, extent=1.0):
+    """(jets, 4*n_const) flat (E,px,py,pz) -> (jets, n_pixels, n_pixels)
+    pt-weighted (eta, phi) images, chunked over the sample."""
+    return _chunked(lambda x: _const_images(x, n_pixels, extent), jets)
+
+
 @jax.jit
 def _cumulative_pt(jets):
     """pt of the cumulative constituent sum (ref OE-VAE/utils.py:551-561)."""

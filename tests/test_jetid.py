@@ -142,3 +142,34 @@ def test_streaming_training_matches_quality():
     probs = predict_classifier(params, cfg, {"s": x[1500:]})
     assert valid_accuracy(y[1500:], probs) > 0.9
     assert hist["val_loss"][-1] <= hist["val_loss"][0]
+
+
+def test_cnn_on_constituent_images(synth_dir):
+    """End-to-end CNN jet-ID on device-built calorimeter-style images."""
+    from atlasvae.data import load_data, constituent_images
+    from atlasvae.train.jetid_loop import train_classifier
+    qcd = load_data("QCD-Geneva", 1500, n_const=20, n_dims=4,
+                    constituents="ON", hlvs="OFF", verbose=False)
+    top = load_data("top-Geneva", 1500, n_const=20, n_dims=4,
+                    constituents="ON", hlvs="OFF", verbose=False)
+    imgs = np.concatenate([constituent_images(qcd["constituents"], 12),
+                           constituent_images(top["constituents"], 12)])
+    y = np.concatenate([np.ones(len(qcd["constituents"]), int),
+                        np.zeros(len(top["constituents"]), int)])
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(len(y))
+    imgs, y = imgs[perm].astype(np.float32), y[perm]
+    # normalize images
+    imgs /= max(imgs.max(), 1e-6)
+    n_train = 2000
+    cfg = JetIDConfig(n_classes=2, images=("img",), image_shapes=((12, 12),),
+                      nn_type="CNN", cnn_maps=(8, 8), fcn_neurons=(32,),
+                      dropout=0.0)
+    params = init_jetid(jax.random.PRNGKey(0), cfg)
+    params, hist = train_classifier(params, cfg, {"img": imgs[:n_train]},
+                                    y[:n_train], {"img": imgs[n_train:]},
+                                    y[n_train:], epochs=8, batch_size=250,
+                                    lr=1e-3, verbose=False)
+    probs = predict_classifier(params, cfg, {"img": imgs[n_train:]})
+    acc = valid_accuracy(y[n_train:], probs)
+    assert acc > 0.6, acc  # images alone separate top from QCD
