@@ -49,12 +49,21 @@ class BatchGenerator:
         self.output_dir = output_dir
         span = self.n_bkg[1] - self.n_bkg[0]
         self.load_size = min(span, int(1e9 * mem_gb / max(n_const * n_dims * 4, 1)))
+        # Single-load epochs produce the IDENTICAL prepared load every
+        # epoch (fixed pairing/reweighting seeds — the reference does the
+        # same host work per epoch for the same result,
+        # ref OE-VAE/utils.py:52-73 with seed=0 pairing at :193).
+        # Caching it removes the per-epoch host bottleneck at no
+        # semantic cost; multi-load epochs are never cached (memory).
+        self._cache = {} if len(self) == 1 else None
 
     def __len__(self):
         span = self.n_bkg[1] - self.n_bkg[0]
         return int(np.ceil(span / self.load_size))
 
     def __getitem__(self, gen_idx):
+        if self._cache is not None and gen_idx in self._cache:
+            return self._cache[gen_idx]
         tag = "training" if self.is_train else "validation"
         print(f"\nLOADING QCD {tag.upper()} SAMPLE")
         lo = gen_idx * self.load_size + self.n_bkg[0]
@@ -81,6 +90,8 @@ class BatchGenerator:
         if "HLVs" in bkg_sample:
             bkg_sample["HLVs"] = apply_scaler(
                 bkg_sample["HLVs"], self.n_dims, self.hlv_scaler, "QCD")
+        if self._cache is not None:
+            self._cache[gen_idx] = (bkg_sample, ood_sample)
         return bkg_sample, ood_sample
 
     def __iter__(self):
