@@ -122,6 +122,31 @@ def main(argv=None):
                                               args.weight_type, args.bkg_ratio)
 
     model_out = out_root + "/" + args.model_out
+    if args.n_folds > 1:
+        # k-fold CV keyed on the event index: train each fold on the
+        # complement, save model_<fold>.npz, then merge fold predictions
+        # (ref jet-ID/utils.py:532-566 cross_valid; the reference runs
+        # one fold per Slurm task, here folds run sequentially)
+        from ..eval.jetid_eval import cross_valid
+        event_number = np.arange(n)
+        for fold in range(1, args.n_folds + 1):
+            mask = event_number % args.n_folds != fold - 1
+            t_idx, v_idx = np.where(mask)[0], np.where(~mask)[0]
+            fold_params = init_jetid(jax.random.PRNGKey(fold), config)
+            fold_params, _ = train_classifier(
+                fold_params, config, inputs_for(t_idx), labels[t_idx],
+                inputs_for(v_idx), labels[v_idx], args.n_epochs, batch_size,
+                args.lr, args.patience, class_weight, None,
+                out_root + f"/model_{fold}.npz", verbose=False)
+            print(f"fold {fold}/{args.n_folds} trained")
+        cv_sample = {"eventNumber": event_number}
+        for key in ("HLVs", "constituents"):
+            if key in sample and (scalars if key == "HLVs" else const_dim):
+                cv_sample[key] = sample[key]
+        cv_probs = cross_valid(cv_sample, labels, config, out_root,
+                               args.n_folds, params)
+        _, cv_acc = compo_matrix(labels, (), cv_probs)
+        print(f"\n{args.n_folds}-FOLD CV ACCURACY: {cv_acc:.2f} %")
     if args.n_epochs > 0:
         params, history = train_classifier(
             params, config, inputs_for(train_idx), labels[train_idx],

@@ -1,0 +1,126 @@
+"""Golden parity against the REFERENCE's OE-AAE and jet-ID utilities,
+executed from the read-only checkout (energyflow/skimage stubbed)."""
+
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
+
+def _load(path, name, stubs=("energyflow", "skimage")):
+    if not os.path.isfile(path):
+        pytest.skip("reference checkout not available")
+    for stub in stubs:
+        if stub not in sys.modules:
+            mod = types.ModuleType(stub)
+            if stub == "energyflow":
+                mod.emd = types.SimpleNamespace(emd_pot=None)
+            if stub == "skimage":
+                mod.transform = types.SimpleNamespace(resize=None)
+            sys.modules[stub] = mod
+    sys.path.insert(0, os.path.dirname(path))
+    try:
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+    finally:
+        sys.path.remove(os.path.dirname(path))
+
+
+@pytest.fixture(scope="module")
+def aae_ref():
+    return _load("/root/reference/OE-AAE/utils.py", "ref_aae_utils")
+
+
+@pytest.fixture(scope="module")
+def jetid_ref():
+    return _load("/root/reference/jet-ID/utils.py", "ref_jetid_utils")
+
+
+def test_aae_make_discriminant_matches(aae_ref, rng):
+    from atlasvae.eval.aae_eval import make_discriminant
+    p = rng.uniform(0.05, 1.0, (200, 8))
+    q = rng.uniform(0.05, 1.0, (200, 8))
+    for metric in ("MSE", "MAE", "KLD", "JSD", "X-S"):
+        ours = make_discriminant(p, q, metric)
+        theirs = aae_ref.make_discriminant(p.copy(), q.copy(), metric)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-6, atol=1e-10,
+                                   err_msg=metric)
+
+
+def test_aae_adjust_weights_matches(aae_ref, rng):
+    from atlasvae.eval.aae_eval import adjust_weights
+    n = 5000
+    sample = {"m": np.concatenate([rng.exponential(80, n) + 30,
+                                   rng.normal(300, 10, 500)]),
+              "weights": np.ones(n + 500, np.float32)}
+    y_true = np.concatenate([np.ones(n, int), np.zeros(500, int)])
+    ours = adjust_weights(sample, y_true, factor=20)
+    theirs = aae_ref.adjust_weights(sample, y_true, factor=20)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-6)
+
+
+def test_aae_bin_deco_matches(aae_ref, rng):
+    """2-D CDF decorrelation vs the reference's bin_deco on identical
+    inputs (single-threaded path)."""
+    from atlasvae.eval.deco import mass_deco
+    n = 8000
+    m = rng.uniform(50, 500, n)
+    pt = rng.uniform(450, 1000, n)
+    y = (rng.random(n) > 0.2).astype(int)
+    loss = np.clip(m / 600 + rng.normal(0, 0.05, n), 0, 1)
+    sample = {"m": m, "pt": pt}
+    ours = mass_deco(y, sample, loss.copy(), deco="2d")
+    ref_dict = {}
+    aae_ref.bin_deco(y, sample, loss.copy(), "L", deco="2d",
+                     return_dict=ref_dict, multithreading=False)
+    theirs = ref_dict["L"]
+    # bin construction differs slightly at edges (the reference pins the
+    # first/last edges and starts deleting from index 1, ours from 0);
+    # the flattened values agree closely in distribution and pointwise
+    close = np.abs(ours - theirs) < 0.05
+    assert np.mean(close) > 0.9
+    assert abs(np.corrcoef(ours, theirs)[0, 1]) > 0.99
+
+
+def test_jetid_class_weight_matches(jetid_ref, rng):
+    from atlasvae.eval.jetid_eval import get_class_weight
+    labels = rng.integers(0, 2, 1000)
+    ours = get_class_weight(labels, bkg_ratio=1)
+    theirs = jetid_ref.get_class_weight(labels, bkg_ratio=1)
+    for k in ours:
+        np.testing.assert_allclose(ours[k], theirs[k], rtol=1e-9)
+
+
+def test_jetid_sample_weights_match(jetid_ref, rng):
+    from atlasvae.eval.jetid_eval import get_sample_weights
+    n = 4000
+    sample = {"pt": rng.uniform(20, 500, n), "eta": rng.normal(0, 1.2, n)}
+    labels = rng.integers(0, 2, n)
+    for scheme in ("flattening", "match2max", "bkg_ratio", "match2class"):
+        ours, _ = get_sample_weights(dict(sample), labels.copy(), scheme,
+                                     bkg_ratio=1)
+        theirs, _ = jetid_ref.get_sample_weights(dict(sample), labels.copy(),
+                                                 scheme, bkg_ratio=1)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-5, err_msg=scheme)
+
+
+def test_jetid_discriminant_matches(jetid_ref, rng):
+    from atlasvae.eval.jetid_eval import discriminant
+    n = 400
+    labels = rng.integers(0, 3, n)
+    probs = rng.dirichlet([1, 1, 1], n)
+    sample = {"m": rng.uniform(0, 1, n)}
+    s1, l1, d1 = discriminant(dict(sample), labels.copy(), probs.copy(),
+                              sig_list=[0], bkg="bkg")
+    s2, l2, d2 = jetid_ref.discriminant(dict(sample), labels.copy(),
+                                        probs.copy(), sig_list=[0], bkg="bkg",
+                                        printing=False)
+    np.testing.assert_array_equal(l1, l2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-9)
