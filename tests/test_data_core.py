@@ -255,3 +255,14 @@ def test_maxabs_matches_sklearn(rng):
     ours = apply_scaler(x, scaler=fit_scaler(x, scaler_type="MaxAbsScaler", verbose=False),
                         verbose=False)
     np.testing.assert_allclose(ours, MaxAbsScaler().fit_transform(x), rtol=1e-5)
+
+
+def test_registry_synthetic_fallback(tmp_path, monkeypatch):
+    """get_file resolves synthetic_<name>.h5 in the data dir when the
+    production file is absent (cross-process synthetic datasets)."""
+    import h5py
+    from atlasvae.data import registry
+    monkeypatch.setenv("ATLASVAE_DATA_DIR", str(tmp_path))
+    with h5py.File(tmp_path / "synthetic_QCD-Geneva.h5", "w") as f:
+        f.create_dataset("m", data=np.arange(3.0))
+    assert registry.get_file("QCD-Geneva").endswith("synthetic_QCD-Geneva.h5")
