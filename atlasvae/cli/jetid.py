@@ -138,6 +138,11 @@ def main(argv=None):
                 inputs_for(v_idx), labels[v_idx], args.n_epochs, batch_size,
                 args.lr, args.patience, class_weight, None,
                 out_root + f"/model_{fold}.npz", verbose=False)
+            # ensure the fold checkpoint exists even when no epoch
+            # improved (or --n_epochs 0): cross_valid loads these files
+            from ..train.checkpoint import save_pytree
+            if not os.path.isfile(out_root + f"/model_{fold}.npz"):
+                save_pytree(out_root + f"/model_{fold}.npz", fold_params)
             print(f"fold {fold}/{args.n_folds} trained")
         cv_sample = {"eventNumber": event_number}
         for key in ("HLVs", "constituents"):

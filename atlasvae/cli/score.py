@@ -68,11 +68,15 @@ def main(argv=None):
     start = time.time()
     total = 0
     chunk = int(args.chunk)
+    n_jets = int(args.n_jets)
+    if args.model_type == "vae":
+        predict = jax.jit(lambda p, x, k: vae_apply(p, x, k)[0])
     with h5py.File(args.output, "w") as out:
         dsets = {}
         offset = 0
-        while offset < int(args.n_jets):
-            sample = load_data(args.data, (offset, offset + chunk), (),
+        while offset < n_jets:
+            hi = min(offset + chunk, n_jets)
+            sample = load_data(args.data, (offset, hi), (),
                                args.n_const, args.n_dims, args.constituents,
                                args.HLVs, hlv_list, verbose=False)
             n = len(sample["m"])
@@ -87,7 +91,6 @@ def main(argv=None):
                     verbose=False)
             x_true = features(sample)
             if args.model_type == "vae":
-                predict = jax.jit(lambda p, x, k: vae_apply(p, x, k)[0])
                 preds = np.stack(
                     [np.asarray(predict(params, jnp.asarray(x_true),
                                         jax.random.PRNGKey(i)))

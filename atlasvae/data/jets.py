@@ -130,39 +130,59 @@ def count_constituents(jets):
     return _chunked(_count_constituents, jets)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _const_images(jets, n_pixels, extent):
-    """pt-weighted (eta, phi) calorimeter-style images from constituent
-    4-vectors — the device-side equivalent of the reference's detector
-    images fed to the jet-ID CNN towers (ref jet-ID/classifier.py:74-77
-    image shapes; ref tools/root_utils.py preprocessing centers jets, so
-    images are binned around the origin)."""
-    n = jets.shape[1] // 4
-    p4 = jets.reshape(-1, n, 4).astype(jnp.float32)
-    e, px, py, pz = p4[..., 0], p4[..., 1], p4[..., 2], p4[..., 3]
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _const_images(jets, n_pixels, extent, n_dims):
+    """pt-weighted (delta-eta, delta-phi) calorimeter-style images from
+    constituents, binned around the pt-weighted jet axis — the
+    device-side equivalent of the reference's detector images fed to the
+    jet-ID CNN towers (ref jet-ID/classifier.py:74-77 image shapes; the
+    reference's ETL centers jets before imaging,
+    ref tools/root_utils.py:122-154)."""
+    n = jets.shape[1] // n_dims
+    p = jets.reshape(-1, n, n_dims).astype(jnp.float32)
+    if n_dims == 4:
+        px, py, pz = p[..., 1], p[..., 2], p[..., 3]
+    else:  # (px, py, pz) layout
+        px, py, pz = p[..., 0], p[..., 1], p[..., 2]
     pt = jnp.sqrt(px ** 2 + py ** 2)
     p_tot = jnp.sqrt(px ** 2 + py ** 2 + pz ** 2)
     ratio = jnp.clip(pz / jnp.maximum(p_tot, 1e-30), -1 + 1e-6, 1 - 1e-6)
     eta = jnp.arctanh(ratio)
     phi = jnp.arctan2(py, px)
-    alive = (jnp.abs(p4).sum(axis=-1) > 0)
-    ix = jnp.clip(((eta + extent) / (2 * extent) * n_pixels).astype(jnp.int32),
+    alive = (jnp.abs(p).sum(axis=-1) > 0).astype(jnp.float32)
+    # pt-weighted jet axis; constituents are binned relative to it, so
+    # off-origin production jets are centered like the reference's ETL
+    w_sum = jnp.maximum(jnp.sum(pt * alive, axis=1, keepdims=True), 1e-30)
+    eta_axis = jnp.sum(eta * pt * alive, axis=1, keepdims=True) / w_sum
+    # circular mean for phi (avoids the -pi/pi seam)
+    sin_axis = jnp.sum(jnp.sin(phi) * pt * alive, axis=1, keepdims=True)
+    cos_axis = jnp.sum(jnp.cos(phi) * pt * alive, axis=1, keepdims=True)
+    phi_axis = jnp.arctan2(sin_axis, cos_axis)
+    deta = eta - eta_axis
+    dphi = jnp.mod(phi - phi_axis + jnp.pi, 2 * jnp.pi) - jnp.pi
+    ix = jnp.clip(((deta + extent) / (2 * extent) * n_pixels).astype(jnp.int32),
                   0, n_pixels - 1)
-    iy = jnp.clip(((phi + extent) / (2 * extent) * n_pixels).astype(jnp.int32),
+    iy = jnp.clip(((dphi + extent) / (2 * extent) * n_pixels).astype(jnp.int32),
                   0, n_pixels - 1)
     flat_idx = ix * n_pixels + iy
 
     def one(idx, weight, mask):
         return jnp.zeros(n_pixels * n_pixels).at[idx].add(weight * mask)
 
-    images = jax.vmap(one)(flat_idx, pt, alive.astype(jnp.float32))
+    images = jax.vmap(one)(flat_idx, pt, alive)
     return images.reshape(-1, n_pixels, n_pixels)
 
 
-def constituent_images(jets, n_pixels=16, extent=1.0):
-    """(jets, 4*n_const) flat (E,px,py,pz) -> (jets, n_pixels, n_pixels)
-    pt-weighted (eta, phi) images, chunked over the sample."""
-    return _chunked(lambda x: _const_images(x, n_pixels, extent), jets)
+def constituent_images(jets, n_pixels=16, extent=1.0, n_dims=4):
+    """(jets, n_dims*n_const) flat constituents -> (jets, n_pixels,
+    n_pixels) pt-weighted (delta-eta, delta-phi) images centered on the
+    jet axis, chunked over the sample.  ``n_dims`` selects the layout:
+    4 = (E,px,py,pz) blocks, 3 = (px,py,pz)."""
+    jets = np.asarray(jets)
+    if jets.shape[1] % n_dims != 0:
+        raise ValueError(f"constituent width {jets.shape[1]} is not a "
+                         f"multiple of n_dims={n_dims}")
+    return _chunked(lambda x: _const_images(x, n_pixels, extent, n_dims), jets)
 
 
 @jax.jit

@@ -166,6 +166,10 @@ def merge_samples(data_files, idx, cuts=(), n_const=20, n_dims=3,
         parts.append(load_data(path, (a - edges[i], b - edges[i]), cuts,
                                n_const, n_dims, constituents, hlvs, hlv_list,
                                verbose=verbose))
+    if not parts:
+        raise ValueError(
+            f"index range {(lo, hi)} selects no rows across {len(data_files)} "
+            f"files totalling {int(edges[-1])} rows")
     keys = set(parts[0])
     for p in parts[1:]:
         keys &= set(p)

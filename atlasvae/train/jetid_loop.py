@@ -93,72 +93,31 @@ def train_classifier(params, config, inputs, labels, valid_inputs, valid_labels,
                      epochs=100, batch_size=5000, lr=1e-3, patience=10,
                      class_weight=None, sample_weight=None, model_out=None,
                      seed=0, verbose=True):
-    """Fit the classifier; returns (best params, history dict)."""
+    """Fit the classifier on an in-memory sample; returns
+    (best params, history dict).  Delegates to the streaming trainer
+    with a single pre-weighted load per epoch."""
     weights = np.ones(len(labels), np.float32) if sample_weight is None \
         else np.asarray(sample_weight, np.float32)
     if class_weight is not None:
         weights = weights * np.asarray([class_weight[int(l)] for l in labels],
                                        np.float32)
-    optimizer = make_optimizer(lr)
-    opt_state = optimizer.init(params)
-    train_epoch, eval_epoch = make_jetid_step_fns(optimizer, config)
-    batches = _pack(inputs, labels, weights, batch_size)
-    v_batches = _pack(valid_inputs, valid_labels,
-                      np.ones(len(valid_labels), np.float32),
-                      min(batch_size, len(valid_labels)))
-    key = jax.random.PRNGKey(seed)
-    history = {"loss": [], "val_loss": [], "accuracy": []}
-    best_val, best_params, lr_wait, stop_wait = np.inf, params, 0, 0
-    min_delta = 1e-6
-    for epoch in range(epochs):
-        start = time.time()
-        key, sub = jax.random.split(key)
-        params, opt_state, metrics = train_epoch(params, opt_state, sub, *batches)
-        m = np.asarray(metrics)
-        if not np.isfinite(m).all():  # TerminateOnNaN (ref models.py:99)
-            print("NaN loss encountered — terminating training")
-            break
-        vm = np.asarray(eval_epoch(params, *v_batches))
-        val_loss = vm[:, 0].sum() / vm[:, 1].sum()
-        history["loss"].append(float(m[:, 0].mean()))
-        history["accuracy"].append(float(m[:, 1].mean()))
-        history["val_loss"].append(float(val_loss))
-        if verbose:
-            print(f"Epoch {epoch + 1}/{epochs}: loss={m[:, 0].mean():.4f} "
-                  f"acc={100 * m[:, 1].mean():.2f}% val_loss={val_loss:.4f} "
-                  f"({time.time() - start:.1f}s)")
-        if val_loss < best_val - min_delta:  # ModelCheckpoint(best)
-            best_val, best_params = val_loss, params
-            lr_wait = stop_wait = 0
-            if model_out:
-                save_pytree(model_out, params)
-        else:
-            lr_wait += 1
-            stop_wait += 1
-            if lr_wait >= 5:  # ReduceLROnPlateau (ref models.py:96)
-                new_lr = float(opt_state.hyperparams["learning_rate"]) * 0.5
-                opt_state.hyperparams["learning_rate"] = np.float32(new_lr)
-                if verbose:
-                    print(f"Reducing learning rate to {new_lr}")
-                lr_wait = 0
-            if stop_wait >= patience:  # EarlyStopping(restore_best)
-                if verbose:
-                    print("Early stopping — restoring best weights")
-                break
-    return best_params, history
+    return train_classifier_streaming(
+        params, config, lambda: [(inputs, labels, weights)], valid_inputs,
+        valid_labels, epochs, batch_size, lr, patience, model_out, seed,
+        verbose)
 
 
 def train_classifier_streaming(params, config, load_iter_fn, valid_inputs,
                                valid_labels, epochs=10, batch_size=5000,
                                lr=1e-3, patience=10, model_out=None, seed=0,
-                               verbose=True):
-    """Generator-based training for datasets larger than device memory
-    (ref jet-ID/classifier.py:257-266 generator path).
+                               verbose=True, min_delta=1e-6):
+    """Generator-based training (ref jet-ID/classifier.py:257-266
+    generator path) — the single implementation of the epoch loop.
 
     ``load_iter_fn()`` returns an iterable of (inputs, labels, weights)
-    loads per epoch; each load is packed and scanned on device, with the
-    same best-checkpoint / plateau / early-stop semantics as
-    ``train_classifier``.
+    loads per epoch.  Callback semantics per ref jet-ID/models.py:94-99:
+    ModelCheckpoint(best val_loss), ReduceLROnPlateau(patience 5,
+    factor 0.5, min_delta), EarlyStopping(restore best), TerminateOnNaN.
     """
     optimizer = make_optimizer(lr)
     opt_state = optimizer.init(params)
@@ -181,7 +140,7 @@ def train_classifier_streaming(params, config, load_iter_fn, valid_inputs,
             params, opt_state, metrics = train_epoch(params, opt_state, sub,
                                                      *batches)
             m = np.asarray(metrics)
-            if not np.isfinite(m).all():
+            if not np.isfinite(m).all():  # TerminateOnNaN (ref models.py:99)
                 print("NaN loss encountered — terminating training")
                 return best_params, history
             sums += m.mean(axis=0)
@@ -193,8 +152,9 @@ def train_classifier_streaming(params, config, load_iter_fn, valid_inputs,
         history["val_loss"].append(float(val_loss))
         if verbose:
             print(f"Epoch {epoch + 1}/{epochs}: loss={history['loss'][-1]:.4f} "
+                  f"acc={100 * history['accuracy'][-1]:.2f}% "
                   f"val_loss={val_loss:.4f} ({time.time() - start:.1f}s)")
-        if val_loss < best_val - 1e-6:
+        if val_loss < best_val - min_delta:  # ModelCheckpoint(best)
             best_val, best_params = val_loss, params
             lr_wait = stop_wait = 0
             if model_out:
@@ -202,11 +162,15 @@ def train_classifier_streaming(params, config, load_iter_fn, valid_inputs,
         else:
             lr_wait += 1
             stop_wait += 1
-            if lr_wait >= 5:
+            if lr_wait >= 5:  # ReduceLROnPlateau (ref models.py:96)
                 new_lr = float(opt_state.hyperparams["learning_rate"]) * 0.5
                 opt_state.hyperparams["learning_rate"] = np.float32(new_lr)
+                if verbose:
+                    print(f"Reducing learning rate to {new_lr}")
                 lr_wait = 0
-            if stop_wait >= patience:
+            if stop_wait >= patience:  # EarlyStopping(restore_best)
+                if verbose:
+                    print("Early stopping — restoring best weights")
                 break
     return best_params, history
 

@@ -107,3 +107,60 @@ def test_signal_inject_tar_contains_injection(rng):
     # t_ar = npe background t's + npe_inject injected t's (ref :1500)
     assert len(hunter.t_ar) == 100 + 50
     assert np.median(hunter.t_ar[100:]) > np.median(hunter.t_ar[:100])
+
+
+def test_score_cli_respects_n_jets(tmp_path, synth_dir):
+    """--n_jets caps the LAST chunk too (was overshooting by chunk-1)."""
+    import jax
+    from atlasvae.cli.score import main as score_main
+    from atlasvae.models import VAEConfig, init_vae
+    from atlasvae.train.checkpoint import save_pytree
+    params = init_vae(jax.random.PRNGKey(0),
+                      VAEConfig(fc_layers=(16, 8), input_dim=12))
+    model = str(tmp_path / "m.npz")
+    save_pytree(model, params)
+    out = str(tmp_path / "scores.h5")
+    score_main(["--data", "QCD-Geneva", "--model_in", model,
+                "--FC_layers", "16", "8",
+                "--n_jets", "1500", "--chunk", "1000", "--n_const", "10",
+                "--n_dims", "3", "--metrics", "MAE", "--output", out])
+    with h5py.File(out) as f:
+        assert len(f["m"]) == 1500
+
+
+def test_constituent_images_centered_and_layouts(rng):
+    """Images center on the jet axis (off-origin jets are not clipped to
+    borders) and the 3-dim layout is handled explicitly."""
+    from atlasvae.data import constituent_images
+    n, c = 40, 8
+    # jets whose axis sits far from the origin: eta ~ 2, phi ~ 2.5
+    deta = rng.normal(0, 0.2, (n, c))
+    dphi = rng.normal(0, 0.2, (n, c))
+    pt = rng.uniform(1, 10, (n, c))
+    px = pt * np.cos(2.5 + dphi)
+    py = pt * np.sin(2.5 + dphi)
+    pz = pt * np.sinh(2.0 + deta)
+    e = np.sqrt(px**2 + py**2 + pz**2)
+    jets4 = np.stack([e, px, py, pz], -1).reshape(n, 4 * c).astype(np.float32)
+    img = constituent_images(jets4, n_pixels=10, extent=1.0, n_dims=4)
+    border = img[:, [0, -1], :].sum() + img[:, :, [0, -1]].sum()
+    assert border < 0.2 * img.sum()  # centered: bulk away from borders
+    # 3-dim layout handled via explicit n_dims (not misparsed as 4-dim)
+    jets3 = np.stack([px, py, pz], -1).reshape(n, 3 * c).astype(np.float32)
+    img3 = constituent_images(jets3, n_pixels=10, extent=1.0, n_dims=3)
+    np.testing.assert_allclose(img3, img, rtol=1e-4, atol=1e-4)
+    with pytest.raises(ValueError):
+        constituent_images(jets3[:, :22], n_dims=4)  # 22 % 4 != 0
+
+
+def test_merge_samples_empty_range_raises(tmp_path):
+    from atlasvae.data import register_file
+    from atlasvae.data.loader import merge_samples
+    with h5py.File(tmp_path / "one.h5", "w") as f:
+        f.create_dataset("constituents", data=np.zeros((5, 8), np.float32))
+        f.create_dataset("rljet_pt_comb", data=np.ones(5, np.float32))
+        f.create_dataset("rljet_m_comb", data=np.ones(5, np.float32))
+    register_file("mf-one", tmp_path / "one.h5")
+    with pytest.raises(ValueError, match="selects no rows"):
+        merge_samples(["mf-one"], (10, 20), constituents="OFF", hlvs="OFF",
+                      verbose=False)
