@@ -36,7 +36,8 @@ def tp_param_shardings(mesh, params, axis="model"):
 
 
 def make_tp_train_step(optimizer, mesh, oe_type="KLD", beta=0.0, lamb=0.0,
-                       margin=0.0, activation="relu", data_axis="data"):
+                       margin=0.0, activation="relu", data_axis="data",
+                       lr=1e-3):
     """One jitted dp x tp training step: batch sharded over 'data',
     hidden kernels sharded over 'model'; gradient reduction and weight
     re-sharding are GSPMD-inserted collectives."""
@@ -50,6 +51,7 @@ def make_tp_train_step(optimizer, mesh, oe_type="KLD", beta=0.0, lamb=0.0,
         loss, grads = jax.value_and_grad(loss_fn)(params)
         grads = clip_gradients(grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: u * lr, updates)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 

@@ -53,7 +53,8 @@ def _sparse_ce(probs, labels):
     return -jnp.log(jnp.maximum(p, 1e-7))
 
 
-def make_aae_step_fns(optimizer, lamb=0.0, beta=0.0, activation="relu"):
+def make_aae_step_fns(optimizer, lamb=0.0, beta=0.0, activation="relu",
+                      lr=1.0):
     """Build jitted (ae_epoch, disc_epoch, aae_epoch) scan programs.
 
     Each takes (params, opt_state, perm, bkg_x, ood_x, bkg_w, ood_w)
@@ -91,6 +92,7 @@ def make_aae_step_fns(optimizer, lamb=0.0, beta=0.0, activation="relu"):
             grads, metrics = ae_grad(ae_params, rest, batch)
             grads = clip_gradients(grads)
             updates, opt_state = optimizer.update(grads, opt_state, ae_params)
+            updates = jax.tree.map(lambda u: u * lr, updates)
             ae_params = optax.apply_updates(ae_params, updates)
             return (ae_params, opt_state), metrics
 
@@ -126,6 +128,7 @@ def make_aae_step_fns(optimizer, lamb=0.0, beta=0.0, activation="relu"):
             grads, metrics = disc_grad(disc_params, rest, batch)
             grads = clip_gradients(grads)
             updates, opt_state = optimizer.update(grads, opt_state, disc_params)
+            updates = jax.tree.map(lambda u: u * lr, updates)
             disc_params = optax.apply_updates(disc_params, updates)
             return (disc_params, opt_state), metrics
 
@@ -164,6 +167,7 @@ def make_aae_step_fns(optimizer, lamb=0.0, beta=0.0, activation="relu"):
             grads, metrics = aae_grad(ae_params, disc_params, batch)
             grads = clip_gradients(grads)
             updates, opt_state = optimizer.update(grads, opt_state, ae_params)
+            updates = jax.tree.map(lambda u: u * lr, updates)
             ae_params = optax.apply_updates(ae_params, updates)
             return (ae_params, opt_state), metrics
 
@@ -207,10 +211,11 @@ def train_aae(params, train_generator, n_cycles, batch_size, output_dir,
     batches = tuple(jnp.asarray(a.reshape(shape + a.shape[1:]))
                     for a in (bkg_x, ood_x, bkg_w, ood_w))
 
-    optimizer = make_optimizer(lr)
+    optimizer = make_optimizer()
     opt_ae = optimizer.init(_subtree(params, AE_KEYS))
     opt_disc = optimizer.init(_subtree(params, DISC_KEYS))
-    ae_epoch, disc_epoch, aae_epoch = make_aae_step_fns(optimizer, lamb, beta)
+    ae_epoch, disc_epoch, aae_epoch = make_aae_step_fns(optimizer, lamb, beta,
+                                                        lr=float(lr))
 
     loss_history = {k: [] for k in ["QCD-AE Loss", "OoD-AE Loss", "OE Loss",
                                     "AE Loss", "Disc Loss", "Disc Accuracy"]}

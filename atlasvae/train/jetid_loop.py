@@ -43,13 +43,14 @@ def make_jetid_step_fns(optimizer, config):
     grad_fn = jax.grad(batch_loss, has_aux=True)
 
     @jax.jit
-    def train_epoch(params, opt_state, key, inputs, labels, weights):
+    def train_epoch(params, opt_state, lr, key, inputs, labels, weights):
         def step(carry, batch):
             params, opt_state, key = carry
             key, sub = jax.random.split(key)
             grads, metrics = grad_fn(params, batch, sub)
             grads = clip_gradients(grads)
             updates, opt_state = optimizer.update(grads, opt_state, params)
+            updates = jax.tree.map(lambda u: u * lr, updates)
             params = optax.apply_updates(params, updates)
             return (params, opt_state, key), metrics
 
@@ -119,8 +120,9 @@ def train_classifier_streaming(params, config, load_iter_fn, valid_inputs,
     ModelCheckpoint(best val_loss), ReduceLROnPlateau(patience 5,
     factor 0.5, min_delta), EarlyStopping(restore best), TerminateOnNaN.
     """
-    optimizer = make_optimizer(lr)
+    optimizer = make_optimizer()
     opt_state = optimizer.init(params)
+    lr = float(lr)
     train_epoch, eval_epoch = make_jetid_step_fns(optimizer, config)
     v_batches = _pack(valid_inputs, valid_labels,
                       np.ones(len(valid_labels), np.float32),
@@ -137,7 +139,8 @@ def train_classifier_streaming(params, config, load_iter_fn, valid_inputs,
                 weights = np.ones(len(labels), np.float32)
             batches = _pack(inputs, labels, weights, batch_size)
             key, sub = jax.random.split(key)
-            params, opt_state, metrics = train_epoch(params, opt_state, sub,
+            params, opt_state, metrics = train_epoch(params, opt_state,
+                                                     np.float32(lr), sub,
                                                      *batches)
             m = np.asarray(metrics)
             if not np.isfinite(m).all():  # TerminateOnNaN (ref models.py:99)
@@ -163,10 +166,9 @@ def train_classifier_streaming(params, config, load_iter_fn, valid_inputs,
             lr_wait += 1
             stop_wait += 1
             if lr_wait >= 5:  # ReduceLROnPlateau (ref models.py:96)
-                new_lr = float(opt_state.hyperparams["learning_rate"]) * 0.5
-                opt_state.hyperparams["learning_rate"] = np.float32(new_lr)
+                lr *= 0.5
                 if verbose:
-                    print(f"Reducing learning rate to {new_lr}")
+                    print(f"Reducing learning rate to {lr}")
                 lr_wait = 0
             if stop_wait >= patience:  # EarlyStopping(restore_best)
                 if verbose:

@@ -41,8 +41,9 @@ def train_model(params, train_sample, valid_sample, oe_type="KLD", n_epochs=1,
     ``train_sample``/``valid_sample`` iterate (bkg_sample, ood_sample)
     load pairs (BatchGenerator or a list of such pairs).
     """
-    optimizer = make_optimizer(lr)
+    optimizer = make_optimizer()
     opt_state = optimizer.init(params)
+    lr = float(lr)  # host-side; passed as a traced scalar per load
     n_devices = int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
     train_on_load, valid_losses = make_vae_step_fns(
         optimizer, oe_type, beta, lamb, margin, activation, mesh)
@@ -69,7 +70,8 @@ def train_model(params, train_sample, valid_sample, oe_type="KLD", n_epochs=1,
                                  bkg_sample["weights"], ood_sample["weights"],
                                  batch_size, n_devices)
             key, sub = jax.random.split(key)
-            params, opt_state, metrics = train_on_load(params, opt_state, sub, *batches)
+            params, opt_state, metrics = train_on_load(
+                params, opt_state, np.float32(lr), sub, *batches)
             metrics = np.asarray(metrics)
             sums += metrics[:, :4].sum(axis=0)
             n_seen += metrics[:, 4].sum()
@@ -100,18 +102,18 @@ def train_model(params, train_sample, valid_sample, oe_type="KLD", n_epochs=1,
         if hist_file:
             save_history(history, hist_file)
         if epoch > 0:
-            opt_state, count = model_checkpoint(params, opt_state, history,
-                                                model_out, count)
+            lr, count = model_checkpoint(params, lr, history, model_out, count)
             if count is None:
                 break
     return params, history
 
 
-def model_checkpoint(params, opt_state, history, model_out, count,
+def model_checkpoint(params, lr, history, model_out, count,
                      metric="Train loss", patience=3, factor=2,
                      min_delta=1e-3, min_lr=1e-4):
     """Best-metric checkpointing + LR-plateau + early stop
-    (ref OE-VAE/models.py:222-240, semantics preserved exactly)."""
+    (ref OE-VAE/models.py:222-240, semantics preserved exactly).
+    Returns (new_lr, count); count None terminates training."""
     hist = history[metric]
     if hist[-1] < np.min(hist[:-1]) - min_delta:
         print(f"{metric} improved from {np.min(hist[:-1]):4.2f} to "
@@ -123,13 +125,11 @@ def model_checkpoint(params, opt_state, history, model_out, count,
     elif hist[-1] > np.min(hist[-(patience + 1):-1]) - min_delta:
         count += 1
     if count >= patience:
-        lr = float(opt_state.hyperparams["learning_rate"])
         print(f"No improvement for {count} epochs  -->  ", end="", flush=True)
         if lr < min_lr:
             print("terminating training")
-            return opt_state, None
+            return lr, None
         new_lr = lr / factor
         print(f"reducing learning rate from {lr} to {new_lr}")
-        opt_state.hyperparams["learning_rate"] = np.float32(new_lr)
-        count = 0
-    return opt_state, count
+        return new_lr, 0
+    return lr, count

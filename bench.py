@@ -34,8 +34,9 @@ def main():
     backend = jax.default_backend()
     config = VAEConfig(fc_layers=(80, 40, 20, 10), input_dim=12)
     params = init_vae(jax.random.PRNGKey(0), config)
-    optimizer = make_optimizer(1e-3)
+    optimizer = make_optimizer()
     opt_state = optimizer.init(params)
+    lr = np.float32(1e-3)
     train_on_load, _ = make_vae_step_fns(optimizer, oe_type="MAE", beta=2.0,
                                          lamb=5.0, margin=1.0)
 
@@ -54,7 +55,7 @@ def main():
     key = jax.random.PRNGKey(1)
 
     # compile + warmup
-    p, o, m = train_on_load(params, opt_state, key, *batches)
+    p, o, m = train_on_load(params, opt_state, lr, key, *batches)
     jax.block_until_ready((p, o, m))
     # timed runs.  block_until_ready does NOT synchronize through the
     # axon remote-device tunnel; a device->host transfer does, so each
@@ -63,7 +64,7 @@ def main():
     times = []
     for _ in range(reps):
         start = time.perf_counter()
-        p, o, m = train_on_load(p, o, key, *batches)
+        p, o, m = train_on_load(p, o, lr, key, *batches)
         np.asarray(m)
         times.append(time.perf_counter() - start)
     train_jps = n / float(np.median(times))

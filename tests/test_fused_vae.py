@@ -72,8 +72,9 @@ def test_fused_training_step_runs(setup):
     step_x, _ = make_vae_step_fns(opt, "MAE", 2.0, 5.0, 1.0)
     step_p, _ = make_vae_step_fns(opt, "MAE", 2.0, 5.0, 1.0, impl="pallas")
     key = jax.random.PRNGKey(4)
-    p1, _, m1 = step_x(params, opt.init(params), key, *batches)
-    p2, _, m2 = step_p(params, opt.init(params), key, *batches)
+    lr = np.float32(1e-3)
+    p1, _, m1 = step_x(params, opt.init(params), lr, key, *batches)
+    p2, _, m2 = step_p(params, opt.init(params), lr, key, *batches)
     np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), rtol=1e-4, atol=1e-2)
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)

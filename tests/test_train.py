@@ -48,8 +48,9 @@ def test_dp_matches_single_device():
     mesh = data_parallel_mesh(8)
     dp_step, _ = make_vae_step_fns(opt, "KLD", 1.0, 1.0, 1.0, mesh=mesh)
 
-    p1, _, m1 = single_step(params, opt.init(params), key, *batches)
-    p2, _, m2 = dp_step(params, opt.init(params), key, *batches)
+    lr = np.float32(1e-3)
+    p1, _, m1 = single_step(params, opt.init(params), lr, key, *batches)
+    p2, _, m2 = dp_step(params, opt.init(params), lr, key, *batches)
     # metrics identical up to reduction order; params close
     np.testing.assert_allclose(np.asarray(m1)[:, :4].sum(0),
                                np.asarray(m2)[:, :4].sum(0), rtol=2e-3)
@@ -73,18 +74,16 @@ def test_model_checkpoint_plateau(tmp_path):
     out = str(tmp_path / "model.npz")
     # improving -> saves, count resets
     hist = {"Train loss": [10.0, 5.0]}
-    opt_state, count = model_checkpoint(params, opt_state, hist, out, 0)
+    lr, count = model_checkpoint(params, 1e-3, hist, out, 0)
     assert count == 0 and (tmp_path / "model.npz").exists()
     # stagnating for patience epochs -> halve LR
     hist = {"Train loss": [5.0, 5.3, 5.2, 5.4, 5.5]}
-    count = 2
-    opt_state, count = model_checkpoint(params, opt_state, hist, out, count)
+    lr, count = model_checkpoint(params, lr, hist, out, 2)
     assert count == 0
-    assert float(opt_state.hyperparams["learning_rate"]) == pytest.approx(5e-4)
+    assert lr == pytest.approx(5e-4)
     # LR below min -> terminate
-    opt_state.hyperparams["learning_rate"] = np.float32(5e-5)
     hist = {"Train loss": [5.0, 5.3, 5.2, 5.4, 5.5]}
-    opt_state, count = model_checkpoint(params, opt_state, hist, out, 2)
+    lr, count = model_checkpoint(params, 5e-5, hist, out, 2)
     assert count is None
 
 
@@ -144,19 +143,20 @@ def test_full_state_resume_is_exact(tmp_path):
     batches = batch_load(bkg["HLVs"], ood["HLVs"], bkg["weights"], ood["weights"], 64)
     step, _ = make_vae_step_fns(opt, "MAE", 1.0, 1.0, 1.0)
     k1, k2 = jax.random.PRNGKey(1), jax.random.PRNGKey(2)
+    lr = np.float32(1e-3)
 
     # straight-through: two loads
     p, o = params, opt.init(params)
-    p, o, _ = step(p, o, k1, *batches)
-    p, o, _ = step(p, o, k2, *batches)
+    p, o, _ = step(p, o, lr, k1, *batches)
+    p, o, _ = step(p, o, lr, k2, *batches)
 
     # checkpoint after load 1, restore, continue
     p2, o2 = params, opt.init(params)
-    p2, o2, _ = step(p2, o2, k1, *batches)
+    p2, o2, _ = step(p2, o2, lr, k1, *batches)
     state_path = str(tmp_path / "state.ckpt")
     save_pytree(state_path, {"params": p2, "opt": o2})
     restored = load_pytree(state_path, {"params": p2, "opt": o2})
-    p3, o3, _ = step(restored["params"], restored["opt"], k2, *batches)
+    p3, o3, _ = step(restored["params"], restored["opt"], lr, k2, *batches)
 
     for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(p3)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
