@@ -38,3 +38,13 @@ if _os.environ.get("ATLASVAE_PLATFORM"):
     import jax as _jax
 
     _jax.config.update("jax_platforms", _os.environ["ATLASVAE_PLATFORM"])
+
+if _os.environ.get("ATLASVAE_PRNG"):
+    # PRNG implementation override.  'rbg' (XLA RngBitGenerator) cuts the
+    # canonical train step from ~140 to ~115 us on TPU v5e (threefry key
+    # hashing does not fuse as well at these tiny model sizes); streams
+    # remain deterministic per (key, platform) but are not bit-stable
+    # across backends, so the default stays 'threefry2x32'.
+    import jax as _jax
+
+    _jax.config.update("jax_default_prng_impl", _os.environ["ATLASVAE_PRNG"])
