@@ -21,7 +21,7 @@ import numpy as np
 import optax
 
 from ..models.jetid import jetid_apply
-from .step import make_optimizer, clip_gradients
+from .step import make_optimizer, clip_gradients, LoadCache
 from .checkpoint import save_pytree, load_pytree
 
 
@@ -130,14 +130,23 @@ def train_classifier_streaming(params, config, load_iter_fn, valid_inputs,
     key = jax.random.PRNGKey(seed)
     history = {"loss": [], "val_loss": [], "accuracy": []}
     best_val, best_params, lr_wait, stop_wait = np.inf, params, 0, 0
+    load_cache = LoadCache()
     for epoch in range(epochs):
         start = time.time()
         sums = np.zeros(2)
         n_loads = 0
         for inputs, labels, weights in load_iter_fn():
-            if weights is None:
-                weights = np.ones(len(labels), np.float32)
-            batches = _pack(inputs, labels, weights, batch_size)
+            # key on (inputs, labels) alone when weights default to ones —
+            # a per-epoch np.ones would otherwise break identity caching
+            cache_key = (inputs, labels) if weights is None \
+                else (inputs, labels, weights)
+            w = weights
+
+            def build():
+                ww = np.ones(len(labels), np.float32) if w is None else w
+                return _pack(inputs, labels, ww, batch_size)
+
+            batches = load_cache.get(cache_key, batch_size, build)
             key, sub = jax.random.split(key)
             params, opt_state, metrics = train_epoch(params, opt_state,
                                                      np.float32(lr), sub,

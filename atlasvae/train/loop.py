@@ -18,7 +18,7 @@ import time
 import jax
 import numpy as np
 
-from .step import make_vae_step_fns, make_optimizer, batch_load
+from .step import make_vae_step_fns, make_optimizer, batch_load, LoadCache
 from .checkpoint import save_weights, save_history, load_history
 
 
@@ -59,6 +59,7 @@ def train_model(params, train_sample, valid_sample, oe_type="KLD", n_epochs=1,
 
     key = jax.random.PRNGKey(seed)
     count = 0
+    load_cache = LoadCache()
     print("STARTING TRAINING (loads/epoch: %d)" % len(train_sample))
     for epoch in range(n_epochs):
         start_time = time.time()
@@ -66,9 +67,12 @@ def train_model(params, train_sample, valid_sample, oe_type="KLD", n_epochs=1,
         sums = np.zeros(4)
         n_seen = 0.0
         for bkg_sample, ood_sample in train_sample:
-            batches = batch_load(features(bkg_sample), features(ood_sample),
-                                 bkg_sample["weights"], ood_sample["weights"],
-                                 batch_size, n_devices)
+            batches = load_cache.get(
+                (bkg_sample, ood_sample), (batch_size, n_devices),
+                lambda: batch_load(features(bkg_sample), features(ood_sample),
+                                   bkg_sample["weights"], ood_sample["weights"],
+                                   batch_size, n_devices),
+                mesh=mesh)
             key, sub = jax.random.split(key)
             params, opt_state, metrics = train_on_load(
                 params, opt_state, np.float32(lr), sub, *batches)
@@ -86,10 +90,13 @@ def train_model(params, train_sample, valid_sample, oe_type="KLD", n_epochs=1,
                   f"mean losses  -->  {ticker}", flush=True)
         valid_sum, valid_n = 0.0, 0.0
         for bkg_sample, ood_sample in valid_sample:
-            batches = batch_load(features(bkg_sample), features(ood_sample),
-                                 bkg_sample["weights"], ood_sample["weights"],
-                                 min(valid_batch_size, len(bkg_sample["weights"])),
-                                 n_devices)
+            vbs = min(valid_batch_size, len(bkg_sample["weights"]))
+            batches = load_cache.get(
+                (bkg_sample, ood_sample), (vbs, n_devices),
+                lambda: batch_load(features(bkg_sample), features(ood_sample),
+                                   bkg_sample["weights"], ood_sample["weights"],
+                                   vbs, n_devices),
+                mesh=mesh)
             key, sub = jax.random.split(key)
             metrics = np.asarray(valid_losses(params, sub, *batches))
             valid_sum += metrics[:, 0].sum()

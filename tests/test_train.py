@@ -160,3 +160,41 @@ def test_full_state_resume_is_exact(tmp_path):
 
     for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(p3)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_load_cache_identity_semantics():
+    """LoadCache: identical load objects hit (device-resident, no
+    rebuild); new objects miss; loads above the budget pass through
+    uncached; eviction keeps total bytes bounded."""
+    from atlasvae.train.step import LoadCache
+    builds = []
+
+    def make_build(tag, n=64):
+        def build():
+            builds.append(tag)
+            return (np.zeros((2, n, 4), np.float32), np.zeros((2, n), np.float32))
+        return build
+
+    cache = LoadCache(budget_bytes=10_000)
+    a = {"HLVs": np.zeros((8, 4)), "weights": np.ones(8)}
+    b = {"HLVs": np.ones((8, 4)), "weights": np.ones(8)}
+
+    out1 = cache.get((a, b), 64, make_build("ab"))
+    out2 = cache.get((a, b), 64, make_build("ab"))
+    assert builds == ["ab"]                      # second call: cache hit
+    assert out1 is out2
+    assert isinstance(out1[0], jax.Array)        # device-resident
+
+    cache.get((b, a), 64, make_build("ba"))      # different identity: miss
+    assert builds == ["ab", "ba"]
+    cache.get((a, b), 32, make_build("ab32"))    # different geometry: miss
+    assert builds == ["ab", "ba", "ab32"]
+
+    # oversized load: passed through uncached (numpy, rebuilt every call)
+    big = cache.get((b, b), 64, make_build("big", n=4096))
+    assert isinstance(big[0], np.ndarray)
+    cache.get((b, b), 64, make_build("big", n=4096))
+    assert builds.count("big") == 2
+
+    # eviction: inserting beyond budget drops oldest entries
+    assert cache._total <= cache.budget
