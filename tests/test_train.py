@@ -198,3 +198,32 @@ def test_load_cache_identity_semantics():
 
     # eviction: inserting beyond budget drops oldest entries
     assert cache._total <= cache.budget
+
+
+def test_device_put_load_sharded_dp_step():
+    """device_put_load with a mesh commits batches sharded over 'data'
+    (matching the shard_map in_specs) and the DP step consumes them
+    without resharding — the device-resident epoch path under DP."""
+    from atlasvae.train.step import device_put_load
+    from jax.sharding import PartitionSpec as P
+
+    cfg = VAEConfig(fc_layers=(16, 8), input_dim=6)
+    params = init_vae(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(1e-3)
+    bkg, ood = _toy_load(n=256, dim=6)
+    batches = batch_load(bkg["HLVs"], ood["HLVs"], bkg["weights"],
+                         ood["weights"], 64, n_devices=8)
+    mesh = data_parallel_mesh(8)
+    dev_batches = device_put_load(batches, mesh)
+    assert dev_batches[0].sharding.spec == P(None, "data", None)
+    assert dev_batches[4].sharding.spec == P(None, "data")
+    assert len(dev_batches[0].sharding.device_set) == 8
+
+    dp_step, _ = make_vae_step_fns(opt, "KLD", 1.0, 1.0, 1.0, mesh=mesh)
+    key = jax.random.PRNGKey(7)
+    lr = np.float32(1e-3)
+    p_host, _, m_host = dp_step(params, opt.init(params), lr, key, *batches)
+    p_dev, _, m_dev = dp_step(params, opt.init(params), lr, key, *dev_batches)
+    np.testing.assert_array_equal(np.asarray(m_host), np.asarray(m_dev))
+    for a, b in zip(jax.tree.leaves(p_host), jax.tree.leaves(p_dev)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
