@@ -42,6 +42,9 @@ def build_parser():
     parser.add_argument("--output_dir", default="outputs")
     parser.add_argument("--plotting", default="ON")
     parser.add_argument("--feature_removal", default="OFF")
+    parser.add_argument("--mixed_precision", default="OFF",
+                        help="bfloat16 compute / float32 master weights "
+                             "(ref jet-ID/models.py:74-75 mixed_float16)")
     parser.add_argument("--valid_cuts", default="")
     # data
     parser.add_argument("--bkg_data", default="QCD-Geneva")
@@ -95,7 +98,9 @@ def main(argv=None):
     config = JetIDConfig(n_classes=args.n_classes, scalars=tuple(scalars),
                          scalar_dims=tuple(scalar_dims),
                          constituent_dim=const_dim, nn_type=args.NN_type,
-                         fcn_neurons=tuple(args.FCN_neurons))
+                         fcn_neurons=tuple(args.FCN_neurons),
+                         compute_dtype="bfloat16" if on(args.mixed_precision)
+                         else "float32")
     params = init_jetid(jax.random.PRNGKey(0), config)
 
     scaler = None

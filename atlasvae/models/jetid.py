@@ -37,6 +37,11 @@ class JetIDConfig:
     cnn_pools: tuple = ((2, 2), (2, 2))
     dropout: float = 0.1
     activation: str = "leaky_relu"
+    # TPU analog of the reference's mixed_float16 policy
+    # (ref jet-ID/models.py:74-75): compute in bfloat16 with float32
+    # master weights; the softmax stays float32 (as Keras' mixed policy
+    # keeps its softmax layer float32).  Default float32 for exactness.
+    compute_dtype: str = "float32"
 
 
 def _init_conv(key, kh, kw, c_in, c_out):
@@ -113,6 +118,10 @@ def jetid_apply(params, config, inputs, key=None, train=False):
     branch name ('constituents', scalar names, image names)."""
     if key is None:
         key = jax.random.PRNGKey(0)
+    dtype = jnp.dtype(config.compute_dtype)
+    if dtype != jnp.float32:
+        params = jax.tree.map(lambda a: a.astype(dtype), params)
+        inputs = {k: jnp.asarray(v).astype(dtype) for k, v in inputs.items()}
     branches = []
     if config.images and config.nn_type == "CNN":
         for name in config.images:
@@ -134,5 +143,5 @@ def jetid_apply(params, config, inputs, key=None, train=False):
     h = jnp.concatenate(branches, axis=-1) if len(branches) > 1 else branches[0]
     h = mlp_apply(params["head"], h, "relu")
     h = _dropout(h, config.dropout, key, 303, train)
-    logits = dense_apply(params["out"], h)
+    logits = dense_apply(params["out"], h).astype(jnp.float32)
     return jax.nn.softmax(logits, axis=-1)

@@ -173,3 +173,38 @@ def test_cnn_on_constituent_images(synth_dir):
     probs = predict_classifier(params, cfg, {"img": imgs[n_train:]})
     acc = valid_accuracy(y[n_train:], probs)
     assert acc > 0.6, acc  # images alone separate top from QCD
+
+
+def test_mixed_precision_bf16():
+    """compute_dtype='bfloat16' (the TPU analog of the reference's
+    mixed_float16 policy, ref jet-ID/models.py:74-75): float32 master
+    weights, bf16 branch compute, float32 softmax.  Forward agrees with
+    f32 to bf16 tolerance and a CNN+scalars model still trains."""
+    import dataclasses
+    from atlasvae.models import jetid_apply
+    from atlasvae.train.jetid_loop import train_classifier
+
+    rng = np.random.default_rng(5)
+    n = 800
+    imgs = rng.random((n, 8, 8)).astype(np.float32)
+    hlv = rng.normal(size=(n, 6)).astype(np.float32)
+    y = (hlv[:, 0] + imgs.sum((1, 2)) * 0.2 > 0.6).astype(int)
+    cfg32 = JetIDConfig(n_classes=2, scalars=("HLVs",), scalar_dims=(6,),
+                        images=("img",), image_shapes=((8, 8),),
+                        nn_type="CNN", cnn_maps=(4, 4), fcn_neurons=(16,),
+                        branch_neurons=(16,), dropout=0.0)
+    cfg16 = dataclasses.replace(cfg32, compute_dtype="bfloat16")
+    params = init_jetid(jax.random.PRNGKey(0), cfg32)
+    inputs = {"img": imgs, "HLVs": hlv}
+
+    p32 = np.asarray(jax.jit(lambda p, x: jetid_apply(p, cfg32, x))(params, inputs))
+    p16 = np.asarray(jax.jit(lambda p, x: jetid_apply(p, cfg16, x))(params, inputs))
+    assert p16.dtype == np.float32          # softmax stays f32
+    np.testing.assert_allclose(p16, p32, atol=0.04)
+
+    trained, hist = train_classifier(params, cfg16, inputs, y,
+                                     inputs, y, epochs=6, batch_size=200,
+                                     lr=1e-3, verbose=False)
+    assert hist["loss"][-1] < hist["loss"][0]
+    # master weights stay float32
+    assert all(a.dtype == np.float32 for a in jax.tree.leaves(trained))
