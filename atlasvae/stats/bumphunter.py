@@ -113,6 +113,13 @@ def scan_histograms(hists, ref, widths, scan_steps, hinf, hsup, mode="excess",
     return min_log_pval, min_loc, min_width, signal_eval, log_pvals
 
 
+def _threefry_key(seed):
+    """Poisson sampling is only implemented for the threefry generator,
+    so BumpHunter keys are pinned to it regardless of the session-wide
+    ``jax_default_prng_impl`` (e.g. ATLASVAE_PRNG=rbg)."""
+    return jax.random.key(seed, impl="threefry2x32")
+
+
 @functools.partial(jax.jit, static_argnames=("npe",))
 def _poisson_pseudo(key, ref, npe):
     return jax.random.poisson(key, ref, shape=(npe,) + ref.shape).astype(jnp.float32)
@@ -257,7 +264,7 @@ class BumpHunter1D:
             print("SCAN")
 
         if do_pseudo:
-            key = jax.random.PRNGKey(0 if self.seed is None else self.seed)
+            key = _threefry_key(0 if self.seed is None else self.seed)
             pseudo = _poisson_pseudo(key, jnp.asarray(bkg_hist), self.npe)
             hists = jnp.concatenate([jnp.asarray(data_hist)[None, :], pseudo])
         else:
@@ -332,7 +339,7 @@ class BumpHunter1D:
         bins_in = self.bins if isinstance(self.bins, list) else \
             [self.bins for _ in range(n_chan)]
         per_chan = []
-        key = jax.random.PRNGKey(0 if self.seed is None else self.seed)
+        key = _threefry_key(0 if self.seed is None else self.seed)
         for ch in range(n_chan):
             self_bins = bins_in[ch]
             saved_bins, self.bins = self.bins, self_bins
@@ -479,7 +486,7 @@ class BumpHunter1D:
         bkg_hist = bkg_hist.astype(np.float32)
         widths, steps = self._widths(len(bkg_hist))
         hinf, hsup = self._scan_range(bkg_hist)
-        key = jax.random.PRNGKey(0 if self.seed is None else self.seed)
+        key = _threefry_key(0 if self.seed is None else self.seed)
 
         # Background-only t distribution.
         key, sub = jax.random.split(key)
@@ -590,7 +597,7 @@ def batched_bump_sigma(data_hists, bkg_hists, widths, scan_steps, npe=1000,
     data_hists = jnp.asarray(data_hists, jnp.float32)
     bkg_hists = jnp.asarray(bkg_hists, jnp.float32)
     n_cuts, nbins = data_hists.shape
-    keys = jax.random.split(jax.random.PRNGKey(seed), n_cuts)
+    keys = jax.random.split(_threefry_key(seed), n_cuts)
 
     def one(key, data_hist, bkg_hist):
         pseudo = jax.random.poisson(key, bkg_hist,

@@ -178,3 +178,26 @@ def test_signal_inject_reaches_limit(rng):
     hunter.signal_inject(sig_hist, bkg_hist, is_hist=True, verbose=False)
     assert hunter.significance >= 3 or hunter.global_Pval <= 1 / hunter.npe
     assert hunter.signal_ratio is not None
+
+
+def test_bump_scan_under_rbg_prng(rng):
+    """ATLASVAE_PRNG=rbg must not break pseudo-experiments:
+    jax.random.poisson only supports threefry, so BumpHunter pins its
+    keys to threefry regardless of the session default (regression for
+    the rbg opt-in)."""
+    import jax
+    from atlasvae.stats.bumphunter import BumpHunter1D
+    old = jax.config.jax_default_prng_impl
+    jax.config.update("jax_default_prng_impl", "rbg")
+    try:
+        bkg = rng.exponential(60, 20_000) + 30
+        data = np.concatenate([bkg, rng.normal(180, 8, 300)])
+        bh = BumpHunter1D(rang=(0, 400), width_min=2, width_max=4,
+                          scan_step=1, npe=40, bins=40, seed=1)
+        bh.bump_scan(data, bkg, is_hist=False, do_pseudo=True, verbose=False)
+        assert np.isfinite(bh.significance)
+        # and the rbg default still applies to ordinary draws
+        x = jax.random.normal(jax.random.PRNGKey(0), (4,))
+        assert np.isfinite(np.asarray(x)).all()
+    finally:
+        jax.config.update("jax_default_prng_impl", old)
