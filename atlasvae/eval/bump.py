@@ -95,7 +95,13 @@ def bump_scan(y_true, x_loss, loss_metric, sample, sig_data, output_dir,
         eff_val = np.linspace(tpr[0], x_max, n_cuts)
     else:
         eff = fpr
-        x_min, x_max = 10 ** np.ceil(np.log10(np.min(fpr))), 100
+        # the lowest threshold can pass zero bkg events (fpr == 0,
+        # common on small/weighted samples): use the smallest positive
+        # fpr so the logit grid and the log-x plot stay finite
+        pos = fpr[fpr > 0]
+        min_fpr = pos.min() if len(pos) else 1e-4
+        x_min = min(10 ** np.ceil(np.log10(min_fpr)), 50.0)
+        x_max = 100
         eff_val = np.append(
             100 * inverse_logit(np.linspace(logit(x_min / 100),
                                             -logit(x_min / 100), n_cuts)), 100)
