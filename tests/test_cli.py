@@ -1,0 +1,57 @@
+"""CLI surface smoke tests: each entry point trains/evaluates a tiny
+synthetic configuration end-to-end (the reference's flag surface,
+ref OE-VAE/vae.py:15-49, OE-AAE/train.py:14-46, jet-ID/classifier.py:16-61).
+Plot generation is exercised by test_plotting.py; here plotting is OFF
+to keep the smoke fast."""
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.filterwarnings("ignore")
+
+
+@pytest.fixture(scope="module")
+def out_dir(tmp_path_factory):
+    return tmp_path_factory.mktemp("cli")
+
+
+TINY = ["--synthetic", "3000", "--n_train", "800", "--n_valid", "400",
+        "--batch_size", "200", "--n_epochs", "1", "--plotting", "OFF"]
+
+
+def test_vae_cli(out_dir):
+    from atlasvae.cli.vae import main
+    out = str(out_dir / "vae")
+    # n_epochs=2: checkpointing starts at epoch 2 (ref models.py:219
+    # 'if epoch > 0'), so a 1-epoch run writes history but no weights
+    main(TINY + ["--n_OoD", "800", "--OE_type", "MAE", "--beta", "2",
+                 "--lamb", "5", "--n_epochs", "2", "--output_dir", out])
+    assert os.path.isfile(os.path.join(out, "model.npz"))
+    assert os.path.isfile(os.path.join(out, "history.pkl"))
+
+
+def test_aae_cli(out_dir):
+    from atlasvae.cli.aae import main
+    out = str(out_dir / "aae")
+    main(TINY + ["--n_OoD", "800", "--output_dir", out])
+    assert os.path.isfile(os.path.join(out, "AAE.npz"))
+
+
+def test_jetid_cli_mixed_precision(out_dir):
+    from atlasvae.cli.jetid import main
+    out = str(out_dir / "jetid")
+    main(TINY + ["--mixed_precision", "ON", "--output_dir", out])
+    assert os.path.isfile(os.path.join(out, "model.npz"))
+
+
+def test_sweep_cli_selects_grid_point(out_dir, capsys):
+    from atlasvae.cli.sweep import main
+    out = str(out_dir / "sweep")
+    main(["--entry", "vae", "--grid", "lr=1e-3,1e-4", "beta=1,2",
+          "--task_id", "3", "--output_dir", out, "--"]
+         + TINY + ["--n_OoD", "800"])
+    text = capsys.readouterr().out
+    # task 3 of the 2x2 grid -> lr=1e-4, beta=2 (row-major, ref utils.py:597-600)
+    assert "0.0001" in text and os.path.isdir(out)
