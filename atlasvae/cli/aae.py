@@ -61,7 +61,7 @@ def main(argv=None):
     from ..data.scalers import Scaler
     from ..models import AAEConfig, init_aae
     from ..train.aae_loop import train_aae
-    from ..train.checkpoint import save_pytree, load_pytree
+    from ..train.checkpoint import load_pytree
     from ..train.loop import features
     from ..eval.aae_eval import (get_data, adjust_weights, aae_bump_scan,
                                  aae_bump_scan_2d)

@@ -63,8 +63,7 @@ def main(argv=None):
     from ..train.jetid_loop import train_classifier, predict_classifier
     from ..train.checkpoint import load_pytree
     from ..eval.jetid_eval import (make_labels, get_class_weight,
-                                   get_sample_weights, compo_matrix,
-                                   valid_accuracy, discriminant)
+                                   get_sample_weights, compo_matrix, discriminant)
     from ..eval.roc import auc_score
 
     args = build_parser().parse_args(argv)

@@ -10,7 +10,6 @@ single-GPU here, ref SURVEY.md S2.6).
 
 import os
 import sys
-import pickle
 from argparse import ArgumentParser
 from pathlib import Path
 

@@ -268,7 +268,6 @@ def feature_removal(config, inputs, labels, valid_inputs, valid_labels,
     """Feature-ablation ranking: retrain without each feature and compare
     validation accuracy (ref jet-ID/utils.py:644-674).  Scalars-only.
     Returns {feature: accuracy_drop}."""
-    import jax as _jax
     base_params, _ = train_classifier(init_fn(0), config, inputs, labels,
                                       valid_inputs, valid_labels, epochs,
                                       batch_size, lr, verbose=False)

@@ -17,7 +17,6 @@ composite loss — see atlasvae.train.aae_loop.
 import dataclasses
 
 import jax
-import jax.numpy as jnp
 
 from .mlp import init_mlp, init_dense, dense_apply, mlp_apply
 

@@ -18,7 +18,6 @@ over shuffled batches inside a single jitted program; the three phases
 share one Adam(lr=1e-6) configuration (ref aae.py:75).
 """
 
-import functools
 import os
 import pickle
 import time

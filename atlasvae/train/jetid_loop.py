@@ -22,7 +22,7 @@ import optax
 
 from ..models.jetid import jetid_apply
 from .step import make_optimizer, clip_gradients, LoadCache
-from .checkpoint import save_pytree, load_pytree
+from .checkpoint import save_pytree
 
 
 def _ce_loss(probs, labels, weights):

@@ -15,8 +15,6 @@ Semantics preserved from the reference:
   (tf.keras.metrics.Mean, ref models.py:149-153,187-190).
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import optax

@@ -32,7 +32,7 @@ REFERENCE_EAGER_JETS_PER_SEC = 1.0e6  # provisional, see module docstring
 def main():
     import jax
     import jax.numpy as jnp
-    from atlasvae.models import VAEConfig, init_vae, vae_apply
+    from atlasvae.models import VAEConfig, init_vae
     from atlasvae.train.step import make_vae_step_fns, make_optimizer, batch_load
     from atlasvae.ops import fused_mlp_apply
 

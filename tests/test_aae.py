@@ -5,7 +5,7 @@ import jax
 import numpy as np
 import pytest
 
-from atlasvae.models import AAEConfig, init_aae, ae_apply, discriminator_apply
+from atlasvae.models import AAEConfig, init_aae
 from atlasvae.train.aae_loop import train_aae, make_aae_step_fns, _subtree, AE_KEYS, DISC_KEYS
 from atlasvae.train.step import make_optimizer
 from atlasvae.eval.aae_eval import (make_discriminant, adjust_weights,

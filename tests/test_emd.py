@@ -2,7 +2,6 @@
 on tiny problems and metric properties."""
 
 import numpy as np
-import pytest
 
 from atlasvae.ops.emd import emd_pairs, ks_pairs
 

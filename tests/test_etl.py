@@ -3,7 +3,6 @@ shuffle-merge round trip, DSID weight tables."""
 
 import numpy as np
 import h5py
-import pytest
 
 from atlasvae.etl import (pt_eta_phi_m_to_epxpypz, canonicalize_jets,
                           pt_order_jets, summed_4v, file_processing)

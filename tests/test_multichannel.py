@@ -1,7 +1,6 @@
 """Multi-channel BumpHunter tests (ref _scan_hist_multi semantics)."""
 
 import numpy as np
-import pytest
 
 from atlasvae.stats import BumpHunter1D
 

@@ -26,7 +26,6 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REF_PATH),
                                 reason="reference checkout not available")
 
 import jax
-import jax.numpy as jnp
 
 from atlasvae.models import VAEConfig, init_vae
 from atlasvae.train.loop import train_model as our_train_model

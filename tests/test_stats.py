@@ -4,7 +4,6 @@ implementation, global p-value behavior, extreme-significance regime."""
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 from scipy.special import gammainc, gammaincc
 from scipy.stats import norm
 

@@ -2,7 +2,6 @@
 plateau controller semantics, checkpoint round trip."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 
