@@ -164,20 +164,48 @@ def batch_load(sample_x, ood_x, sample_w, ood_w, batch_size, n_devices=1):
             valid.reshape(n_batches, batch_size))
 
 
+def _transfer_dtype():
+    import os
+    return os.environ.get("ATLASVAE_TRANSFER_DTYPE") or None
+
+
+@jax.jit
+def _widen_f32(tree):
+    return jax.tree.map(
+        lambda a: a.astype(jnp.float32)
+        if jnp.issubdtype(a.dtype, jnp.floating) and a.dtype != jnp.float32
+        else a, tree)
+
+
 def device_put_load(batches, mesh=None, data_axis="data"):
     """Commit a packed load to device memory, sharded over ``data_axis``
     along the per-batch row axis when a mesh is given (matching the
     shard_map in_specs above), so subsequent step calls start from
-    device-resident buffers."""
+    device-resident buffers.
+
+    ``ATLASVAE_TRANSFER_DTYPE=float16`` sends float leaves over the wire
+    at half width and widens back to float32 on device — the remote
+    tunnel's host->device bandwidth (~60 MB/s here) dominates streaming
+    epochs, and f16 quantization of the scaled inputs (rel. error ~5e-4)
+    matches the reference's own f16 constituent storage
+    (ref tools/root_utils.py:45).  Off by default for bit-exactness."""
+    td = _transfer_dtype()
+    if td:
+        import numpy as np
+        batches = jax.tree.map(
+            lambda b: np.asarray(b).astype(td)
+            if np.issubdtype(np.asarray(b).dtype, np.floating) else b, batches)
     if mesh is None:
-        return jax.tree.map(jax.device_put, batches)
-    from jax.sharding import NamedSharding, PartitionSpec as P
+        out = jax.tree.map(jax.device_put, batches)
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-    def put(b):
-        spec = P(*((None, data_axis) + (None,) * (b.ndim - 2)))
-        return jax.device_put(b, NamedSharding(mesh, spec))
+        def put(b):
+            spec = P(*((None, data_axis) + (None,) * (b.ndim - 2)))
+            return jax.device_put(b, NamedSharding(mesh, spec))
 
-    return jax.tree.map(put, batches)
+        out = jax.tree.map(put, batches)
+    return _widen_f32(out) if td else out
 
 
 class LoadCache:
@@ -222,7 +250,11 @@ class LoadCache:
         batches = build()
         nbytes = sum(b.nbytes for b in jax.tree.leaves(batches))
         if nbytes > self.budget:
-            return batches  # uncached: jit will stream it per call
+            # uncached streaming: still transfer explicitly so the
+            # half-width wire format (ATLASVAE_TRANSFER_DTYPE) applies
+            if _transfer_dtype():
+                return device_put_load(batches, mesh, data_axis)
+            return batches  # jit will stream it per call
         batches = device_put_load(batches, mesh, data_axis)
         while self._total + nbytes > self.budget and self._entries:
             old_key = next(iter(self._entries))

@@ -226,3 +226,31 @@ def test_device_put_load_sharded_dp_step():
     np.testing.assert_array_equal(np.asarray(m_host), np.asarray(m_dev))
     for a, b in zip(jax.tree.leaves(p_host), jax.tree.leaves(p_dev)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_f16_transfer_dtype_streaming(monkeypatch):
+    """ATLASVAE_TRANSFER_DTYPE=float16 sends loads over the wire at half
+    width and widens to f32 on device; training matches the f32 path to
+    quantization noise.  Cache disabled to force the streaming branch."""
+    import os
+    monkeypatch.setenv("ATLASVAE_DEVICE_CACHE_GB", "0")
+    cfg = VAEConfig(fc_layers=(16, 8), input_dim=6)
+    params = init_vae(jax.random.PRNGKey(0), cfg)
+    bkg, ood = _toy_load(n=512, dim=6)
+
+    _, hist32 = train_model(params, [(bkg, ood)], [(bkg, ood)], oe_type="MAE",
+                            n_epochs=3, batch_size=128, beta=1.0, lamb=1.0,
+                            margin=1.0, lr=1e-3)
+    monkeypatch.setenv("ATLASVAE_TRANSFER_DTYPE", "float16")
+    _, hist16 = train_model(params, [(bkg, ood)], [(bkg, ood)], oe_type="MAE",
+                            n_epochs=3, batch_size=128, beta=1.0, lamb=1.0,
+                            margin=1.0, lr=1e-3)
+    np.testing.assert_allclose(hist16["Train loss"], hist32["Train loss"],
+                               rtol=2e-3)
+    assert hist16["Train loss"][-1] < hist16["Train loss"][0]
+
+    # the widened device buffers really are float32
+    from atlasvae.train.step import device_put_load, batch_load
+    b = device_put_load(batch_load(bkg["HLVs"], ood["HLVs"], bkg["weights"],
+                                   ood["weights"], 128))
+    assert all(x.dtype == np.float32 for x in jax.tree.leaves(b))
