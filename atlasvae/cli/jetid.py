@@ -36,6 +36,15 @@ def build_parser():
     parser.add_argument("--constituents", default="ON")
     parser.add_argument("--HLVs", default="ON")
     parser.add_argument("--scaler_type", default="RobustScaler")
+    parser.add_argument("--scaler_in", default="",
+                        help="load a pickled HLV scaler instead of fitting")
+    parser.add_argument("--scaler_out", default="",
+                        help="scaler save path (default scaler_<type>.pkl)")
+    parser.add_argument("--dropout", default=0.1, type=float)
+    parser.add_argument("--image_size", default=16, type=int,
+                        help="constituent-image pixels per side (CNN mode)")
+    parser.add_argument("--train_cuts", default="",
+                        help="extra cut expression on the training slice")
     parser.add_argument("--model_in", default="")
     parser.add_argument("--model_out", default="model.npz")
     parser.add_argument("--results_out", default="valid_results.pkl")
@@ -89,23 +98,53 @@ def main(argv=None):
     n = len(labels)
     n_train = min(args.n_train, n // 2)
     train_idx, valid_idx = np.arange(n_train), np.arange(n_train, n)
+    # extra slice-level cut expressions (ref classifier.py train/valid_cuts)
+    if args.train_cuts or args.valid_cuts:
+        from ..utils.expr import evaluate_cut
+        arrays = {k: np.asarray(v) for k, v in sample.items() if np.ndim(v) >= 1}
+        if args.train_cuts:
+            train_idx = train_idx[evaluate_cut(args.train_cuts, arrays)[train_idx]]
+        if args.valid_cuts:
+            valid_idx = valid_idx[evaluate_cut(args.valid_cuts, arrays)[valid_idx]]
 
     scalars, scalar_dims = [], []
     if on(args.HLVs):
         scalars, scalar_dims = ["HLVs"], [sample["HLVs"].shape[1]]
     const_dim = sample["constituents"].shape[1] if on(args.constituents) else 0
+    images, image_shapes = (), ()
+    if args.NN_type == "CNN":
+        # CNN mode trains a conv tower on pt-weighted constituent images
+        # (ref jet-ID/classifier.py images branches + multi_CNN towers)
+        if not on(args.constituents):
+            raise SystemExit("--NN_type CNN requires --constituents ON")
+        from ..data import constituent_images
+        px = args.image_size
+        imgs = np.asarray(
+            constituent_images(sample["constituents"], px, n_dims=args.n_dims),
+            np.float32)
+        sample["images"] = imgs / max(float(imgs.max()), 1e-6)
+        images, image_shapes = ("images",), ((px, px),)
+        const_dim = 0  # the flat branch is replaced by the image tower
     config = JetIDConfig(n_classes=args.n_classes, scalars=tuple(scalars),
                          scalar_dims=tuple(scalar_dims),
                          constituent_dim=const_dim, nn_type=args.NN_type,
+                         images=images, image_shapes=image_shapes,
                          fcn_neurons=tuple(args.FCN_neurons),
+                         dropout=args.dropout,
                          compute_dtype="bfloat16" if on(args.mixed_precision)
                          else "float32")
     params = init_jetid(jax.random.PRNGKey(0), config)
 
     scaler = None
-    if args.scaler_type and scalars:
+    if scalars and args.scaler_in and os.path.isfile(args.scaler_in):
+        from ..data.scalers import Scaler
+        scaler = Scaler.load(args.scaler_in)
+        print("Loaded HLV scaler from:", args.scaler_in)
+        sample["HLVs"] = apply_scaler(sample["HLVs"], scaler=scaler)
+    elif args.scaler_type and scalars:
+        scaler_out = args.scaler_out or f"scaler_{args.scaler_type}.pkl"
         scaler = fit_scaler(sample["HLVs"][train_idx],
-                            scaler_out=out_root + f"/scaler_{args.scaler_type}.pkl",
+                            scaler_out=out_root + "/" + scaler_out,
                             scaler_type=args.scaler_type)
         sample["HLVs"] = apply_scaler(sample["HLVs"], scaler=scaler)
 
@@ -115,6 +154,8 @@ def main(argv=None):
             out["HLVs"] = sample["HLVs"][idx]
         if const_dim:
             out["constituents"] = sample["constituents"][idx]
+        for name in images:
+            out[name] = sample[name][idx]
         return out
 
     class_weight = get_class_weight(labels[train_idx], args.bkg_ratio)
@@ -152,6 +193,8 @@ def main(argv=None):
         for key in ("HLVs", "constituents"):
             if key in sample and (scalars if key == "HLVs" else const_dim):
                 cv_sample[key] = sample[key]
+        for name in images:
+            cv_sample[name] = sample[name]
         cv_probs = cross_valid(cv_sample, labels, config, out_root,
                                args.n_folds, params)
         _, cv_acc = compo_matrix(labels, (), cv_probs)
