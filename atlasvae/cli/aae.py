@@ -35,6 +35,9 @@ def build_parser():
     parser.add_argument("--HLV_scaler_type", default="")
     parser.add_argument("--HLV_scaler_in", default="")
     parser.add_argument("--HLV_scaler_out", default="")
+    parser.add_argument("--const_scaler_type", default="")
+    parser.add_argument("--const_scaler_in", default="")
+    parser.add_argument("--const_scaler_out", default="")
     parser.add_argument("--hist_file", default="history.pkl")
     parser.add_argument("--output_dir", default="outputs")
     parser.add_argument("--plotting", default="ON")
@@ -72,9 +75,12 @@ def main(argv=None):
         setattr(args, key, int(getattr(args, key)))
     if args.HLV_scaler_out == "":
         args.HLV_scaler_out = "HLV_" + args.HLV_scaler_type + ".pkl"
+    if args.const_scaler_out == "":
+        args.const_scaler_out = "const_" + args.const_scaler_type + ".pkl"
     out_root = args.output_dir
     Path(out_root).mkdir(parents=True, exist_ok=True)
-    for key in ["model_in", "model_out", "HLV_scaler_in", "HLV_scaler_out"]:
+    for key in ["model_in", "model_out", "HLV_scaler_in", "HLV_scaler_out",
+                "const_scaler_in", "const_scaler_out"]:
         setattr(args, key, out_root + "/" + getattr(args, key))
     if args.synthetic:
         ensure_synthetic_registry(n_events=int(args.synthetic),
@@ -91,35 +97,48 @@ def main(argv=None):
 
     config = AAEConfig(input_dim=input_dim, ae_layers=tuple(args.layers_sizes))
     params = init_aae(jax.random.PRNGKey(0), config)
-    hlv_scaler = None
+    hlv_scaler = const_scaler = None
     if args.model_in != out_root + "/" and os.path.isfile(args.model_in):
         print("\nLoading pre-trained weights from: " + args.model_in)
         params = load_pytree(args.model_in, params)
     if args.HLV_scaler_type and os.path.isfile(args.HLV_scaler_in):
         hlv_scaler = Scaler.load(args.HLV_scaler_in)
+    if args.const_scaler_type and os.path.isfile(args.const_scaler_in):
+        const_scaler = Scaler.load(args.const_scaler_in)
 
     if args.n_epochs > 0:
-        if on(args.HLVs) and args.HLV_scaler_type and hlv_scaler is None:
+        need_hlv = on(args.HLVs) and args.HLV_scaler_type and hlv_scaler is None
+        need_const = (on(args.constituents) and args.const_scaler_type
+                      and const_scaler is None)
+        if need_hlv or need_const:
             print("\nLOADING QCD TRAINING SAMPLE (scaler fit)")
             n_jets = min(args.n_train, int(1e9 * 30 / args.n_const / args.n_dims / 4))
             train_sample = load_data(args.bkg_data, n_jets, train_cuts,
                                      args.n_const, args.n_dims, args.constituents,
                                      args.HLVs, hlv_list)
-            hlv_scaler = fit_scaler(train_sample["HLVs"], args.n_dims,
-                                    args.HLV_scaler_out, args.HLV_scaler_type)
+            if need_hlv:
+                hlv_scaler = fit_scaler(train_sample["HLVs"], args.n_dims,
+                                        args.HLV_scaler_out, args.HLV_scaler_type)
+            if need_const:
+                const_scaler = fit_scaler(train_sample["constituents"], args.n_dims,
+                                          args.const_scaler_out,
+                                          args.const_scaler_type)
         print("\nLOADING OUTLIER SAMPLE")
         ood_sample = load_data(args.OoD_data, args.n_OoD, train_cuts, args.n_const,
                                args.n_dims, args.constituents, args.HLVs, hlv_list)
         if "HLVs" in ood_sample:
             ood_sample["HLVs"] = apply_scaler(ood_sample["HLVs"], args.n_dims,
                                               hlv_scaler, "OoD")
+        if "constituents" in ood_sample and const_scaler is not None:
+            ood_sample["constituents"] = apply_scaler(
+                ood_sample["constituents"], args.n_dims, const_scaler, "OoD")
         bin_sizes = {"m": 20, "pt": 40} \
             if args.weight_type.split("_")[0] in ("flat", "OoD") else {"m": 10, "pt": 20}
         train_gen = BatchGenerator(args.bkg_data, args.OoD_data, args.n_const,
                                    args.n_dims, [0, args.n_train], ood_sample,
                                    args.weight_type, train_cuts, args.constituents,
                                    args.HLVs, hlv_list, bin_sizes, hlv_scaler,
-                                   None, is_train=True)
+                                   const_scaler, is_train=True)
         params, _ = train_aae(params, train_gen, args.n_epochs, args.batch_size,
                               out_root, os.path.basename(args.model_out),
                               args.hist_file,
@@ -147,6 +166,9 @@ def main(argv=None):
         sample["weights"][y_true == 0] /= adjust_weights(sample, y_true, factor=20)
         if "HLVs" in sample:
             sample["HLVs"] = apply_scaler(sample["HLVs"], args.n_dims, hlv_scaler)
+        if "constituents" in sample and const_scaler is not None:
+            sample["constituents"] = apply_scaler(sample["constituents"],
+                                                  args.n_dims, const_scaler)
         x_true = features(sample)
         # --decorrelation accepts m/pt/2d; bare 'ON' means the canonical
         # 2-D flattening (ref OE-AAE/train.sh:11 decorrelation=2d)
