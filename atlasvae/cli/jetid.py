@@ -45,6 +45,12 @@ def build_parser():
                         help="constituent-image pixels per side (CNN mode)")
     parser.add_argument("--train_cuts", default="",
                         help="extra cut expression on the training slice")
+    parser.add_argument("--generator", default="OFF",
+                        help="stream training chunks per epoch instead of "
+                             "materializing the full sample "
+                             "(ref classifier.py:257-266 generator path)")
+    parser.add_argument("--memGB", default=30, type=float,
+                        help="host-memory chunk budget in generator mode")
     parser.add_argument("--model_in", default="")
     parser.add_argument("--model_out", default="model.npz")
     parser.add_argument("--results_out", default="valid_results.pkl")
@@ -91,12 +97,31 @@ def main(argv=None):
     hlv_list = list(HLV_LIST)
     cuts = ['(sample["m"] >= 30)', '(sample["pt"] <= 5000)']
     n_total = args.n_train + args.n_valid
-    sample = make_sample(args.bkg_data, args.sig_data, n_total, n_total, cuts,
-                         args.n_const, args.n_dims, args.constituents,
-                         args.HLVs, hlv_list, shuffling=True)
+    streaming = on(args.generator)
+    first_chunk = None
+    if streaming:
+        # generator path (ref classifier.py:257-266): only the validation
+        # slice is materialized; training chunks stream per epoch
+        if args.n_folds > 1 or on(args.feature_removal) or args.NN_type == "CNN":
+            raise SystemExit("--generator ON supports the plain training path "
+                             "(no k-fold CV / feature removal / CNN images)")
+        chunk = int(1e9 * args.memGB / max(args.n_const * args.n_dims * 4, 1))
+        chunk = max(batch_size, min(chunk, args.n_train))
+        sample = make_sample(args.bkg_data, args.sig_data,
+                             [args.n_train, n_total], [args.n_train, n_total],
+                             cuts, args.n_const, args.n_dims, args.constituents,
+                             args.HLVs, hlv_list, shuffling=True)
+        first_chunk = make_sample(args.bkg_data, args.sig_data, [0, chunk],
+                                  [0, chunk], cuts, args.n_const, args.n_dims,
+                                  args.constituents, args.HLVs, hlv_list,
+                                  shuffling=True)
+    else:
+        sample = make_sample(args.bkg_data, args.sig_data, n_total, n_total, cuts,
+                             args.n_const, args.n_dims, args.constituents,
+                             args.HLVs, hlv_list, shuffling=True)
     labels = make_labels(sample, args.n_classes)
     n = len(labels)
-    n_train = min(args.n_train, n // 2)
+    n_train = 0 if streaming else min(args.n_train, n // 2)
     train_idx, valid_idx = np.arange(n_train), np.arange(n_train, n)
     # extra slice-level cut expressions (ref classifier.py train/valid_cuts)
     if args.train_cuts or args.valid_cuts:
@@ -143,8 +168,9 @@ def main(argv=None):
         sample["HLVs"] = apply_scaler(sample["HLVs"], scaler=scaler)
     elif args.scaler_type and scalars:
         scaler_out = args.scaler_out or f"scaler_{args.scaler_type}.pkl"
-        scaler = fit_scaler(sample["HLVs"][train_idx],
-                            scaler_out=out_root + "/" + scaler_out,
+        fit_rows = first_chunk["HLVs"] if streaming \
+            else sample["HLVs"][train_idx]
+        scaler = fit_scaler(fit_rows, scaler_out=out_root + "/" + scaler_out,
                             scaler_type=args.scaler_type)
         sample["HLVs"] = apply_scaler(sample["HLVs"], scaler=scaler)
 
@@ -158,13 +184,24 @@ def main(argv=None):
             out[name] = sample[name][idx]
         return out
 
-    class_weight = get_class_weight(labels[train_idx], args.bkg_ratio)
+    class_source = make_labels(first_chunk, args.n_classes) if streaming \
+        else labels[train_idx]
+    class_weight = get_class_weight(class_source, args.bkg_ratio)
     sample_weight = None
-    if args.weight_type in ("bkg_ratio", "flattening", "match2class", "match2max"):
+    if not streaming and args.weight_type in ("bkg_ratio", "flattening",
+                                              "match2class", "match2max"):
         train_view = {k: np.asarray(v)[train_idx] for k, v in sample.items()
                       if np.ndim(v) >= 1}
         sample_weight, _ = get_sample_weights(train_view, labels[train_idx],
                                               args.weight_type, args.bkg_ratio)
+        # sparse (pt, eta) bins yield inf ratios (the reference's math
+        # does too, ref jet-ID/utils.py flattening); zero those rows so
+        # TerminateOnNaN doesn't abort training, uniform if all die
+        sample_weight = np.where(np.isfinite(sample_weight), sample_weight,
+                                 0.0).astype(np.float32)
+        if sample_weight.sum() <= 0:
+            print("weight scheme degenerate -> uniform")
+            sample_weight = None
 
     model_out = out_root + "/" + args.model_out
     if args.n_folds > 1:
@@ -199,7 +236,52 @@ def main(argv=None):
                                args.n_folds, params)
         _, cv_acc = compo_matrix(labels, (), cv_probs)
         print(f"\n{args.n_folds}-FOLD CV ACCURACY: {cv_acc:.2f} %")
-    if args.n_epochs > 0:
+    if args.n_epochs > 0 and streaming:
+        from ..train.jetid_loop import train_classifier_streaming
+        from ..utils.chunks import index_ranges
+
+        def load_iter():
+            for lo, hi in index_ranges(args.n_train, bin_size=chunk):
+                ch = make_sample(args.bkg_data, args.sig_data, [lo, hi],
+                                 [lo, hi], cuts, args.n_const, args.n_dims,
+                                 args.constituents, args.HLVs, hlv_list,
+                                 shuffling=True, verbose=False)
+                ch_labels = make_labels(ch, args.n_classes)
+                if scalars and scaler is not None:
+                    ch["HLVs"] = apply_scaler(ch["HLVs"], scaler=scaler,
+                                              verbose=False)
+                w = np.ones(len(ch_labels), np.float32) if class_weight is None \
+                    else np.asarray([class_weight[int(l)] for l in ch_labels],
+                                    np.float32)
+                if args.weight_type in ("bkg_ratio", "flattening",
+                                        "match2class", "match2max"):
+                    sw, _ = get_sample_weights(
+                        {k: np.asarray(v) for k, v in ch.items()
+                         if np.ndim(v) >= 1}, ch_labels, args.weight_type,
+                        args.bkg_ratio)
+                    sw = np.asarray(sw, np.float32)
+                    # binned weight schemes are computed per chunk in
+                    # generator mode; sparse (pt, eta) bins on a small
+                    # chunk can produce inf/NaN ratios — zero those rows,
+                    # and fall back to class weights alone if the whole
+                    # chunk degenerates
+                    sw = np.where(np.isfinite(sw), sw, 0.0)
+                    if sw.sum() > 0:
+                        w = w * sw
+                    else:
+                        print("chunk weight scheme degenerate -> uniform")
+                inputs = {}
+                if scalars:
+                    inputs["HLVs"] = ch["HLVs"]
+                if const_dim:
+                    inputs["constituents"] = ch["constituents"]
+                yield inputs, ch_labels, w
+
+        params, history = train_classifier_streaming(
+            params, config, load_iter, inputs_for(valid_idx),
+            labels[valid_idx], args.n_epochs, batch_size, args.lr,
+            args.patience, model_out)
+    elif args.n_epochs > 0:
         params, history = train_classifier(
             params, config, inputs_for(train_idx), labels[train_idx],
             inputs_for(valid_idx), labels[valid_idx], args.n_epochs,

@@ -55,3 +55,15 @@ def test_sweep_cli_selects_grid_point(out_dir, capsys):
     text = capsys.readouterr().out
     # task 3 of the 2x2 grid -> lr=1e-4, beta=2 (row-major, ref utils.py:597-600)
     assert "0.0001" in text and os.path.isdir(out)
+
+
+def test_jetid_cli_generator_mode(out_dir):
+    """--generator ON streams training chunks per epoch (ref
+    classifier.py:257-266); the full training sample is never
+    materialized and quality matches the in-memory path class."""
+    from atlasvae.cli.jetid import main
+    out = str(out_dir / "jetid_gen")
+    main(["--synthetic", "3000", "--n_train", "1500", "--n_valid", "600",
+          "--batch_size", "200", "--n_epochs", "2", "--plotting", "OFF",
+          "--generator", "ON", "--memGB", "0.0002", "--output_dir", out])
+    assert os.path.isfile(os.path.join(out, "model.npz"))
