@@ -189,3 +189,65 @@ def test_bump_scan_global_sigma_matches_reference(ref, rng):
     p1, p2 = ours.global_Pval, theirs.global_Pval
     se = np.sqrt(max(p1, p2, 1 / 400) / 400) * 4 + 0.01
     assert abs(p1 - p2) < se + 0.05
+
+
+def test_deficit_scan_matches_reference(ref):
+    """mode='deficit' window scan vs the reference's _scan_hist."""
+    import jax.numpy as jnp
+    from atlasvae.stats import scan_histograms
+    _, RefBH = ref
+    rng = np.random.default_rng(11)  # local: shared-fixture order varies
+    nbins = 50
+    edges = np.linspace(0, 500, nbins + 1)
+    bkg = rng.uniform(80, 300, nbins)
+    data = rng.poisson(bkg).astype(float)
+    # mild deficit: the reference computes p = 1 - gammainc(nh+1, nr) in
+    # float64, which cancels to exactly 0 beyond ~8 sigma and then
+    # tie-breaks argmin to the smallest width; our log-space p stays
+    # exact there (quirk fixed, not replicated), so parity is only
+    # meaningful where the reference's float64 still resolves
+    data[25:28] = np.maximum(data[25:28] - 30, 0)
+    hunter = RefBH(mode="deficit", width_min=2, width_max=6, width_step=1,
+                   scan_step=1, npe=1, nworker=1, seed=0, bins=edges)
+    hunter.min_Pval_ar = np.empty(1)
+    hunter.min_loc_ar = np.empty(1, dtype=int)
+    hunter.min_width_ar = np.empty(1, dtype=int)
+    hunter._scan_hist(data, bkg, np.arange(2, 7), 0)
+    ours = scan_histograms(jnp.asarray(data, jnp.float32)[None, :],
+                           jnp.asarray(bkg, jnp.float32),
+                           (2, 3, 4, 5, 6), (1, 1, 1, 1, 1), 0, nbins,
+                           mode="deficit")
+    min_logp, min_loc, min_width = (np.asarray(o) for o in ours[:3])
+    assert int(min_loc[0]) == int(hunter.min_loc_ar[0])
+    assert int(min_width[0]) == int(hunter.min_width_ar[0])
+    np.testing.assert_allclose(np.exp(float(min_logp[0])),
+                               float(hunter.min_Pval_ar[0]), rtol=2e-3)
+
+
+def test_sideband_scan_matches_reference(ref):
+    """use_sideband normalization vs the reference's _scan_hist."""
+    import jax.numpy as jnp
+    from atlasvae.stats import scan_histograms
+    _, RefBH = ref
+    rng = np.random.default_rng(12)  # local: shared-fixture order varies
+    nbins = 50
+    edges = np.linspace(0, 500, nbins + 1)
+    bkg = rng.uniform(100, 350, nbins)
+    data = rng.poisson(bkg * 1.17).astype(float)  # mis-normalized bkg
+    data[18:21] += 90
+    hunter = RefBH(width_min=2, width_max=6, width_step=1, scan_step=1,
+                   npe=1, nworker=1, seed=0, bins=edges, use_sideband=True)
+    hunter.min_Pval_ar = np.empty(1)
+    hunter.min_loc_ar = np.empty(1, dtype=int)
+    hunter.min_width_ar = np.empty(1, dtype=int)
+    hunter.norm_scale = np.empty(1)
+    hunter._scan_hist(data, bkg, np.arange(2, 7), 0)
+    ours = scan_histograms(jnp.asarray(data, jnp.float32)[None, :],
+                           jnp.asarray(bkg, jnp.float32),
+                           (2, 3, 4, 5, 6), (1, 1, 1, 1, 1), 0, nbins,
+                           use_sideband=True)
+    min_logp, min_loc, min_width = (np.asarray(o) for o in ours[:3])
+    assert int(min_loc[0]) == int(hunter.min_loc_ar[0])
+    assert int(min_width[0]) == int(hunter.min_width_ar[0])
+    np.testing.assert_allclose(np.exp(float(min_logp[0])),
+                               float(hunter.min_Pval_ar[0]), rtol=5e-3)
