@@ -246,6 +246,13 @@ def main(argv=None):
                                  [lo, hi], cuts, args.n_const, args.n_dims,
                                  args.constituents, args.HLVs, hlv_list,
                                  shuffling=True, verbose=False)
+                if args.train_cuts:  # applied per chunk in generator mode
+                    from ..utils.expr import evaluate_cut
+                    keep = evaluate_cut(args.train_cuts,
+                                        {k: np.asarray(v) for k, v in ch.items()
+                                         if np.ndim(v) >= 1})
+                    ch = {k: np.asarray(v)[keep] if np.ndim(v) >= 1 else v
+                          for k, v in ch.items()}
                 ch_labels = make_labels(ch, args.n_classes)
                 if scalars and scaler is not None:
                     ch["HLVs"] = apply_scaler(ch["HLVs"], scaler=scaler,
