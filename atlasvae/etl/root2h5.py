@@ -164,8 +164,15 @@ def convert(input_path, output_path, sample_type, n_constituents="unknown",
     else:
         id_list = table.get("dsids", [])
         output_file = f"{sample_type}.h5"
+    if not os.path.isdir(input_path):
+        raise SystemExit(f"input_path '{input_path}' does not exist — point "
+                         "it at a directory of ROOT ntuples "
+                         "(ref tools/root2h5.py input layout)")
     data_paths = sorted(p for p in os.listdir(input_path)
                         if len(p.split(".")) > 2 and p.split(".")[2] in id_list)
+    if not data_paths:
+        raise SystemExit(f"no ROOT files matching DSIDs {id_list} under "
+                         f"'{input_path}'")
     root_files = get_files(input_path, data_paths)
     var_list = SCALARS + JET_VAR + OTHERS
     data = read_root_files(root_files, var_list, sample_type, weights_table,
