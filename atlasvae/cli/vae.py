@@ -43,6 +43,10 @@ def build_parser():
     parser.add_argument("--HLV_scaler_in", default="")
     parser.add_argument("--HLV_scaler_out", default="")
     parser.add_argument("--hist_file", default="history.pkl")
+    parser.add_argument("--state_file", default="",
+                        help="full-train-state checkpoint (params + Adam "
+                             "moments + lr schedule + RNG key): resumes "
+                             "bit-exactly, unlike weights-only --model_in")
     parser.add_argument("--output_dir", default="outputs")
     parser.add_argument("--plotting", default="ON")
     parser.add_argument("--apply_cuts", default="OFF")
@@ -159,10 +163,12 @@ def main(argv=None):
                                    args.n_valid, ood_sample, args.weight_type,
                                    train_cuts, args.constituents, args.HLVs,
                                    hlv_list, bin_sizes, hlv_scaler, const_scaler)
+        state_file = out_root + "/" + args.state_file if args.state_file else None
         params, _ = train_model(params, train_gen, valid_gen, args.OE_type,
                                 args.n_epochs, args.batch_size, args.beta,
                                 args.lamb, args.margin, args.lr, args.hist_file,
-                                args.model_in, args.model_out, mesh=mesh)
+                                args.model_in, args.model_out, mesh=mesh,
+                                state_file=state_file)
         if os.path.isfile(args.model_out):
             params = load_weights(args.model_out, params)
     if not on(args.plotting) and not on(args.apply_cuts):

@@ -35,11 +35,18 @@ def features(sample):
 def train_model(params, train_sample, valid_sample, oe_type="KLD", n_epochs=1,
                 batch_size=5000, beta=0.0, lamb=0.0, margin=0.0, lr=1e-3,
                 hist_file=None, model_in=None, model_out=None, mesh=None,
-                seed=0, activation="relu", valid_batch_size=int(1e6)):
+                seed=0, activation="relu", valid_batch_size=int(1e6),
+                state_file=None):
     """Train the VAE; returns (params, history).
 
     ``train_sample``/``valid_sample`` iterate (bkg_sample, ood_sample)
     load pairs (BatchGenerator or a list of such pairs).
+
+    ``state_file``: full-train-state checkpoint written every epoch and
+    resumed from when present — params, optimizer moments, current lr,
+    plateau counter, and RNG key, so a resumed run continues the
+    original run bit-for-bit (the reference's weights-only resume
+    restarts Adam moments and the LR schedule, SURVEY.md S5).
     """
     optimizer = make_optimizer()
     opt_state = optimizer.init(params)
@@ -54,11 +61,23 @@ def train_model(params, train_sample, valid_sample, oe_type="KLD", n_epochs=1,
     if lamb != 0:
         history["OE"] = []
     history.update({"Train loss": [], "Valid loss": []})
-    if hist_file and os.path.isfile(hist_file) and model_in and os.path.isfile(model_in):
+    resuming_state = state_file and os.path.isfile(state_file)
+    if hist_file and os.path.isfile(hist_file) and \
+            (resuming_state or (model_in and os.path.isfile(model_in))):
         history = load_history(hist_file)
 
     key = jax.random.PRNGKey(seed)
     count = 0
+    if resuming_state:
+        from .checkpoint import load_pytree
+        state = load_pytree(state_file, {"params": params, "opt": opt_state,
+                                         "lr": np.float32(lr),
+                                         "count": np.int32(count), "key": key})
+        params, opt_state = state["params"], state["opt"]
+        lr, count = float(state["lr"]), int(state["count"])
+        key = state["key"]
+        print(f"Resuming full train state from {state_file} "
+              f"(lr={lr:g}, plateau count={count})")
     load_cache = LoadCache()
     print("STARTING TRAINING (loads/epoch: %d)" % len(train_sample))
     for epoch in range(n_epochs):
@@ -108,10 +127,18 @@ def train_model(params, train_sample, valid_sample, oe_type="KLD", n_epochs=1,
             history[k] = list(history[k]) + [float(losses[k]) if k in losses else 0.0]
         if hist_file:
             save_history(history, hist_file)
-        if epoch > 0:
+        # a resumed run has prior history to compare against, so its
+        # first epoch checkpoints too (a fresh run skips epoch 0 because
+        # history[:-1] is empty, ref models.py:219)
+        if epoch > 0 or len(history["Train loss"]) > 1:
             lr, count = model_checkpoint(params, lr, history, model_out, count)
             if count is None:
                 break
+        if state_file:
+            from .checkpoint import save_pytree
+            save_pytree(state_file, {"params": params, "opt": opt_state,
+                                     "lr": np.float32(lr),
+                                     "count": np.int32(count), "key": key})
     return params, history
 
 

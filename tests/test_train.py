@@ -254,3 +254,29 @@ def test_f16_transfer_dtype_streaming(monkeypatch):
     b = device_put_load(batch_load(bkg["HLVs"], ood["HLVs"], bkg["weights"],
                                    ood["weights"], 128))
     assert all(x.dtype == np.float32 for x in jax.tree.leaves(b))
+
+
+def test_state_file_resume_is_bit_exact(tmp_path):
+    """train_model(state_file=...) resumes params, Adam moments, lr,
+    plateau counter, AND the RNG key: 2+2 resumed epochs equal 4
+    straight epochs bit-for-bit (SURVEY S5: the reference's weights-only
+    resume restarts the optimizer and schedule)."""
+    cfg = VAEConfig(fc_layers=(16, 8), input_dim=6)
+    params = init_vae(jax.random.PRNGKey(0), cfg)
+    load = _toy_load(n=256, dim=6)
+    kw = dict(oe_type="MAE", batch_size=64, beta=1.0, lamb=1.0, margin=1.0,
+              lr=1e-3)
+
+    p4, h4 = train_model(params, [load], [load], n_epochs=4, **kw)
+
+    state = str(tmp_path / "state.npz")
+    hist = str(tmp_path / "hist.pkl")
+    train_model(params, [load], [load], n_epochs=2, state_file=state,
+                hist_file=hist, **kw)
+    p22, h22 = train_model(params, [load], [load], n_epochs=2,
+                           state_file=state, hist_file=hist, **kw)
+
+    assert h22["Train loss"] == h4["Train loss"]
+    assert h22["Valid loss"] == h4["Valid loss"]
+    for a, b in zip(jax.tree.leaves(p4), jax.tree.leaves(p22)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
