@@ -207,8 +207,9 @@ def train_aae(params, train_generator, n_cycles, batch_size, output_dir,
         bkg_w = np.concatenate([bkg_w, np.zeros(pad, np.float32)])
         ood_w = np.concatenate([ood_w, np.zeros(pad, np.float32)])
     shape = (n_batches, batch_size)
-    batches = tuple(jnp.asarray(a.reshape(shape + a.shape[1:]))
-                    for a in (bkg_x, ood_x, bkg_w, ood_w))
+    from .step import device_put_load
+    batches = device_put_load(tuple(a.reshape(shape + a.shape[1:])
+                                    for a in (bkg_x, ood_x, bkg_w, ood_w)))
 
     optimizer = make_optimizer()
     opt_ae = optimizer.init(_subtree(params, AE_KEYS))

@@ -21,7 +21,7 @@ import numpy as np
 import optax
 
 from ..models.jetid import jetid_apply
-from .step import make_optimizer, clip_gradients, LoadCache
+from .step import make_optimizer, clip_gradients, LoadCache, device_put_load
 from .checkpoint import save_pytree
 
 
@@ -85,9 +85,12 @@ def _pack(inputs, labels, weights, batch_size):
 
     w = np.zeros(padded, np.float32)
     w[:n] = weights
-    return ({k: jnp.asarray(pad(v)) for k, v in inputs.items()},
-            jnp.asarray(pad(labels.astype(np.int32))),
-            jnp.asarray(w.reshape(n_batches, batch_size)))
+    # host-side numpy: the single host->device transfer happens in
+    # device_put_load (LoadCache / v_batches), where the optional
+    # ATLASVAE_TRANSFER_DTYPE wire format can apply
+    return ({k: pad(v) for k, v in inputs.items()},
+            pad(labels.astype(np.int32)),
+            w.reshape(n_batches, batch_size))
 
 
 def train_classifier(params, config, inputs, labels, valid_inputs, valid_labels,
@@ -124,9 +127,9 @@ def train_classifier_streaming(params, config, load_iter_fn, valid_inputs,
     opt_state = optimizer.init(params)
     lr = float(lr)
     train_epoch, eval_epoch = make_jetid_step_fns(optimizer, config)
-    v_batches = _pack(valid_inputs, valid_labels,
-                      np.ones(len(valid_labels), np.float32),
-                      min(batch_size, len(valid_labels)))
+    v_batches = device_put_load(_pack(valid_inputs, valid_labels,
+                                      np.ones(len(valid_labels), np.float32),
+                                      min(batch_size, len(valid_labels))))
     key = jax.random.PRNGKey(seed)
     history = {"loss": [], "val_loss": [], "accuracy": []}
     best_val, best_params, lr_wait, stop_wait = np.inf, params, 0, 0
