@@ -54,6 +54,10 @@ def build_parser():
     parser.add_argument("--model_in", default="")
     parser.add_argument("--model_out", default="model.npz")
     parser.add_argument("--results_out", default="valid_results.pkl")
+    parser.add_argument("--results_in", default="",
+                        help="re-evaluate saved validation results without "
+                             "retraining (ref classifier.py:122-132 + "
+                             "utils.py:454-483 validation)")
     parser.add_argument("--output_dir", default="outputs")
     parser.add_argument("--plotting", default="ON")
     parser.add_argument("--feature_removal", default="OFF")
@@ -92,6 +96,29 @@ def main(argv=None):
     print("\nPROGRAM ARGUMENTS:\n" + args_banner(args))
 
     on = lambda v: v.upper() == "ON" if isinstance(v, str) else bool(v)
+    if args.results_in:
+        # saved-results re-evaluation: no data loading, no training
+        # (ref classifier.py:122-132 -> utils.py:454-483 validation)
+        path = out_root + "/" + args.results_in
+        print("\nLOADING VALIDATION RESULTS FROM", path)
+        with open(path, "rb") as f:
+            v_view, v_labels, probs = pickle.load(f)
+        if args.valid_cuts:
+            from ..utils.expr import evaluate_cut
+            keep = evaluate_cut(args.valid_cuts, v_view)
+            v_view = {k: np.asarray(v)[keep] for k, v in v_view.items()}
+            v_labels, probs = v_labels[keep], probs[keep]
+            print(f"valid_cuts kept {len(v_labels)} jets")
+        _, accuracy = compo_matrix(v_labels, (), probs)
+        print(f"\nVALIDATION SAMPLE ACCURACY: {accuracy:.2f} %")
+        _, disc_labels, disc = discriminant(v_view, v_labels, probs)
+        auc = auc_score(disc_labels, disc, v_view["weights"])
+        print(f"VALIDATION AUC (signal vs background): {auc:.4f}")
+        if on(args.plotting):
+            from ..plotting.performance import roc_curves
+            roc_curves(disc_labels, {"jet-ID": disc}, v_view["weights"],
+                       ["jet-ID"], out_root)
+        return 0
     n_devices = args.n_devices or 1
     batch_size = n_devices * args.batch_size  # ref classifier.py:137-138
     hlv_list = list(HLV_LIST)
@@ -315,18 +342,18 @@ def main(argv=None):
     # validation results (ref classifier.py:287 valid_results)
     probs = predict_classifier(params, config, inputs_for(valid_idx))
     v_labels = labels[valid_idx]
+    v_view = {k: np.asarray(v)[valid_idx] for k, v in sample.items()
+              if np.ndim(v) >= 1}
     matrix, accuracy = compo_matrix(v_labels, labels[train_idx], probs)
     print(f"\nVALIDATION SAMPLE ACCURACY: {accuracy:.2f} %")
-    _, disc_labels, disc = discriminant(
-        {k: np.asarray(v)[valid_idx] for k, v in sample.items() if np.ndim(v) >= 1},
-        v_labels, probs)
-    auc = auc_score(disc_labels, disc, sample["weights"][valid_idx])
+    _, disc_labels, disc = discriminant(v_view, v_labels, probs)
+    auc = auc_score(disc_labels, disc, v_view["weights"])
     print(f"VALIDATION AUC (signal vs background): {auc:.4f}")
     with open(out_root + "/" + args.results_out, "wb") as f:
-        pickle.dump((v_labels, probs, auc), f)
+        pickle.dump((v_view, v_labels, probs), f)
     if on(args.plotting):
         from ..plotting.performance import roc_curves
-        roc_curves(disc_labels, {"jet-ID": disc}, sample["weights"][valid_idx],
+        roc_curves(disc_labels, {"jet-ID": disc}, v_view["weights"],
                    ["jet-ID"], out_root)
     return 0
 

@@ -192,6 +192,7 @@ class BumpHunter1D:
         self.signal_ratio = None
         self.data_inject = []
         self.sigma_ar = []
+        self.str_ar = []
 
     def save_state(self):
         """Snapshot every knob + result into a dict (ref :729-779)."""
@@ -496,6 +497,7 @@ class BumpHunter1D:
                                             self.use_sideband, self.sideband_width)[0])
 
         self.sigma_ar = []
+        self.str_ar = []
         self.global_Pval, self.significance = 1.0, 0.0
         strength, i = 0.0, 1
         data_hist = bkg_hist
@@ -540,6 +542,7 @@ class BumpHunter1D:
             self.significance = sigmas[0]
             self.sigma_ar.append([sigmas[0], abs(sigmas[0] - sigmas[1]),
                                   abs(sigmas[0] - sigmas[2])])
+            self.str_ar.append(strength)
             if verbose:
                 print(f"Global p-value : {self.global_Pval:1.4f}   "
                       f"significance = {self.significance:1.5f}")
@@ -555,6 +558,45 @@ class BumpHunter1D:
         # (ref :1426,:1500 t_ar = append(t_ar_bkg, -log(min_Pval_ar)))
         self.t_ar = np.append(t_bkg, t_inj)
         self.sigma_ar = np.array(self.sigma_ar)
+        self.str_ar = np.array(self.str_ar)
+
+    def plot_inject(self, filename=None):
+        """Significance vs injected signal strength after signal_inject,
+        with the 16/84-quantile band as asymmetric error bars and upper
+        limits where the band saturates (ref :1921-2014).  For
+        str_scale='log' a second log-x panel is saved alongside
+        (filename may be a (linear, log) pair as in the reference)."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        sigma = np.asarray(self.sigma_ar)
+        strengths = np.asarray(self.str_ar)[:len(sigma)]
+        is_sat = sigma[:, 2] == 0
+
+        def draw(log_x, fname):
+            fig = plt.figure(figsize=(12, 8))
+            plt.title("Significance vs signal strength", size="xx-large")
+            plt.errorbar(strengths, sigma[:, 0],
+                         yerr=[sigma[:, 1], sigma[:, 2]], marker="o",
+                         linewidth=2, uplims=is_sat)
+            if log_x:
+                plt.xscale("log")
+            plt.xlabel("Signal strength", size="xx-large")
+            plt.ylabel("Significance", size="xx-large")
+            if fname is None:
+                plt.show()
+            else:
+                plt.savefig(fname, bbox_inches="tight")
+                plt.close(fig)
+
+        if self.str_scale == "log":
+            lin_name, log_name = (filename if isinstance(filename, (tuple, list))
+                                  else (filename, None))
+            draw(False, lin_name)
+            if log_name is not None or filename is None:
+                draw(True, log_name)
+        else:
+            draw(False, filename)
 
 
 # --------------------------------------------------- batched cut scanning

@@ -200,3 +200,22 @@ def test_bump_scan_under_rbg_prng(rng):
         assert np.isfinite(np.asarray(x)).all()
     finally:
         jax.config.update("jax_default_prng_impl", old)
+
+
+def test_plot_inject_saves_figure(tmp_path, rng):
+    """plot_inject renders the significance-vs-strength curve recorded
+    by signal_inject (ref bumphunter_1dim.py:1921-2014)."""
+    from atlasvae.stats import BumpHunter1D
+    bins = np.linspace(0, 400, 41)
+    bkg_hist = np.histogram(rng.exponential(60, 30_000) + 30, bins)[0].astype(float)
+    sig_hist = np.histogram(rng.normal(180, 8, 800), bins)[0].astype(float)
+    bh = BumpHunter1D(rang=(0, 400), width_min=2, width_max=4, scan_step=1,
+                      npe=50, npe_inject=30, bins=bins, seed=1, sigma_limit=3,
+                      str_min=0.3, str_step=0.3, str_scale="lin",
+                      signal_exp=800)
+    bh.signal_inject(sig_hist, bkg_hist, is_hist=True, verbose=False)
+    out = str(tmp_path / "inject.png")
+    bh.plot_inject(out)
+    import os
+    assert os.path.getsize(out) > 1000
+    assert len(bh.str_ar) == len(bh.sigma_ar)
