@@ -96,7 +96,7 @@ def _pack(inputs, labels, weights, batch_size):
 def train_classifier(params, config, inputs, labels, valid_inputs, valid_labels,
                      epochs=100, batch_size=5000, lr=1e-3, patience=10,
                      class_weight=None, sample_weight=None, model_out=None,
-                     seed=0, verbose=True):
+                     seed=0, verbose=True, state_file=None):
     """Fit the classifier on an in-memory sample; returns
     (best params, history dict).  Delegates to the streaming trainer
     with a single pre-weighted load per epoch."""
@@ -108,13 +108,13 @@ def train_classifier(params, config, inputs, labels, valid_inputs, valid_labels,
     return train_classifier_streaming(
         params, config, lambda: [(inputs, labels, weights)], valid_inputs,
         valid_labels, epochs, batch_size, lr, patience, model_out, seed,
-        verbose)
+        verbose, state_file=state_file)
 
 
 def train_classifier_streaming(params, config, load_iter_fn, valid_inputs,
                                valid_labels, epochs=10, batch_size=5000,
                                lr=1e-3, patience=10, model_out=None, seed=0,
-                               verbose=True, min_delta=1e-6):
+                               verbose=True, min_delta=1e-6, state_file=None):
     """Generator-based training (ref jet-ID/classifier.py:257-266
     generator path) — the single implementation of the epoch loop.
 
@@ -122,7 +122,15 @@ def train_classifier_streaming(params, config, load_iter_fn, valid_inputs,
     loads per epoch.  Callback semantics per ref jet-ID/models.py:94-99:
     ModelCheckpoint(best val_loss), ReduceLROnPlateau(patience 5,
     factor 0.5, min_delta), EarlyStopping(restore best), TerminateOnNaN.
+
+    ``state_file``: full-train-state checkpoint (params, best params,
+    Adam moments, lr, callback counters, RNG key) written every epoch
+    and resumed from when present — a resumed run continues bit-exactly
+    (Keras' weights-only ModelCheckpoint restarts the optimizer and
+    callback state, SURVEY.md S5).
     """
+    import os
+    from .checkpoint import load_pytree
     optimizer = make_optimizer()
     opt_state = optimizer.init(params)
     lr = float(lr)
@@ -133,6 +141,17 @@ def train_classifier_streaming(params, config, load_iter_fn, valid_inputs,
     key = jax.random.PRNGKey(seed)
     history = {"loss": [], "val_loss": [], "accuracy": []}
     best_val, best_params, lr_wait, stop_wait = np.inf, params, 0, 0
+    if state_file and os.path.isfile(state_file):
+        st = load_pytree(state_file, {
+            "params": params, "best": params, "opt": opt_state,
+            "lr": np.float32(lr), "best_val": np.float32(0),
+            "lr_wait": np.int32(0), "stop_wait": np.int32(0), "key": key})
+        params, best_params, opt_state = st["params"], st["best"], st["opt"]
+        lr, best_val = float(st["lr"]), float(st["best_val"])
+        lr_wait, stop_wait = int(st["lr_wait"]), int(st["stop_wait"])
+        key = st["key"]
+        print(f"Resuming full classifier state from {state_file} "
+              f"(lr={lr:g}, best val_loss={best_val:.4f})")
     load_cache = LoadCache()
     for epoch in range(epochs):
         start = time.time()
@@ -186,6 +205,12 @@ def train_classifier_streaming(params, config, load_iter_fn, valid_inputs,
                 if verbose:
                     print("Early stopping — restoring best weights")
                 break
+        if state_file:
+            save_pytree(state_file, {
+                "params": params, "best": best_params, "opt": opt_state,
+                "lr": np.float32(lr), "best_val": np.float32(best_val),
+                "lr_wait": np.int32(lr_wait), "stop_wait": np.int32(stop_wait),
+                "key": key})
     return best_params, history
 
 

@@ -208,3 +208,30 @@ def test_mixed_precision_bf16():
     assert hist["loss"][-1] < hist["loss"][0]
     # master weights stay float32
     assert all(a.dtype == np.float32 for a in jax.tree.leaves(trained))
+
+
+def test_classifier_state_resume_bit_exact(tmp_path):
+    """state_file resume of the classifier: 2+2 epochs equal 4 straight
+    epochs bit-for-bit, including Adam moments, callback counters, and
+    the dropout RNG stream."""
+    from atlasvae.train.jetid_loop import train_classifier
+    rng = np.random.default_rng(9)
+    n = 600
+    hlv = rng.normal(size=(n, 6)).astype(np.float32)
+    y = (hlv[:, 0] > 0).astype(int)
+    cfg = JetIDConfig(n_classes=2, scalars=("HLVs",), scalar_dims=(6,),
+                      fcn_neurons=(16,), branch_neurons=(16,), dropout=0.1)
+    params = init_jetid(jax.random.PRNGKey(0), cfg)
+    inputs = {"HLVs": hlv}
+    kw = dict(batch_size=200, lr=1e-3, verbose=False)
+
+    p4, h4 = train_classifier(params, cfg, inputs, y, inputs, y, epochs=4, **kw)
+
+    state = str(tmp_path / "cls_state.npz")
+    train_classifier(params, cfg, inputs, y, inputs, y, epochs=2,
+                     state_file=state, **kw)
+    p22, h22 = train_classifier(params, cfg, inputs, y, inputs, y, epochs=2,
+                                state_file=state, **kw)
+    assert h22["val_loss"] == h4["val_loss"][2:]
+    for a, b in zip(jax.tree.leaves(p4), jax.tree.leaves(p22)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
