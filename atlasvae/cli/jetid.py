@@ -58,6 +58,10 @@ def build_parser():
                         help="re-evaluate saved validation results without "
                              "retraining (ref classifier.py:122-132 + "
                              "utils.py:454-483 validation)")
+    parser.add_argument("--state_file", default="",
+                        help="full-train-state checkpoint (params + Adam "
+                             "moments + callback counters + RNG key): "
+                             "resumes bit-exactly")
     parser.add_argument("--output_dir", default="outputs")
     parser.add_argument("--plotting", default="ON")
     parser.add_argument("--feature_removal", default="OFF")
@@ -311,16 +315,18 @@ def main(argv=None):
                     inputs["constituents"] = ch["constituents"]
                 yield inputs, ch_labels, w
 
+        state_file = out_root + "/" + args.state_file if args.state_file else None
         params, history = train_classifier_streaming(
             params, config, load_iter, inputs_for(valid_idx),
             labels[valid_idx], args.n_epochs, batch_size, args.lr,
-            args.patience, model_out)
+            args.patience, model_out, state_file=state_file)
     elif args.n_epochs > 0:
+        state_file = out_root + "/" + args.state_file if args.state_file else None
         params, history = train_classifier(
             params, config, inputs_for(train_idx), labels[train_idx],
             inputs_for(valid_idx), labels[valid_idx], args.n_epochs,
             batch_size, args.lr, args.patience, class_weight, sample_weight,
-            model_out)
+            model_out, state_file=state_file)
     elif args.model_in and os.path.isfile(out_root + "/" + args.model_in):
         params = load_pytree(out_root + "/" + args.model_in, params)
 
