@@ -56,16 +56,16 @@ def _codes(m, pt, m0, pt0):
 @functools.partial(jax.jit, static_argnames=("n_levels",))
 def _pair_indices(key, m_bkg, pt_bkg, sorted_codes, m0, pt0, n_levels=2 * _BITS):
     codes = _codes(m_bkg, pt_bkg, m0, pt0)
-    # Range [lo, hi) of OoD jets sharing the bkg jet's cell at each level.
-    los, his = [], []
-    for level in range(n_levels + 1):
-        prefix = codes >> level
-        lo = jnp.searchsorted(sorted_codes, prefix << level, side="left")
-        hi = jnp.searchsorted(sorted_codes, (prefix + 1) << level, side="left")
-        los.append(lo)
-        his.append(hi)
-    lo = jnp.stack(los, axis=0)   # (L+1, B)
-    hi = jnp.stack(his, axis=0)
+    # Range [lo, hi) of OoD jets sharing the bkg jet's cell at each level,
+    # all levels resolved in TWO batched searchsorted calls (an unrolled
+    # per-level loop emitted 54 separate sorted scans and dominated the
+    # program's one-time compile through the remote-compile tunnel)
+    levels = jnp.arange(n_levels + 1, dtype=jnp.int32)[:, None]   # (L+1, 1)
+    prefix = codes[None, :] >> levels                             # (L+1, B)
+    lo = jnp.searchsorted(sorted_codes, (prefix << levels).ravel(),
+                          side="left").reshape(prefix.shape)
+    hi = jnp.searchsorted(sorted_codes, ((prefix + 1) << levels).ravel(),
+                          side="left").reshape(prefix.shape)
     nonempty = hi > lo
     # Finest non-empty level (argmax returns the first True).
     level = jnp.argmax(nonempty, axis=0)
