@@ -146,11 +146,22 @@ def aae_bump_scan(y_true, x_loss, disc_name, sample, sig_label, output_dir,
         kept.append(i)
     if not kept:
         return None
-    nbins = max(len(h) for h in data_hists)
+    # round the padded width up to a multiple of 32 and the row count up
+    # to the full cut grid: the scan's one-time XLA compile (~20 s via
+    # the remote tunnel) is cached per shape, and both the adaptive bin
+    # count and the surviving-cut count vary per evaluation.  Trailing
+    # zero bins/rows never scan (bkg=0 -> every window invalid)
+    nbins = -(-max(len(h) for h in data_hists) // 32) * 32
+    n_rows = max(len(data_hists), n_cuts)
     pad = lambda h: np.pad(h, (0, nbins - len(h)))
+    data_mat = np.zeros((n_rows, nbins))
+    bkg_mat = np.zeros((n_rows, nbins))
+    data_mat[:len(data_hists)] = np.stack([pad(h) for h in data_hists])
+    bkg_mat[:len(bkg_hists)] = np.stack([pad(h) for h in bkg_hists])
     loc_sigma, _, _, bin_sigma = map(np.asarray, batched_local_sigma(
-        np.stack([pad(h) for h in data_hists]),
-        np.stack([pad(h) for h in bkg_hists]), _WIDTHS, _STEPS))
+        data_mat, bkg_mat, _WIDTHS, _STEPS))
+    loc_sigma = loc_sigma[:len(data_hists)]
+    bin_sigma = bin_sigma[:len(data_hists)]
     max_sigma = bin_sigma.max(axis=1)
     finite = np.isfinite(loc_sigma) & np.isfinite(max_sigma)
     kept = np.asarray(kept)[finite]

@@ -127,17 +127,25 @@ def bump_scan(y_true, x_loss, loss_metric, sample, sig_data, output_dir,
             continue
     if not kept:
         return None
-    nbins = max(len(h) for h in data_hists)
+    # round the padded width up to a multiple of 32 and the row count up
+    # to the full cut grid: the scan's one-time XLA compile (~20 s via
+    # the remote tunnel) is cached per shape, and both the adaptive bin
+    # count and the surviving-cut count vary per evaluation.  Trailing
+    # zero bins/rows never scan (bkg=0 -> every window invalid)
+    nbins = -(-max(len(h) for h in data_hists) // 32) * 32
+    n_rows = max(len(data_hists), n_cuts + 1)
     pad = lambda h: np.pad(h, (0, nbins - len(h)))
-    data_mat = np.stack([pad(h) for h in data_hists])
-    bkg_mat = np.stack([pad(h) for h in bkg_hists])
+    data_mat = np.zeros((n_rows, nbins))
+    bkg_mat = np.zeros((n_rows, nbins))
+    data_mat[:len(data_hists)] = np.stack([pad(h) for h in data_hists])
+    bkg_mat[:len(bkg_hists)] = np.stack([pad(h) for h in bkg_hists])
     # the plotted quantity is the data-only LOCAL sigma — no pseudo
     # experiments needed for the per-cut curve (the reference runs the
     # full npe=1000 pseudo scan per cut and then uses only loc_sigma,
     # ref OE-VAE/plots.py:285-291 + utils.py:494 return)
     loc_sigma, _, _, _ = map(np.asarray, batched_local_sigma(
         data_mat, bkg_mat, _WIDTHS, _STEPS))
-    sigma = loc_sigma
+    sigma = loc_sigma[:len(data_hists)]
     kept = np.asarray(kept)
     thresholds_k, eff_k = np.take(thresholds, kept), np.take(eff, kept)
     finite = np.isfinite(sigma)
