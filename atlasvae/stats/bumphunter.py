@@ -260,6 +260,16 @@ class BumpHunter1D:
         data_hist, bkg_hist = self._histogram(data, bkg, is_hist)
         widths, steps = self._widths(len(data_hist))
         hinf, hsup = self._scan_range(bkg_hist)
+        # pad nbins up to a multiple of 32 so evaluations with different
+        # adaptive bin counts share one compiled scan (the one-time XLA
+        # compile costs ~20 s through the remote-compile tunnel); widths
+        # and the [hinf, hsup) scan range come from the TRUE bin count,
+        # so padded zero bins are never scanned
+        nbins_true = len(data_hist)
+        tail = (-nbins_true) % 32
+        if tail:
+            data_hist = np.pad(data_hist, (0, tail)).astype(np.float32)
+            bkg_hist = np.pad(bkg_hist, (0, tail)).astype(np.float32)
         if verbose:
             print(f"{len(widths)} values of width will be tested")
             print("SCAN")
@@ -290,7 +300,8 @@ class BumpHunter1D:
         self.min_loc_ar = min_loc.astype(int)
         self.min_width_ar = min_width.astype(int)
         self.signal_eval = float(signal_eval[0])
-        self.res_ar = [np.exp(log_pvals[w, 0].astype(np.float64)) for w in range(len(widths))]
+        self.res_ar = [np.exp(log_pvals[w, 0, :nbins_true].astype(np.float64))
+                       for w in range(len(widths))]
         self.t_ar = -min_logp.astype(np.float64)  # t = -ln(min p), ref :1194
 
         if self.use_sideband:
