@@ -174,7 +174,19 @@ def ensure_synthetic_registry(directory=None, n_events=20_000, n_const_max=100,
     names = names or list(_SYNTHETIC_KINDS)
     for i, name in enumerate(names):
         path = directory / f"synthetic_{name}.h5"
-        if not path.exists():
+        regenerate = True
+        if path.exists():
+            # regenerate only when the existing file is SMALLER than
+            # requested — a leftover small probe file would otherwise
+            # silently clamp every later large-scale run
+            import h5py
+            with h5py.File(path, "r") as f:
+                existing = len(f[next(iter(f))])
+            regenerate = existing < n_events
+            if regenerate:
+                print(f"Regenerating {path.name}: {existing} < {n_events} "
+                      "events requested")
+        if regenerate:
             make_synthetic_dataset(path, _SYNTHETIC_KINDS[name], n_events,
                                    n_const_max=n_const_max, seed=seed + i)
         register_file(name, path)
