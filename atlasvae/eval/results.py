@@ -17,14 +17,20 @@ def plot_results(y_true, x_true, x_pred, sample, n_dims, params, metrics,
                  normal_losses="ON", decorrelation="OFF", npe=1000):
     print("\nPLOTTING PERFORMANCE RESULTS:")
     on = lambda flag: (flag.upper() == "ON") if isinstance(flag, str) else bool(flag)
+    # decorrelation accepts the reference's full value set: 'ON' (OE-VAE
+    # semantics -> 2d, ref OE-VAE/plots.py:36-39) or an explicit variant
+    # 'm'/'pt'/'2d' (ref OE-AAE/utils.py:107-145 bin_deco/mass_deco).
+    deco = str(decorrelation)
+    deco = "2d" if deco.upper() == "ON" else deco.lower()
+    deco_active = deco in ("m", "pt", "2d")
     x_losses = compute_metric_bank(x_true, x_pred, params, metrics, n_dims,
                                    sample, normal_losses=False)
     metrics = list(x_losses.keys())
-    if on(normal_losses) or on(decorrelation):
+    if on(normal_losses) or deco_active:
         x_losses = {key: loss_mapping(val) for key, val in x_losses.items()}
-    if on(decorrelation):
+    if deco_active:
         x_losses[loss_metric] = mass_deco(y_true, sample, x_losses[loss_metric],
-                                          deco="2d")
+                                          deco=deco)
     best_loss = bump_scan(y_true, x_losses[loss_metric], loss_metric, sample,
                           sig_data, output_dir, npe=npe)
     from ..plotting.performance import roc_curves, mass_correlation, loss_distributions

@@ -12,27 +12,51 @@ import numpy as np
 import jax
 
 
-def initialize(coordinator_address=None, num_processes=None, process_id=None):
-    """Bring up the JAX distributed runtime (no-op on a single host or
-    when already initialized)."""
+def _already_initialized():
+    """True when the JAX distributed runtime has a live client."""
     try:
-        if coordinator_address is not None:
-            jax.distributed.initialize(coordinator_address=coordinator_address,
-                                       num_processes=num_processes,
-                                       process_id=process_id)
-        elif jax.process_count() == 1:
-            return False
-    except RuntimeError:
-        return False  # already initialized
+        from jax._src import distributed as _dist
+        return _dist.global_state.client is not None
+    except Exception:
+        return False
+
+
+def initialize(coordinator_address=None, num_processes=None, process_id=None):
+    """Bring up the JAX distributed runtime.
+
+    Returns True when this call initialized the runtime, False when it
+    was a no-op (single host with no coordinator given, or already
+    initialized).  Genuine initialization failures (bad address,
+    unreachable coordinator, inconsistent process counts) PROPAGATE —
+    they must not be swallowed as "already initialized".
+
+    Validated in this environment: single-host no-op, already-initialized
+    detection, and error propagation (tests/test_aux.py); real multi-host
+    bring-up needs multiple coordinated processes and is exercised only
+    by the mesh/psum math riding on top (which is host-count agnostic).
+    """
+    if coordinator_address is None:
+        # no coordinator: nothing to do on a single host; on Slurm-style
+        # auto-detect environments the caller passes the address in
+        return False
+    if _already_initialized():
+        return False
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
     return True
 
 
-def host_shard_range(n_events):
+def host_shard_range(n_events, n_hosts=None, host=None):
     """This host's contiguous [start, stop) slice of the global event
-    axis — deterministic per-host data sharding."""
-    n_hosts = jax.process_count()
-    host = jax.process_index()
-    edges = np.linspace(0, n_events, n_hosts + 1, dtype=np.int64)
+    axis — deterministic per-host data sharding.  Uneven splits spread
+    the remainder over the leading hosts (linspace edges), and hosts
+    beyond n_events get empty ranges."""
+    n_hosts = jax.process_count() if n_hosts is None else int(n_hosts)
+    host = jax.process_index() if host is None else int(host)
+    if not 0 <= host < n_hosts:
+        raise ValueError(f"host {host} not in [0, {n_hosts})")
+    edges = np.linspace(0, n_events, n_hosts + 1).astype(np.int64)
     return int(edges[host]), int(edges[host + 1])
 
 

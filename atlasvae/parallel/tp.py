@@ -35,6 +35,28 @@ def tp_param_shardings(mesh, params, axis="model"):
     return jax.tree_util.tree_map_with_path(spec, params)
 
 
+def _match_param_shardings(opt_state, param_shardings, mesh):
+    """Sharding tree for an optimizer state: moments follow their
+    parameters' shardings (matched by path suffix — optax states embed
+    the param tree, e.g. ScaleByAdamState.mu['encoder']...); leaves with
+    no param counterpart (step counts) are replicated."""
+    from jax.tree_util import tree_flatten_with_path, tree_map_with_path
+
+    p_map = {tuple(str(k) for k in path): s
+             for path, s in tree_flatten_with_path(param_shardings)[0]}
+    rep = NamedSharding(mesh, P())
+
+    def spec(path, leaf):
+        keys = tuple(str(k) for k in path)
+        for i in range(len(keys)):
+            s = p_map.get(keys[i:])
+            if s is not None:
+                return s
+        return rep
+
+    return tree_map_with_path(spec, opt_state)
+
+
 def make_tp_train_step(optimizer, mesh, oe_type="KLD", beta=0.0, lamb=0.0,
                        margin=0.0, activation="relu", data_axis="data",
                        lr=1e-3):
@@ -56,12 +78,19 @@ def make_tp_train_step(optimizer, mesh, oe_type="KLD", beta=0.0, lamb=0.0,
         return params, opt_state, loss
 
     batch_sharding = NamedSharding(mesh, P(data_axis))
+    # jit once at closure creation: a per-call jax.jit(step) would build a
+    # fresh wrapper (own cache) and retrace/recompile every invocation
+    # (~20-40 s each through the remote tunnel).
+    jit_step = jax.jit(step)
 
     def run(params, opt_state, key, bkg_x, ood_x, bkg_w, ood_w):
         shardings = tp_param_shardings(mesh, params)
         params = jax.device_put(params, shardings)
+        opt_state = jax.device_put(
+            opt_state, _match_param_shardings(opt_state, shardings, mesh))
         bkg_x, ood_x = (jax.device_put(v, batch_sharding) for v in (bkg_x, ood_x))
         bkg_w, ood_w = (jax.device_put(v, batch_sharding) for v in (bkg_w, ood_w))
-        return jax.jit(step)(params, opt_state, key, bkg_x, ood_x, bkg_w, ood_w)
+        return jit_step(params, opt_state, key, bkg_x, ood_x, bkg_w, ood_w)
 
+    run.jitted = jit_step  # exposed so tests can assert cache reuse
     return run

@@ -85,6 +85,10 @@ def train_model(params, train_sample, valid_sample, oe_type="KLD", n_epochs=1,
         print("\nEpoch %d/%d:" % (epoch + 1, n_epochs))
         sums = np.zeros(4)
         n_seen = 0.0
+        # defined before the load loop: a degenerate sample with zero
+        # loads (everything cut away) must still finish the epoch with
+        # zeroed metrics, like the reference's idle Mean accumulators
+        losses = {k: 0.0 for k in history if k != "Valid loss"}
         for bkg_sample, ood_sample in train_sample:
             batches = load_cache.get(
                 (bkg_sample, ood_sample), (batch_size, n_devices),
@@ -98,12 +102,13 @@ def train_model(params, train_sample, valid_sample, oe_type="KLD", n_epochs=1,
             metrics = np.asarray(metrics)
             sums += metrics[:, :4].sum(axis=0)
             n_seen += metrics[:, 4].sum()
-            losses = {"MSE": sums[0] / n_seen}
+            d = n_seen if n_seen > 0 else 1.0  # all-padding load guard
+            losses = {"MSE": sums[0] / d}
             if beta != 0:
-                losses["KLD"] = sums[1] / n_seen
+                losses["KLD"] = sums[1] / d
             if lamb != 0:
-                losses["OE"] = sums[2] / n_seen
-            losses["Train loss"] = sums[3] / n_seen
+                losses["OE"] = sums[2] / d
+            losses["Train loss"] = sums[3] / d
             ticker = "  ".join(f"{k} = {v:4.3e}" for k, v in losses.items())
             print(f"Batches {int(metrics[:, 4].sum() // max(batch_size, 1))}: "
                   f"mean losses  -->  {ticker}", flush=True)

@@ -125,3 +125,24 @@ def test_jetid_discriminant_matches(jetid_ref, rng):
                                         printing=False)
     np.testing.assert_array_equal(l1, l2)
     np.testing.assert_allclose(d1, d2, rtol=1e-9)
+
+
+def test_aae_bin_deco_1d_matches(aae_ref):
+    """1-D (mass-only) decorrelation vs the reference's bin_deco with
+    deco='m' on identical inputs (VERDICT r1 #4 golden case)."""
+    from atlasvae.eval.deco import mass_deco
+    rng = np.random.default_rng(11)
+    n = 8000
+    m = rng.uniform(50, 500, n)
+    pt = rng.uniform(450, 1000, n)
+    y = (rng.random(n) > 0.2).astype(int)
+    loss = np.clip(m / 600 + rng.normal(0, 0.05, n), 0, 1)
+    sample = {"m": m, "pt": pt}
+    ours = mass_deco(y, sample, loss.copy(), deco="m")
+    ref_dict = {}
+    aae_ref.bin_deco(y, sample, loss.copy(), "L", deco="m",
+                     return_dict=ref_dict, multithreading=False)
+    theirs = ref_dict["L"]
+    close = np.abs(ours - theirs) < 0.05
+    assert np.mean(close) > 0.9
+    assert abs(np.corrcoef(ours, theirs)[0, 1]) > 0.985
