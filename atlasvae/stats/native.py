@@ -45,8 +45,30 @@ def load_oracle():
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int),
     ]
+    lib.bh_log_gammainc.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_double),
+    ]
     _LIB = lib
     return lib
+
+
+def oracle_log_gammainc(a, x, lower=True):
+    """Long-double log P(a,x) (lower=True) or log Q(a,x) — the oracle's
+    own tail functions, exported for sweeping the float32 JAX versions
+    (atlasvae/ops/gammainc.py) over adversarial (a, x) grids."""
+    lib = load_oracle()
+    if lib is None:
+        raise RuntimeError("native oracle unavailable (g++ not found)")
+    a = np.ascontiguousarray(np.atleast_1d(a), np.float64)
+    x = np.ascontiguousarray(np.atleast_1d(x), np.float64)
+    out = np.empty(a.shape, np.float64)
+    lib.bh_log_gammainc(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        a.size, 1 if lower else 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return out
 
 
 def oracle_scan(hists, ref, widths, scan_step=1, mode="excess"):

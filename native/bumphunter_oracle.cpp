@@ -124,6 +124,16 @@ void bh_scan(const double* hist, const double* ref, int nbins,
     *min_width = best_w;
 }
 
+// Vectorized long-double log gamma tails, exported for adversarial
+// sweep tests of the float32 JAX implementation (atlasvae/ops/gammainc.py).
+void bh_log_gammainc(const double* a, const double* x, int n, int lower,
+                     double* out) {
+    for (int i = 0; i < n; ++i) {
+        long double la = (long double)a[i], lx = (long double)x[i];
+        out[i] = (double)(lower ? log_gamma_p(la, lx) : log_gamma_q(la, lx));
+    }
+}
+
 // Batch variant over K histograms against one reference.
 void bh_scan_many(const double* hists, const double* ref, int k, int nbins,
                   const int* widths, int n_widths, int scan_step, int mode,
