@@ -1,23 +1,34 @@
-"""Benchmark: OE-VAE training throughput (jets/sec/chip) on real hardware.
+"""Benchmark: all four hot paths on real hardware, ONE JSON line.
 
-Canonical configuration = the reference's production run
-(ref OE-VAE/vae.sh:3-11): batch 1e4, FC layers 80/40/20/10, 12 HLV
-inputs, MAE outlier exposure, beta=2, lambda=5.  One "load" of 100
-batches (1e6 jets) is scanned per jitted call; throughput is measured
-after compilation.
+Primary metric = OE-VAE training throughput (jets/sec/chip) at the
+reference's canonical configuration (ref OE-VAE/vae.sh:3-11): batch 1e4,
+FC layers 80/40/20/10, 12 HLV inputs, MAE outlier exposure, beta=2,
+lambda=5.  One "load" of 1000 batches (1e7 jets) is scanned per jitted
+call; throughput is measured after compilation.
+
+Extra keys (so regressions in the non-flagship paths are
+driver-visible, VERDICT r1 #6):
+* ``infer_encode_jets_per_sec`` — deterministic encoder via the fused
+  dense-stack kernel (the predict path, ref OE-VAE/vae.py:165),
+* ``aae_cycle_jets_per_sec`` — one AE + Disc + AAE phase-epoch triplet
+  at the canonical AAE config (ref OE-AAE/train.sh:3-12: 1e6 jets,
+  batch 5e3, AE 100/100/100, disc 100/100/3, HLVs-only),
+* ``jetid_train_jets_per_sec`` — supervised FCN epoch at the reference
+  batch of 5e3/chip (ref jet-ID/classifier.py:137),
+* ``bump_scan_warm_s`` — warm wall of the production statistics shapes:
+  100-cut local-sigma scan + one npe=1000 global pseudo-experiment scan
+  (ref OE-VAE/plots.py:262-291 workload).
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); the
 denominator is a provisional estimate of its eager-TF single-GPU
-throughput at the same config (~1e6 jets/s: ~10 ms/batch of 1e4 — three
-uncompiled VAE forwards + tape backward + per-batch Python dispatch,
-ref OE-VAE/models.py:177-200).  To be replaced by an empirical
-measurement when the reference can be run side-by-side.
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+throughput at the same config (~1e6 jets/s, per-batch Python dispatch,
+ref OE-VAE/models.py:177-200).  Empirical same-hardware head-to-head:
+11.7-11.9x on CPU (benchmarks/bench_reference_cpu.py, BASELINE.md).
 """
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -29,14 +40,26 @@ os.environ.setdefault("ATLASVAE_PRNG", "rbg")
 REFERENCE_EAGER_JETS_PER_SEC = 1.0e6  # provisional, see module docstring
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _timed(fn, fetch, reps=3):
+    """Median wall of fn(); fetch(out) must move data to host —
+    block_until_ready does NOT synchronize through the axon tunnel."""
+    times = []
+    for _ in range(reps):
+        start = time.perf_counter()
+        fetch(fn())
+        times.append(time.perf_counter() - start)
+    return float(np.median(times))
+
+
+def bench_vae(jax, jnp):
     from atlasvae.models import VAEConfig, init_vae
     from atlasvae.train.step import make_vae_step_fns, make_optimizer, batch_load
     from atlasvae.ops import fused_mlp_apply
 
-    backend = jax.default_backend()
     config = VAEConfig(fc_layers=(80, 40, 20, 10), input_dim=12)
     params = init_vae(jax.random.PRNGKey(0), config)
     optimizer = make_optimizer()
@@ -55,38 +78,136 @@ def main():
     rng = np.random.default_rng(0)
     x = rng.normal(size=(n, 12)).astype(np.float32)
     w = np.ones(n, np.float32)
-    batches = batch_load(x, x + 0.5, w, w, batch_size)
-    batches = jax.device_put(batches)
+    batches = jax.device_put(batch_load(x, x + 0.5, w, w, batch_size))
     key = jax.random.PRNGKey(1)
 
-    # compile + warmup
-    p, o, m = train_on_load(params, opt_state, lr, key, *batches)
-    jax.block_until_ready((p, o, m))
-    # timed runs.  block_until_ready does NOT synchronize through the
-    # axon remote-device tunnel; a device->host transfer does, so each
-    # rep fetches the (tiny) metrics array to force completion.
-    reps = 5
-    times = []
-    for _ in range(reps):
-        start = time.perf_counter()
-        p, o, m = train_on_load(p, o, lr, key, *batches)
-        np.asarray(m)
-        times.append(time.perf_counter() - start)
-    train_jps = n / float(np.median(times))
+    _log("compiling VAE train step...")
+    state = [params, opt_state]
+    p, o, m = train_on_load(state[0], state[1], lr, key, *batches)
+    np.asarray(m)
+    state[0], state[1] = p, o
 
-    # inference throughput: deterministic encoder+decoder via the fused
-    # Pallas dense-stack kernel (the predict path, ref OE-VAE/vae.py:165)
+    def step():
+        p, o, m = train_on_load(state[0], state[1], lr, key, *batches)
+        state[0], state[1] = p, o
+        return m
+
+    train_jps = n / _timed(step, lambda m: np.asarray(m), reps=5)
+
+    # inference: deterministic encoder via the fused dense-stack kernel
     stack = (params["encoder"]["hidden"] + [params["encoder"]["mean"]])
     xb = jnp.asarray(x)
-    out = fused_mlp_apply(stack, xb)
-    np.asarray(out[:1])
-    times = []
-    for _ in range(reps):
-        start = time.perf_counter()
-        out = fused_mlp_apply(stack, xb)
-        np.asarray(out[-1:])  # force completion through the tunnel
-        times.append(time.perf_counter() - start)
-    infer_jps = n / float(np.median(times))
+    _log("compiling fused inference kernel...")
+    np.asarray(fused_mlp_apply(stack, xb)[:1])
+    infer_jps = n / _timed(lambda: fused_mlp_apply(stack, xb),
+                           lambda out: np.asarray(out[-1:]), reps=5)
+    return train_jps, infer_jps
+
+
+def bench_aae(jax):
+    from atlasvae.models.aae import AAEConfig, init_aae
+    from atlasvae.train.aae_loop import make_aae_step_fns
+    import optax
+
+    config = AAEConfig(input_dim=12)
+    params = init_aae(jax.random.PRNGKey(0), config)
+    optimizer = optax.adam(1.0)
+    ae_epoch, disc_epoch, aae_epoch = make_aae_step_fns(
+        optimizer, lamb=5.0, beta=2.0, lr=1e-6)
+
+    n, batch = 1_000_000, 5_000
+    nb = n // batch
+    rng = np.random.default_rng(0)
+    shape = (nb, batch, 12)
+    bkg = jax.device_put(rng.normal(size=shape).astype(np.float32))
+    ood = jax.device_put(rng.normal(1.0, 1.0, size=shape).astype(np.float32))
+    w = jax.device_put(np.ones((nb, batch), np.float32))
+    perm = jax.device_put(np.arange(nb, dtype=np.int32))
+
+    from atlasvae.train.aae_loop import _subtree, AE_KEYS, DISC_KEYS
+    opt_ae = optimizer.init(_subtree(params, AE_KEYS))
+    opt_disc = optimizer.init(_subtree(params, DISC_KEYS))
+
+    state = {"p": params, "ae": opt_ae, "disc": opt_disc}
+
+    def cycle():
+        p, oa, m1 = ae_epoch(state["p"], state["ae"], perm, bkg, ood, w, w)
+        p, od, m2 = disc_epoch(p, state["disc"], perm, bkg, ood, w, w)
+        p, oa2, m3 = aae_epoch(p, oa, perm, bkg, ood, w, w)
+        state["p"], state["ae"], state["disc"] = p, oa2, od
+        return m3
+
+    _log("compiling AAE phase epochs...")
+    np.asarray(cycle())
+    return 3 * n / _timed(cycle, lambda m: np.asarray(m), reps=3)
+
+
+def bench_jetid(jax):
+    from atlasvae.models.jetid import JetIDConfig, init_jetid
+    from atlasvae.train.jetid_loop import make_jetid_step_fns, _pack
+    import optax
+
+    config = JetIDConfig(n_classes=2, scalars=("scalars",), scalar_dims=(16,),
+                         nn_type="FCN")
+    params = init_jetid(jax.random.PRNGKey(0), config)
+    optimizer = optax.adam(1.0)
+    train_epoch, _ = make_jetid_step_fns(optimizer, config)
+
+    n, batch = 1_000_000, 5_000  # ref batch = n_gpus x 5e3, 1 chip here
+    rng = np.random.default_rng(0)
+    inputs = {"scalars": rng.normal(size=(n, 16)).astype(np.float32)}
+    labels = rng.integers(0, 2, n)
+    inputs, labels, weights = _pack(inputs, labels, np.ones(n, np.float32),
+                                    batch)
+    inputs = jax.device_put(inputs)
+    labels = jax.device_put(labels)
+    weights = jax.device_put(weights)
+    state = {"p": params, "o": optimizer.init(params)}
+    key = jax.random.PRNGKey(1)
+    lr = np.float32(1e-3)
+
+    def epoch():
+        p, o, m = train_epoch(state["p"], state["o"], lr, key, inputs, labels,
+                              weights)
+        state["p"], state["o"] = p, o
+        return m
+
+    _log("compiling jet-ID train epoch...")
+    np.asarray(epoch())
+    return n / _timed(epoch, lambda m: np.asarray(m), reps=3)
+
+
+def bench_bump(jax):
+    from atlasvae.stats.bumphunter import batched_local_sigma, batched_bump_sigma
+
+    widths, steps = (2, 3, 4, 5, 6), (1, 1, 1, 1, 1)
+    rng = np.random.default_rng(0)
+    nbins = 160  # the padded production shape (eval/bump.py pads to x32)
+    bkg = np.maximum(1e4 * np.exp(-np.arange(nbins) / 20.0), 1.0)
+    data = rng.poisson(np.tile(bkg, (101, 1))).astype(np.float64)
+    data[:, 60:63] *= 1.05  # mild excess
+
+    _log("compiling bump scans...")
+    np.asarray(batched_local_sigma(data, np.tile(bkg, (101, 1)), widths, steps)[0])
+    np.asarray(batched_bump_sigma(data[:1], bkg[None], widths, steps, npe=1000)[1])
+    local = _timed(lambda: batched_local_sigma(data, np.tile(bkg, (101, 1)),
+                                               widths, steps),
+                   lambda out: np.asarray(out[0]), reps=3)
+    glob = _timed(lambda: batched_bump_sigma(data[:1], bkg[None], widths,
+                                             steps, npe=1000),
+                  lambda out: np.asarray(out[1]), reps=3)
+    return local + glob
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    backend = jax.default_backend()
+    train_jps, infer_jps = bench_vae(jax, jnp)
+    aae_jps = bench_aae(jax)
+    jetid_jps = bench_jetid(jax)
+    bump_warm = bench_bump(jax)
 
     print(json.dumps({
         "metric": "oe_vae_train_jets_per_sec_per_chip",
@@ -94,6 +215,9 @@ def main():
         "unit": "jets/s",
         "vs_baseline": round(train_jps / REFERENCE_EAGER_JETS_PER_SEC, 3),
         "infer_encode_jets_per_sec": round(infer_jps, 1),
+        "aae_cycle_jets_per_sec": round(aae_jps, 1),
+        "jetid_train_jets_per_sec": round(jetid_jps, 1),
+        "bump_scan_warm_s": round(bump_warm, 3),
         "backend": backend,
         "config": "batch=1e4 fc=80/40/20/10 in=12 OE=MAE beta=2 lamb=5 prng=rbg",
     }))
