@@ -1,8 +1,9 @@
 """ETL entry point: ROOT -> HDF5 conversion and shuffle-merging.
 
 Mirrors the reference's root2h5 CLI (ref tools/root2h5.py:10-16:
-sample_type / n_constituents / merging / tag flags).  ROOT reading
-requires uproot; the merging path works on any HDF5 directory.
+sample_type / n_constituents / merging / tag flags).  ROOT reading uses
+uproot when installed and the built-in atlasvae.etl.rootio reader
+otherwise; the merging path works on any HDF5 directory.
 """
 
 import sys
@@ -19,6 +20,10 @@ def build_parser():
     parser.add_argument("--tag", default=0, type=int)
     parser.add_argument("--input_path", default=".")
     parser.add_argument("--output_path", default=".")
+    parser.add_argument("--tree", default="nominal")
+    parser.add_argument("--extra_branches", nargs="+", default=[],
+                        help="extra scalar branches from the full ntuple "
+                             "catalog (atlasvae.etl.branches) to pass through")
     return parser
 
 
@@ -35,7 +40,8 @@ def main(argv=None):
         print("Merged into:", out)
         return 0
     out = convert(args.input_path, args.output_path, args.sample_type,
-                  n_const, args.tag)
+                  n_const, args.tag, tree=args.tree,
+                  extra_branches=args.extra_branches)
     print("Converted to:", out)
     return 0
 

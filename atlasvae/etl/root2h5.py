@@ -1,14 +1,17 @@
 """ROOT -> HDF5 conversion (ref tools/root2h5.py, tools/root_utils.py).
 
-The readers use ``uproot``/``awkward`` (no PyROOT: the TLorentzVector
-math is re-derived in ``lorentz.py``).  When uproot is absent (as in
-this environment) the reader entry points raise a clear error; the
-array-level processing (``final_jets``) is importable and tested
-regardless.
+Reading goes through :mod:`atlasvae.etl.source` (uproot when installed,
+the built-in :mod:`atlasvae.etl.rootio` reader otherwise), so the full
+pipeline — branch reading, JZW/DSID synthesis, MeV->GeV, weight scaling,
+jet canonicalization, shuffled HDF5 write — runs and is tested without
+any external ROOT stack.  The TLorentzVector math is re-derived in
+``lorentz.py`` (no PyROOT).
 
 Physics constants (DSIDs, cross sections in fb, filter efficiencies,
 event counts / weight sums, luminosities) are detector metadata carried
-over verbatim from ref tools/root2h5.py:38-95.
+over verbatim from ref tools/root2h5.py:38-95.  The full 171-branch
+ntuple catalog lives in :mod:`atlasvae.etl.branches`; ``convert`` can
+pass any of its scalar branches through with ``extra_branches``.
 """
 
 import os
@@ -18,6 +21,8 @@ import h5py
 
 from .lorentz import (pt_eta_phi_m_to_epxpypz, canonicalize_jets,
                       pt_order_jets, summed_4v)
+from .source import open_tree
+from . import branches as branch_catalog
 
 SCALARS = [
     "rljet_m_calo", "rljet_m_comb", "rljet_pt_calo", "rljet_pt_comb",
@@ -31,6 +36,9 @@ JET_VAR = ["rljet_assoc_cluster_pt", "rljet_assoc_cluster_eta",
            "rljet_assoc_cluster_phi"]
 OTHERS = ["weight_mc", "weight_pileup", "rljet_topTag_DNN19_qqb_score",
           "rljet_n_constituents"]
+# branches stored in MeV upstream, converted to GeV (ref root_utils.py:50)
+MEV_SCALARS = ["rljet_m_calo", "rljet_m_comb", "rljet_pt_calo",
+               "rljet_pt_comb"]
 
 LUMINOSITY = {"topo-dijet": 36.07456, "topo-ttbar": 36.07456,
               "UFO-dijet": 58.45010, "UFO-ttbar": 58.45010, "BSM": 58.45010}
@@ -65,7 +73,36 @@ _TABLES = {
         cross_sec=[7.2978e+05, 7.2976e+05, 7.2978e+05, 7.2975e+05, 7.2975e+05],
         filt_eff=[3.8208e-03, 1.5782e-03, 6.9112e-04, 4.1914e-04, 2.3803e-04],
         denom=[4.23372e+08, 1.78314e+08, 8.72442e+07, 8.33126e+07, 3.69924e+07]),
+    # ref tools/root2h5.py:75-91
+    "BSM": dict(
+        dsids=["302321", "302326", "302331", "310464", "310465", "310466",
+               "310467", "310468", "310469", "310470", "310471", "310472",
+               "310473", "310474", "310475", "310476", "310477", "450279",
+               "450280", "450281", "450282", "450283", "450284", "450291",
+               "450292", "450293", "450294", "450295", "450296", "449929",
+               "449930", "503739"],
+        cross_sec=[2.7610e+02, 4.6380e+01, 1.1160e+01, 2.5712e-03, 2.8366e-04,
+                   5.0358e-05, 1.1463e-05, 2.5735e-03, 2.8576e-04, 5.0138e-05,
+                   1.1473e-05, 2.5757e-03, 2.8336e-04, 5.0392e-05, 1.1403e-05,
+                   2.5715e-03, 2.8401e-04, 1.0342e+00, 6.1132e+00, 2.0469e+01,
+                   1.0501e+00, 4.1859e+00, 1.1302e+00, 3.7231e-02, 2.1800e-01,
+                   7.3190e-01, 3.3723e-02, 1.2120e-01, 2.8290e-02, 1.0211e+00,
+                   1.0214e+00, 3.4485e+00],
+        filt_eff=[1.0000e+00, 1.0000e+00, 1.0000e+00, 4.6361e-01, 7.7126e-01,
+                  8.7641e-01, 9.2337e-01, 6.5735e-01, 8.5953e-01, 9.2481e-01,
+                  9.4986e-01, 2.8195e-01, 6.5096e-01, 8.0945e-01, 8.7866e-01,
+                  5.2363e-01, 8.0082e-01, 1.0000e+00, 1.0000e+00, 1.0000e+00,
+                  1.0000e+00, 1.0000e+00, 1.0000e+00, 1.0000e+00, 1.0000e+00,
+                  1.0000e+00, 1.0000e+00, 1.0000e+00, 1.0000e+00, 1.0000e+00,
+                  1.0000e+00, 1.0000e+00],
+        denom=[59663., 69940., 59977., 40000., 40000., 40000., 40000., 40000.,
+               40000., 39998., 40000., 40000., 40000., 40000., 40000., 39999.,
+               40000., 19325., 19636., 19924., 19823., 19962., 19990., 17729.,
+               18670., 20216.7, 19431.4, 20355.3, 20336.5, 100998., 101026.,
+               378.34]),
 }
+
+_DIJET = ("topo-dijet", "UFO-dijet")
 
 
 def id_weights(sample_type):
@@ -78,18 +115,19 @@ def id_weights(sample_type):
 
 
 def final_jets(pt, eta, phi, n_constituents=None):
-    """Constituent (pt, eta, phi) ragged arrays -> processed flat
-    (E,px,py,pz) blocks + summed kinematics (ref tools/root_utils.py:55-90
-    ``final_jets``/``transform_jets``, vectorized, MeV->GeV upstream).
+    """Constituent (pt, eta, phi) arrays -> processed flat (E,px,py,pz)
+    blocks + summed kinematics (ref tools/root_utils.py:55-90
+    ``final_jets``/``transform_jets``, vectorized; MeV->GeV upstream).
 
-    pt/eta/phi: lists of per-jet variable-length arrays, or a
-    (J, C) array zero-padded.
+    pt/eta/phi: lists of per-jet variable-length arrays, or (J, C)
+    arrays zero-padded.
     """
     if isinstance(pt, np.ndarray) and pt.ndim == 2:
-        jets_ptep = np.stack([pt, eta, phi, np.zeros_like(pt)], axis=-1)
+        jets_ptep = np.stack([pt, eta, phi, np.zeros_like(pt)],
+                             axis=-1).astype(np.float64)
     else:
-        n_max = n_constituents or max(len(p) for p in pt)
-        jets_ptep = np.zeros((len(pt), n_max, 4))
+        n_max = n_constituents or max((len(p) for p in pt), default=1)
+        jets_ptep = np.zeros((len(pt), max(n_max, 1), 4))
         for i, (p, e, f) in enumerate(zip(pt, eta, phi)):
             k = min(len(p), n_max)
             jets_ptep[i, :k, 0] = p[:k]
@@ -109,56 +147,88 @@ def final_jets(pt, eta, phi, n_constituents=None):
 
 
 def get_files(input_path, data_paths):
-    """Recursive .root discovery (ref tools/root_utils.py:10-13)."""
-    files = []
+    """Recursive (.root path, DSID) discovery.  The DSID is the third
+    dot-separated token of the dataset directory name
+    (ref tools/root_utils.py:10-13 keys files the same way)."""
+    pairs = []
     for path in data_paths:
+        tokens = os.path.basename(path.rstrip("/")).split(".")
+        dsid = tokens[2] if len(tokens) > 2 else "0"
         for root, _, names in os.walk(os.path.join(input_path, path)):
-            files += [os.path.join(root, n) for n in names if n.endswith(".root")]
-    return sorted(files)
+            pairs += [(os.path.join(root, n), dsid)
+                      for n in sorted(names) if n.endswith(".root")]
+    return sorted(pairs)
 
 
-def read_root_files(root_files, var_list, sample_type, weights_table,
+def count_constituents(file_pairs, tree="nominal"):
+    """Max constituent multiplicity over all files
+    (ref tools/root_utils.py:157-167: max of rljet_n_constituents)."""
+    top = 0
+    for path, _ in file_pairs:
+        src = open_tree(path, tree)
+        arr = src.scalar("rljet_n_constituents")
+        if len(arr):
+            top = max(top, int(np.max(arr)))
+    return top
+
+
+def read_root_files(file_pairs, var_list, sample_type, weights_table,
                     n_constituents, tree="nominal"):
-    """uproot-based branch reader (ref tools/root_utils.py:16-52).
-    Raises ImportError when uproot is unavailable."""
-    try:
-        import uproot
-    except ImportError as exc:  # pragma: no cover - environment gate
-        raise ImportError(
-            "uproot is required for ROOT reading; this environment ships "
-            "without it.  Convert upstream or install uproot.") from exc
+    """Branch reader (ref tools/root_utils.py:16-52 ``get_data`` /
+    ``root_conversion``).
+
+    Per file: scalars reshaped to (n,), the four MeV kinematics /1000,
+    ``weight_mc`` scaled by the per-DSID table; constituent branches take
+    the leading jet's list, zero-pad/truncate to ``n_constituents``,
+    cluster pt /1000, float16.  Dijet samples gain a synthesized ``JZW``
+    (int8 index into the DSID table); ttbar/BSM gain ``DSID`` (int32).
+    """
+    var_list = list(var_list)
+    if sample_type in _DIJET:
+        var_list += ["JZW"]
+    elif sample_type in _TABLES:
+        var_list += ["DSID"]
     out = {key: [] for key in var_list}
-    out["DSID"] = []
-    out["JZW"] = []
-    for path in root_files:
-        dsid = path.split(".")[2] if len(path.split(".")) > 2 else "0"
-        with uproot.open(path) as f:
-            events = f[tree]
-            for key in var_list:
-                if key in JET_VAR:
-                    arr = events[key].array(library="np")
-                    out[key].append(arr)
-                else:
-                    arr = np.asarray(events[key].array(library="np"))
-                    if key == "weight_mc" and dsid in weights_table:
-                        arr = arr * weights_table[dsid]
-                    out[key].append(arr)
-            n = len(out[var_list[0]][-1])
-            out["DSID"].append(np.full(n, float(dsid)))
-            jzw = (_TABLES[sample_type]["dsids"].index(dsid)
-                   if sample_type in _TABLES and dsid in _TABLES[sample_type]["dsids"]
-                   else -1)
-            out["JZW"].append(np.full(n, float(jzw)))
-    return {key: np.concatenate(val) if not isinstance(val[0], list) else val
-            for key, val in out.items()}
+    dsid_order = list(weights_table)
+    for path, dsid in file_pairs:
+        src = open_tree(path, tree)
+        n = src.num_entries
+        for key in var_list:
+            if key == "JZW":
+                idx = dsid_order.index(dsid) if dsid in dsid_order else -1
+                out[key].append(np.full(n, idx, np.int8))
+            elif key == "DSID":
+                out[key].append(np.full(n, int(dsid), np.int32))
+            elif key in JET_VAR:
+                jets = src.leading_list(key)
+                padded = np.zeros((n, n_constituents), np.float64)
+                for i, v in enumerate(jets):
+                    k = min(len(v), n_constituents)
+                    padded[i, :k] = v[:k]
+                if key == "rljet_assoc_cluster_pt":
+                    padded /= 1000.0           # MeV -> GeV
+                out[key].append(np.float16(padded))
+            else:
+                arr = np.asarray(src.scalar(key), np.float64)
+                if key in MEV_SCALARS:
+                    arr = arr / 1000.0          # MeV -> GeV
+                if key == "weight_mc" and dsid in weights_table:
+                    arr = arr * weights_table[dsid]
+                out[key].append(arr)
+    return {key: np.concatenate(val) for key, val in out.items()}
 
 
 def convert(input_path, output_path, sample_type, n_constituents="unknown",
-            tag=0, seed=0):
-    """Full conversion flow (ref tools/root2h5.py:110-133)."""
+            tag=0, seed=0, tree="nominal", extra_branches=()):
+    """Full conversion flow (ref tools/root2h5.py:110-133).
+
+    ``extra_branches``: names from the full ntuple catalog
+    (:mod:`atlasvae.etl.branches`) to pass through as additional scalar
+    columns when present in the tree.
+    """
     table = _TABLES.get(sample_type, {})
     weights_table = id_weights(sample_type) if sample_type in _TABLES else {}
-    if sample_type in ("topo-dijet", "UFO-dijet"):
+    if sample_type in _DIJET:
         id_list = [table["dsids"][int(tag)]]
         output_file = f"{sample_type}_{id_list[0]}.h5"
     else:
@@ -173,14 +243,21 @@ def convert(input_path, output_path, sample_type, n_constituents="unknown",
     if not data_paths:
         raise SystemExit(f"no ROOT files matching DSIDs {id_list} under "
                          f"'{input_path}'")
-    root_files = get_files(input_path, data_paths)
-    var_list = SCALARS + JET_VAR + OTHERS
-    data = read_root_files(root_files, var_list, sample_type, weights_table,
-                           n_constituents)
+    file_pairs = get_files(input_path, data_paths)
+    unknown = set(extra_branches) - set(branch_catalog.catalog())
+    if unknown:
+        raise ValueError(f"extra_branches not in the ntuple catalog: "
+                         f"{sorted(unknown)}")
+    var_list = SCALARS + JET_VAR + OTHERS + [
+        b for b in extra_branches
+        if b not in SCALARS + JET_VAR + OTHERS
+        and b not in branch_catalog.JAGGED]
+    if n_constituents == "unknown":
+        n_constituents = count_constituents(file_pairs, tree)
+    data = read_root_files(file_pairs, var_list, sample_type, weights_table,
+                           int(n_constituents), tree)
     pt, eta, phi = (data.pop(k) for k in JET_VAR)
-    # MeV -> GeV for cluster pt (ref tools/root_utils.py:43-45)
-    data.update(final_jets([np.asarray(p) / 1000.0 for p in pt], eta, phi,
-                           None if n_constituents == "unknown" else n_constituents))
+    data.update(final_jets(np.float64(pt), np.float64(eta), np.float64(phi)))
     data["weights"] = (LUMINOSITY[sample_type] * data.pop("weight_mc")
                        * data.pop("weight_pileup"))
     rng = np.random.default_rng(seed)
@@ -188,5 +265,6 @@ def convert(input_path, output_path, sample_type, n_constituents="unknown",
     os.makedirs(output_path, exist_ok=True)
     with h5py.File(os.path.join(output_path, output_file), "w") as f:
         for key, val in data.items():
-            f.create_dataset(key, data=np.asarray(val)[order], compression="lzf")
+            f.create_dataset(key, data=np.asarray(val)[order],
+                             compression="lzf")
     return os.path.join(output_path, output_file)

@@ -1,0 +1,771 @@
+"""Minimal ROOT-format TTree I/O (no uproot/PyROOT dependency).
+
+The reference ETL reads ATLAS ntuples with ``uproot``
+(ref tools/root_utils.py:16-52); this environment ships without uproot,
+so the framework carries its own implementation of the ROOT on-disk
+container, re-derived from the public format documentation (the TFile
+format description in ROOT's io docs and the layout documented by the
+uproot project).  Nothing here is copied from the reference (which
+contains no ROOT-format code at all — it delegates to uproot).
+
+Scope (documented subset, enough for the ATLAS ntuple surface the
+reference uses):
+
+* TFile small-format (version < 1000000) header / TKey records /
+  TDirectory / keys list, with zlib ("ZL") record compression.
+* Leaf-list TTrees: flat branches of float32/float64/int32/int64/int16/
+  int8/uint8, and counter-jagged branches (``var[N_var]/F`` style with a
+  TLeafI count leaf), which is how this module represents per-jet
+  constituent lists.  ``vector<vector<float>>`` branches (the raw ATLAS
+  layout) are NOT written; the adapter in ``root2h5`` normalises those
+  to the leading-jet list, which is all the reference ever reads
+  (ref tools/root_utils.py:42-43 takes ``n[0]``).
+* Class versions follow ROOT 6.22/6.24 (TTree v20, TBranch v13,
+  TLeaf v2).  Readability by real ROOT/uproot is designed-for and
+  covered by a cross-check test that runs whenever uproot is importable
+  (tests/test_etl.py); in this environment correctness is established by
+  byte-level format assertions plus writer->reader round-trips.
+
+Writer: :func:`write_tree`.  Reader: :class:`RootFile` / :func:`read_tree`.
+"""
+
+import struct
+import zlib
+
+import numpy as np
+
+# ---------------------------------------------------------------- constants
+MAGIC = b"root"
+FILE_VERSION = 62406            # ROOT 6.24/06-style version stamp
+BEGIN = 100
+K_BYTE_COUNT_MASK = 0x40000000
+K_NEW_CLASS_TAG = 0xFFFFFFFF
+K_CLASS_MASK = 0x80000000
+K_MAP_OFFSET = 2
+DATIME = ((2026 - 1995) << 26) | (1 << 22) | (1 << 17)  # fixed 2026-01-01
+KEY_FIXED = 26      # nbytes(4) ver(2) objlen(4) datime(4) keylen(2) cycle(2)
+#                     seekkey(4) seekpdir(4) — small-file TKey fixed part
+
+# leaf class name, struct format, numpy dtype per supported kind
+_LEAF = {
+    "f4": ("TLeafF", ">f4"), "f8": ("TLeafD", ">f8"),
+    "i4": ("TLeafI", ">i4"), "i8": ("TLeafL", ">i8"),
+    "i2": ("TLeafS", ">i2"), "i1": ("TLeafB", ">i1"), "u1": ("TLeafB", ">u1"),
+}
+_LEAF_CODE = {"f4": "F", "f8": "D", "i4": "I", "i8": "L",
+              "i2": "S", "i1": "B", "u1": "b"}
+_LEAF_BY_CLASS = {v[0]: k for k, v in _LEAF.items()}
+_LEAF_BY_CLASS["TLeafB"] = "i1"
+
+
+def _tstring(s):
+    b = s.encode() if isinstance(s, str) else s
+    if len(b) < 255:
+        return struct.pack(">B", len(b)) + b
+    return struct.pack(">BI", 255, len(b)) + b
+
+
+def _read_tstring(buf, pos):
+    n = buf[pos]
+    pos += 1
+    if n == 255:
+        n = struct.unpack_from(">I", buf, pos)[0]
+        pos += 4
+    return buf[pos:pos + n].decode(), pos + n
+
+
+def _bc(body):
+    """Byte-count-framed blob: u32 (len | mask) prefix."""
+    return struct.pack(">I", len(body) | K_BYTE_COUNT_MASK) + body
+
+
+def _versioned(version, members):
+    return _bc(struct.pack(">h", version) + members)
+
+
+def _tobject():
+    # fVersion, fUniqueID, fBits (kIsOnHeap|kNotDeleted)
+    return struct.pack(">hII", 1, 0, 0x03000000)
+
+
+def _tnamed(name, title):
+    return _versioned(1, _tobject() + _tstring(name) + _tstring(title))
+
+
+def _objarray(blobs, name=""):
+    body = _tobject() + _tstring(name) + struct.pack(">ii", len(blobs), 0)
+    return _versioned(3, body + b"".join(blobs))
+
+
+def _iofeatures():
+    # bc + v1 + 4 reserved bytes + fIOBits
+    return _versioned(1, b"\x00\x00\x00\x00" + struct.pack(">B", 0))
+
+
+class _Writer:
+    """Accumulates the file image; records object positions for refs."""
+
+    def __init__(self, compression="zlib"):
+        self.image = bytearray(b"\x00" * BEGIN)
+        self.compression = compression
+        self.keys = []          # raw key headers, for the keys-list record
+
+    # -- records ------------------------------------------------------------
+    def _key_header(self, nbytes, objlen, keylen, cycle, seek, seekpdir,
+                    classname, name, title, trailer=b""):
+        return (struct.pack(">ihIIhh", nbytes, 4, objlen, DATIME, keylen,
+                            cycle)
+                + struct.pack(">ii", seek, seekpdir)
+                + _tstring(classname) + _tstring(name) + _tstring(title)
+                + trailer)
+
+    def add_record(self, classname, name, title, payload, trailer=b"",
+                   cycle=1, compress=None, seekpdir=BEGIN):
+        """Write one TKey record; returns (seek, nbytes, keylen)."""
+        seek = len(self.image)
+        keylen = (KEY_FIXED + len(_tstring(classname)) + len(_tstring(name))
+                  + len(_tstring(title)) + len(trailer))
+        objlen = len(payload)
+        body = payload
+        use_zlib = (self.compression == "zlib" if compress is None
+                    else compress)
+        if use_zlib and objlen > 128:
+            comp = self._compress(payload)
+            if len(comp) < objlen:
+                body = comp
+        nbytes = keylen + len(body)
+        header = self._key_header(nbytes, objlen, keylen, cycle, seek,
+                                  seekpdir, classname, name, title, trailer)
+        assert len(header) == keylen
+        self.image += header + body
+        return seek, nbytes, keylen
+
+    @staticmethod
+    def _compress(payload):
+        out = b""
+        for i in range(0, len(payload), 0xFFFFFF):
+            chunk = payload[i:i + 0xFFFFFF]
+            c = zlib.compress(chunk, 1)
+            out += (b"ZL" + bytes([8])
+                    + len(c).to_bytes(3, "little")
+                    + len(chunk).to_bytes(3, "little") + c)
+        return out
+
+    def finish(self, fname, title, seekinfo, nbytesinfo):
+        """Keys-list record, TFile/TDirectory record patch, file header."""
+        nkeys_payload = struct.pack(">i", len(self.keys)) + b"".join(self.keys)
+        seekkeys, nbyteskeys, _ = self.add_record(
+            "TFile", fname, title, nkeys_payload, compress=False)
+        # first record at BEGIN: TFile name/title + TDirectoryFile
+        strings = _tstring(fname) + _tstring(title)
+        keylen = (KEY_FIXED + len(_tstring("TFile")) + len(_tstring(fname))
+                  + len(_tstring(title)))
+        nbytesname = keylen + len(strings)
+        dirbytes = struct.pack(">hIIiiiii", 5, DATIME, DATIME, nbyteskeys,
+                               nbytesname, BEGIN, 0, seekkeys)
+        payload = strings + dirbytes
+        header = self._key_header(keylen + len(payload), len(payload), keylen,
+                                  1, BEGIN, 0, "TFile", fname, title)
+        self.image[BEGIN:BEGIN + len(header) + len(payload)] = header + payload
+        end = len(self.image)
+        hdr = (MAGIC + struct.pack(">iiiiiii", FILE_VERSION, BEGIN, end, 0, 0,
+                                   0, nbytesname)
+               + struct.pack(">B", 4) + struct.pack(">i", 101)
+               + struct.pack(">ii", seekinfo, nbytesinfo)
+               + struct.pack(">h", 1) + b"\x00" * 16)
+        self.image[:len(hdr)] = hdr
+
+    def reserve_first_record(self, fname, title):
+        keylen = (KEY_FIXED + len(_tstring("TFile")) + len(_tstring(fname))
+                  + len(_tstring(title)))
+        strings = _tstring(fname) + _tstring(title)
+        size = keylen + len(strings) + 30
+        self.image += b"\x00" * (BEGIN + size - len(self.image))
+
+
+def _normalise(arr):
+    """-> (kind, flat values >dtype, counts or None)."""
+    if isinstance(arr, np.ndarray) and arr.dtype != object and arr.ndim == 1:
+        kind = arr.dtype.str[1:]
+        if kind not in _LEAF:
+            kind = {"f2": "f4", "u4": "i4", "u8": "i8",
+                    "b1": "u1"}.get(kind, "f8")
+        return kind, np.asarray(arr, f">{kind}"), None
+    # jagged: sequence of per-entry 1-D arrays
+    parts = [np.atleast_1d(np.asarray(a)) for a in arr]
+    kind = parts[0].dtype.str[1:] if parts else "f4"
+    if kind not in _LEAF:
+        kind = "f4" if parts and parts[0].dtype.kind == "f" else "i4"
+    flat = (np.concatenate(parts).astype(f">{kind}") if parts
+            else np.zeros(0, f">{kind}"))
+    counts = np.array([len(p) for p in parts], ">i4")
+    return kind, flat, counts
+
+
+def _leaf_blob(classname, name, title, length, lentype, signed_range,
+               leafcount_ref, maximum, version=1):
+    base = _tnamed(name, title) + struct.pack(
+        ">iiiBB", length, lentype, 0, 1 if signed_range else 0, 0)
+    base += (struct.pack(">I", leafcount_ref) if leafcount_ref
+             else struct.pack(">I", 0))
+    base = _versioned(2, base)
+    if classname == "TLeafF":
+        tail = struct.pack(">ff", 0, maximum)
+    elif classname == "TLeafD":
+        tail = struct.pack(">dd", 0, maximum)
+    elif classname == "TLeafL":
+        tail = struct.pack(">qq", 0, int(maximum))
+    elif classname == "TLeafS":
+        tail = struct.pack(">hh", 0, int(maximum))
+    elif classname == "TLeafB":
+        tail = struct.pack(">bb", 0, int(maximum))
+    else:
+        tail = struct.pack(">ii", 0, int(maximum))
+    return _versioned(version, base + tail)
+
+
+def _obj_any_new(classname, blob):
+    """Object written with explicit class info (kNewClassTag form)."""
+    body = (struct.pack(">I", K_NEW_CLASS_TAG) + classname.encode() + b"\x00"
+            + blob)
+    return struct.pack(">I", len(body) | K_BYTE_COUNT_MASK) + body
+
+
+def write_tree(path, treename, branches, title="", compression="zlib",
+               basket_entries=20000):
+    """Write ``branches`` (dict name -> 1-D array, or list of per-entry
+    arrays for jagged data) as a TTree in a new ROOT file."""
+    w = _Writer(compression)
+    fname = path.split("/")[-1]
+    w.reserve_first_record(fname, title)
+
+    norm, counters = {}, {}
+    for name, arr in branches.items():
+        kind, flat, counts = _normalise(arr)
+        norm[name] = (kind, flat, counts)
+        if counts is not None:
+            counters[name] = f"N_{name}"
+    n_entries = {len(v[1]) if v[2] is None else len(v[2])
+                 for v in norm.values()}
+    assert len(n_entries) == 1, "branches must share the entry count"
+    n_entries = n_entries.pop()
+
+    # ---- baskets (data records first, like ROOT's streaming writer)
+    baskets = {}        # branch -> list of (seek, nbytes, entry0, n)
+
+    def _write_basket(bname, payload, border, entry0, nev, nevbufsize,
+                      offsets=None):
+        if offsets is not None:
+            payload = (payload + struct.pack(">i", nev)
+                       + np.asarray(offsets, ">i4").tobytes())
+        keylen = (KEY_FIXED + len(_tstring("TBasket")) + len(_tstring(bname))
+                  + len(_tstring(treename)) + 19)
+        trailer = struct.pack(">hiiiiB", 3, len(payload) + keylen, nevbufsize,
+                              nev, keylen + border, 0)
+        seek, nbytes, _ = w.add_record("TBasket", bname, treename, payload,
+                                       trailer=trailer)
+        baskets.setdefault(bname, []).append((seek, nbytes, entry0, nev))
+
+    order = []
+    for name in branches:
+        if name in counters:
+            order.append(counters[name])
+        order.append(name)
+
+    for name, (kind, flat, counts) in norm.items():
+        itemsize = np.dtype(f">{kind}").itemsize
+        if counts is None:
+            for e0 in range(0, max(n_entries, 1), basket_entries):
+                nev = min(basket_entries, n_entries - e0)
+                if nev <= 0 and n_entries > 0:
+                    break
+                data = flat[e0:e0 + nev].tobytes()
+                _write_basket(name, data, len(data), e0, nev, itemsize)
+                if n_entries == 0:
+                    break
+        else:
+            cname = counters[name]
+            starts = np.concatenate([[0], np.cumsum(counts.astype(np.int64))])
+            for e0 in range(0, max(n_entries, 1), basket_entries):
+                nev = min(basket_entries, n_entries - e0)
+                if nev <= 0 and n_entries > 0:
+                    break
+                cdata = counts[e0:e0 + nev].tobytes()
+                _write_basket(cname, cdata, len(cdata), e0, nev, 4)
+                lo, hi = starts[e0], starts[e0 + nev]
+                data = flat[lo:hi].tobytes()
+                keylen = (KEY_FIXED + len(_tstring("TBasket"))
+                          + len(_tstring(name)) + len(_tstring(treename)) + 19)
+                offs = keylen + (starts[e0:e0 + nev] - lo) * itemsize
+                _write_basket(name, data, len(data), e0, nev, 0,
+                              offsets=offs)
+                if n_entries == 0:
+                    break
+
+    # ---- TTree record ------------------------------------------------------
+    # Build the payload tracking byte positions so leaf-count references
+    # use the ROOT map convention (position of the object's byte-count
+    # word + fKeylen + kMapOffset).
+    tree_title = title or treename
+    keylen_tree = (KEY_FIXED + len(_tstring("TTree")) + len(_tstring(treename))
+                   + len(_tstring(tree_title)))
+
+    leaf_pos = {}           # branch name -> map position of its leaf
+
+    def _branch_blob(bname, kind, jagged_counter, counts, base_offset):
+        """Serialized TBranch v13; registers its leaf position."""
+        cls, _ = _LEAF[kind]
+        code = _LEAF_CODE[kind]
+        itemsize = np.dtype(f">{kind}").itemsize
+        if bname in counters.values():
+            leaf_title = f"{bname}/I"
+            cls, is_counter = "TLeafI", True
+        else:
+            is_counter = False
+            leaf_title = (f"{bname}[{jagged_counter}]/{code}"
+                          if jagged_counter else f"{bname}/{code}")
+        bk = baskets.get(bname, [])
+        nb = len(bk)
+        maxb = nb + 1
+        head = _tnamed(bname, leaf_title) + _versioned(
+            2, struct.pack(">hh", 0, 1001))
+        head += struct.pack(">iiii", 1, 32000,
+                            1000 if (jagged_counter and not is_counter) else 0,
+                            nb)
+        head += struct.pack(">q", sum(b[3] for b in bk))
+        head += _iofeatures()
+        head += struct.pack(">iii", 0, maxb, 0)
+        tot = sum(b[1] for b in bk)
+        head += struct.pack(">qqqq", n_entries, 0, tot, tot)
+        head += _objarray([])                      # fBranches
+        # fLeaves: one leaf, full object form; record its map position
+        pre = base_offset + len(head)
+        arr_head = (struct.pack(">I", 0)  # placeholder for bc, fixed below
+                    + struct.pack(">h", 3) + _tobject() + _tstring("")
+                    + struct.pack(">ii", 1, 0))
+        leaf_map_pos = pre + len(arr_head) + keylen_tree + K_MAP_OFFSET
+        maximum = 0
+        cnt_ref = 0
+        if jagged_counter and not is_counter:
+            cnt_ref = leaf_pos[jagged_counter]
+        if is_counter and counts is not None and len(counts):
+            maximum = int(counts.max())
+        leaf = _obj_any_new(
+            cls, _leaf_blob(cls, bname, leaf_title, 1, itemsize,
+                            is_counter, cnt_ref, maximum))
+        leaf_pos[bname] = leaf_map_pos
+        arr_body = (struct.pack(">h", 3) + _tobject() + _tstring("")
+                    + struct.pack(">ii", 1, 0) + leaf)
+        head += _bc(arr_body)
+        head += _objarray([])                      # fBaskets
+        head += b"\x01" + np.array([b[1] for b in bk] + [0] * (maxb - nb),
+                                   ">i4").tobytes()
+        entries = [b[2] for b in bk] + [n_entries] + [0] * (maxb - nb - 1)
+        head += b"\x01" + np.array(entries, ">i8").tobytes()
+        head += b"\x01" + np.array([b[0] for b in bk] + [0] * (maxb - nb),
+                                   ">i8").tobytes()
+        head += _tstring("")
+        return _versioned(13, head)
+
+    payload = bytearray()
+    payload += _tnamed(treename, tree_title)
+    payload += _versioned(2, struct.pack(">hhh", 602, 1, 1))
+    payload += _versioned(2, struct.pack(">hh", 0, 1001))
+    payload += _versioned(2, struct.pack(">hhf", 1, 1, 1.0))
+    payload += struct.pack(">qqqqq", n_entries, 0, 0, 0, 0)
+    payload += struct.pack(">d", 1.0)
+    payload += struct.pack(">iiiii", 0, 25, 0, 1000, 0)
+    payload += struct.pack(">qqqqqq", 1000000000, 1000000000, 0, -300000000,
+                           0, 1000000)
+    payload += b"\x01" + b"\x01"                   # empty cluster arrays
+    payload += _iofeatures()
+
+    # fBranches TObjArray with full branch objects
+    arr_prefix = (struct.pack(">h", 3) + _tobject() + _tstring("")
+                  + struct.pack(">ii", len(order), 0))
+    # position where branch objects start, within the full payload:
+    # bc(4)+ver(2) of TTree + current payload + bc(4) of objarray + prefix
+    blobs = []
+    base = 4 + 2 + len(payload) + 4 + len(arr_prefix)
+    for bname in order:
+        if bname in counters.values():
+            src = next(k for k, v in counters.items() if v == bname)
+            kind, _, counts = "i4", None, norm[src][2]
+            jc = None
+        else:
+            kind, _, counts = norm[bname]
+            jc = counters.get(bname)
+        # members start after: bc(4) + newclass tag(4) + "TBranch\0"(8)
+        # + inner bc(4) + version(2)
+        obj_head = 4 + 4 + len(b"TBranch\x00") + 4 + 2
+        blob = _branch_blob(bname, kind, jc, counts, base + obj_head)
+        blob = _obj_any_new("TBranch", blob)
+        blobs.append(blob)
+        base += len(blob)
+    payload += _bc(arr_prefix + b"".join(blobs))
+
+    # fLeaves: references to the leaves registered above
+    lrefs = b"".join(struct.pack(">I", leaf_pos[b]) for b in order)
+    payload += _bc(struct.pack(">h", 3) + _tobject() + _tstring("")
+                   + struct.pack(">ii", len(order), 0) + lrefs)
+    payload += struct.pack(">I", 0)                # fAliases
+    payload += struct.pack(">i", 0)                # fIndexValues TArrayD
+    payload += struct.pack(">i", 0)                # fIndex TArrayI
+    payload += struct.pack(">I", 0)                # fTreeIndex
+    payload += struct.pack(">I", 0)                # fFriends
+    tree_payload = _versioned(20, bytes(payload))
+
+    seek, nbytes, kl = w.add_record("TTree", treename, tree_title,
+                                    tree_payload)
+    assert kl == keylen_tree
+    w.keys.append(w._key_header(nbytes, len(tree_payload), kl, 1, seek,
+                                BEGIN, "TTree", treename, tree_title))
+
+    si_payload = _versioned(5, _tobject() + _tstring("") +
+                            struct.pack(">i", 0))
+    seekinfo, nbytesinfo, _ = w.add_record("TList", "StreamerInfo",
+                                           "Doubly linked list", si_payload,
+                                           compress=False)
+    w.finish(fname, title, seekinfo, nbytesinfo)
+    with open(path, "wb") as f:
+        f.write(w.image)
+    return path
+
+
+# ======================================================================
+# Reader
+# ======================================================================
+
+class _Cursor:
+    def __init__(self, buf, pos=0, origin=0):
+        self.buf, self.pos, self.origin = buf, pos, origin
+        self.refs = {}
+
+    def field(self, fmt):
+        val = struct.unpack_from(fmt, self.buf, self.pos)[0]
+        self.pos += struct.calcsize(fmt)
+        return val
+
+    def fields(self, fmt):
+        vals = struct.unpack_from(fmt, self.buf, self.pos)
+        self.pos += struct.calcsize(fmt)
+        return vals
+
+    def tstring(self):
+        s, self.pos = _read_tstring(self.buf, self.pos)
+        return s
+
+    def cstring(self):
+        end = self.buf.index(b"\x00", self.pos)
+        s = self.buf[self.pos:end].decode()
+        self.pos = end + 1
+        return s
+
+    def bytecount(self):
+        bc = self.field(">I")
+        assert bc & K_BYTE_COUNT_MASK, "expected byte-count framing"
+        return (bc & ~K_BYTE_COUNT_MASK), self.pos
+
+    def versioned(self):
+        bc, start = self.bytecount()
+        ver = self.field(">h")
+        return ver, start + bc  # (version, end position)
+
+    def map_pos(self, at):
+        return at - self.origin + K_MAP_OFFSET
+
+
+def _decompress(body, objlen):
+    if len(body) == objlen:
+        return body
+    out = b""
+    pos = 0
+    while pos < len(body) and len(out) < objlen:
+        algo = body[pos:pos + 2]
+        csize = int.from_bytes(body[pos + 3:pos + 6], "little")
+        chunk = body[pos + 9:pos + 9 + csize]
+        if algo == b"ZL":
+            out += zlib.decompress(chunk)
+        elif algo == b"XZ":
+            import lzma
+            out += lzma.decompress(chunk)
+        elif algo == b"L4":
+            raise NotImplementedError("lz4 baskets are out of scope; "
+                                      "re-compress with zlib")
+        else:
+            raise ValueError(f"unknown compression tag {algo!r}")
+        pos += 9 + csize
+    return out
+
+
+class _Key:
+    __slots__ = ("nbytes", "objlen", "keylen", "seek", "classname", "name",
+                 "title", "cycle", "trailer_pos")
+
+    @classmethod
+    def parse(cls, buf, pos):
+        k = cls()
+        (k.nbytes, version, k.objlen, _, k.keylen,
+         k.cycle) = struct.unpack_from(">ihIIhh", buf, pos)
+        p = pos + 18
+        if version > 1000:
+            k.seek = struct.unpack_from(">q", buf, p)[0]
+            p += 16
+        else:
+            k.seek = struct.unpack_from(">i", buf, p)[0]
+            p += 8
+        k.classname, p = _read_tstring(buf, p)
+        k.name, p = _read_tstring(buf, p)
+        k.title, p = _read_tstring(buf, p)
+        k.trailer_pos = p
+        return k
+
+    def payload(self, buf):
+        body = buf[self.seek + self.keylen:self.seek + self.nbytes]
+        return _decompress(body, self.objlen)
+
+
+class Leaf:
+    def __init__(self, classname, name, title, length, lentype, leafcount,
+                 maximum):
+        self.classname, self.name, self.title = classname, name, title
+        self.length, self.lentype = length, lentype
+        self.leafcount, self.maximum = leafcount, maximum
+
+    @property
+    def dtype(self):
+        return np.dtype(">" + _LEAF_BY_CLASS[self.classname])
+
+
+class Branch:
+    def __init__(self, name, title, entry_offset_len, leaves, basket_seeks,
+                 basket_bytes, basket_entries, entries):
+        self.name, self.title = name, title
+        self.entry_offset_len = entry_offset_len
+        self.leaves = leaves
+        self.basket_seeks, self.basket_bytes = basket_seeks, basket_bytes
+        self.basket_entries, self.entries = basket_entries, entries
+
+
+def _read_object_any(c, readers):
+    first = c.field(">I")
+    if first == 0:
+        return None
+    if not first & K_BYTE_COUNT_MASK:
+        return c.refs.get(first) or c.refs.get(first - K_MAP_OFFSET)
+    start = c.pos - 4
+    end = c.pos + (first & ~K_BYTE_COUNT_MASK)
+    tag = c.field(">I")
+    if tag == K_NEW_CLASS_TAG:
+        classname = c.cstring()
+    elif tag & K_CLASS_MASK:
+        classname = c.refs.get(tag & ~K_CLASS_MASK)
+        if classname is None:
+            classname = c.refs.get((tag & ~K_CLASS_MASK) - K_MAP_OFFSET)
+    else:
+        raise ValueError("unparseable object tag")
+    if tag == K_NEW_CLASS_TAG:
+        c.refs[c.map_pos(start + 4)] = classname  # class registered here
+    obj = readers[classname](c) if classname in readers else None
+    for key in (c.map_pos(start), c.map_pos(start) - K_MAP_OFFSET):
+        c.refs[key] = obj
+    c.pos = end
+    return obj
+
+
+def _skip_versioned(c):
+    _, end = c.versioned()
+    c.pos = end
+
+
+def _read_tnamed(c):
+    _, end = c.versioned()
+    c.fields(">hII")
+    name, title = c.tstring(), c.tstring()
+    c.pos = end
+    return name, title
+
+
+def _read_leaf(c, classname):
+    _, end = c.versioned()
+    _, base_end = c.versioned()
+    name, title = _read_tnamed(c)
+    length, lentype, _ = c.fields(">iii")
+    c.fields(">BB")
+    leafcount = _read_object_any(c, _LEAF_READERS)
+    c.pos = base_end
+    if classname in ("TLeafF",):
+        _, maximum = c.fields(">ff")
+    elif classname == "TLeafD":
+        _, maximum = c.fields(">dd")
+    elif classname == "TLeafL":
+        _, maximum = c.fields(">qq")
+    elif classname == "TLeafS":
+        _, maximum = c.fields(">hh")
+    elif classname == "TLeafB":
+        _, maximum = c.fields(">bb")
+    else:
+        _, maximum = c.fields(">ii")
+    c.pos = end
+    return Leaf(classname, name, title, length, lentype, leafcount, maximum)
+
+
+_LEAF_READERS = {n: (lambda c, n=n: _read_leaf(c, n))
+                 for n in ("TLeafF", "TLeafD", "TLeafI", "TLeafL", "TLeafS",
+                           "TLeafB", "TLeafO")}
+
+
+def _read_objarray(c, readers):
+    _, end = c.versioned()
+    c.fields(">hII")
+    c.tstring()
+    size, _ = c.fields(">ii")
+    out = [_read_object_any(c, readers) for _ in range(size)]
+    c.pos = end
+    return out
+
+
+def _read_branch(c):
+    ver, end = c.versioned()
+    name, title = _read_tnamed(c)
+    _skip_versioned(c)                               # TAttFill
+    _, _, entry_offset_len, write_basket = c.fields(">iiii")
+    c.field(">q")                                    # fEntryNumber
+    if ver >= 13:
+        _skip_versioned(c)                           # fIOFeatures
+    _, max_baskets, _ = c.fields(">iii")
+    entries, _, _, _ = c.fields(">qqqq")
+    _read_objarray(c, _BRANCH_READERS)               # sub-branches
+    leaves = _read_objarray(c, _LEAF_READERS)
+    _read_objarray(c, {})                            # fBaskets (empty)
+    c.pos += 1
+    basket_bytes = np.frombuffer(c.buf, ">i4", max_baskets, c.pos).copy()
+    c.pos += 4 * max_baskets + 1
+    basket_entry = np.frombuffer(c.buf, ">i8", max_baskets, c.pos).copy()
+    c.pos += 8 * max_baskets + 1
+    basket_seek = np.frombuffer(c.buf, ">i8", max_baskets, c.pos).copy()
+    c.pos += 8 * max_baskets
+    c.tstring()
+    c.pos = end
+    nb = write_basket
+    return Branch(name, title, entry_offset_len, leaves, basket_seek[:nb],
+                  basket_bytes[:nb], basket_entry[:nb + 1], entries)
+
+
+_BRANCH_READERS = {"TBranch": _read_branch}
+
+
+class Tree:
+    """Parsed TTree: branch metadata + lazy basket reads."""
+
+    def __init__(self, buf, key):
+        self.buf = buf
+        payload = key.payload(buf)
+        c = _Cursor(payload, origin=-key.keylen)
+        ver, _ = c.versioned()
+        self.name, self.title = _read_tnamed(c)
+        _skip_versioned(c)                           # TAttLine
+        _skip_versioned(c)                           # TAttFill
+        _skip_versioned(c)                           # TAttMarker
+        self.num_entries = c.field(">q")
+        c.fields(">qqqq" if ver >= 16 else ">qq")
+        c.field(">d")
+        _, _, _, _, ncluster = c.fields(">iiiii")
+        c.fields(">qqqqqq")
+        c.pos += 1 + 8 * ncluster + 1 + 8 * ncluster
+        if ver >= 19:
+            _skip_versioned(c)                       # fIOFeatures
+        branches = _read_objarray(c, _BRANCH_READERS)
+        self.branches = {b.name: b for b in branches if b is not None}
+
+    def keys(self):
+        return list(self.branches)
+
+    def __contains__(self, name):
+        return name in self.branches
+
+    def array(self, name):
+        """-> np.ndarray (flat branch) or list of per-entry arrays."""
+        br = self.branches[name]
+        leaf = br.leaves[0]
+        dtype = leaf.dtype
+        jagged = (leaf.leafcount is not None
+                  or (br.entry_offset_len > 0 and "[" in leaf.title))
+        datas, counts = [], []
+        for seek, nbytes in zip(br.basket_seeks, br.basket_bytes):
+            key = _Key.parse(self.buf, seek)
+            fver, fbufsize, fnevbufsize, fnevbuf, flast, _ = \
+                struct.unpack_from(">hiiiiB", self.buf, key.trailer_pos)
+            payload = key.payload(self.buf)
+            border = flast - key.keylen
+            datas.append(np.frombuffer(payload, dtype,
+                                       border // dtype.itemsize, 0))
+            if jagged and key.objlen > border:
+                off = np.frombuffer(payload, ">i4", fnevbuf, border + 4)
+                starts = (off - key.keylen) // dtype.itemsize
+                n = np.diff(np.append(starts,
+                                      border // dtype.itemsize))
+                counts.append(n)
+        flat = (np.concatenate(datas) if datas
+                else np.zeros(0, dtype))
+        if not jagged:
+            return flat
+        if counts:
+            cnt = np.concatenate(counts)
+        elif leaf.leafcount is not None:
+            cnt = np.asarray(self.array(leaf.leafcount.name), np.int64)
+        else:
+            raise ValueError(f"cannot infer entry offsets for {name}")
+        splits = np.cumsum(cnt)[:-1]
+        return np.split(flat, splits)
+
+    def arrays(self, names=None):
+        names = names or self.keys()
+        return {n: self.array(n) for n in names}
+
+
+class RootFile:
+    """Minimal TFile reader (subset documented in the module docstring)."""
+
+    def __init__(self, path):
+        with open(path, "rb") as f:
+            self.buf = f.read()
+        if self.buf[:4] != MAGIC:
+            raise ValueError(f"{path}: not a ROOT file (bad magic)")
+        version = struct.unpack_from(">i", self.buf, 4)[0]
+        big = version > 1000000
+        if big:
+            (begin, end) = struct.unpack_from(">iq", self.buf, 8)
+            nbytesname = struct.unpack_from(">i", self.buf, 36)[0]
+        else:
+            begin, end, _, _, _, nbytesname = struct.unpack_from(
+                ">iiiiii", self.buf, 8)
+        p = begin + nbytesname
+        dver = struct.unpack_from(">h", self.buf, p)[0]
+        p += 2 + 8
+        if dver > 1000:
+            _, _, _, _, seekkeys = struct.unpack_from(">iiqqq", self.buf, p)
+        else:
+            _, _, _, _, seekkeys = struct.unpack_from(">iiiii", self.buf, p)
+        keyhdr = _Key.parse(self.buf, seekkeys)
+        payload = keyhdr.payload(self.buf)
+        nkeys = struct.unpack_from(">i", payload, 0)[0]
+        self.keylist = []
+        pos = 4
+        for _ in range(nkeys):
+            k = _Key.parse(payload, pos)
+            pos += k.keylen
+            self.keylist.append(k)
+
+    def keys(self):
+        return [(k.name, k.classname) for k in self.keylist]
+
+    def tree(self, name=None):
+        for k in self.keylist:
+            if k.classname == "TTree" and (name is None or k.name == name):
+                return Tree(self.buf, k)
+        raise KeyError(f"no TTree named {name!r}; keys: {self.keys()}")
+
+
+def read_tree(path, name=None):
+    return RootFile(path).tree(name)

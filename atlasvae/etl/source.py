@@ -1,0 +1,104 @@
+"""Tree-source adapters: one protocol over uproot and the built-in reader.
+
+The reference reads ntuples exclusively through uproot
+(ref tools/root_utils.py:31-52); this module keeps that capability when
+uproot is installed and otherwise uses :mod:`atlasvae.etl.rootio`, so the
+full conversion pipeline is executable (and tested) in environments
+without uproot.
+
+The protocol normalises the one structural difference between ATLAS
+ntuples and rootio's subset: constituent branches.  ATLAS stores
+``vector<vector<float>>`` (per event: one list per R=1.0 jet); the
+reference always takes the leading jet's list (``n[0]``,
+ref tools/root_utils.py:42-43).  ``leading_list`` returns exactly that:
+a list of 1-D arrays, one per entry.
+"""
+
+import numpy as np
+
+from . import rootio
+
+
+class RootIOSource:
+    """Backed by the built-in minimal ROOT reader (rootio subset files)."""
+
+    backend = "rootio"
+
+    def __init__(self, path, tree="nominal"):
+        self._tree = rootio.read_tree(path, tree)
+        self.num_entries = self._tree.num_entries
+
+    def keys(self):
+        return [k for k in self._tree.keys() if not k.startswith("N_")]
+
+    def __contains__(self, key):
+        return key in self._tree
+
+    def scalar(self, key):
+        arr = self._tree.array(key)
+        if isinstance(arr, list):
+            raise TypeError(f"{key} is jagged; use leading_list")
+        return np.asarray(arr)
+
+    def leading_list(self, key):
+        arr = self._tree.array(key)
+        if not isinstance(arr, list):
+            # a flat branch read as per-entry singletons
+            return [np.atleast_1d(v) for v in np.asarray(arr)]
+        return arr
+
+
+class UprootSource:
+    """Backed by uproot, handling the raw ATLAS ``vector<vector<float>>``
+    layout (ref tools/root_utils.py:35-49 semantics)."""
+
+    backend = "uproot"
+
+    def __init__(self, path, tree="nominal"):
+        import uproot
+        self._file = uproot.open(path)
+        self._tree = self._file[tree]
+        self.num_entries = self._tree.num_entries
+
+    def keys(self):
+        return list(self._tree.keys())
+
+    def __contains__(self, key):
+        return key in set(self._tree.keys())
+
+    def scalar(self, key):
+        arr = self._tree[key].array(library="np")
+        return np.reshape(np.asarray(arr), (len(arr),))
+
+    def leading_list(self, key):
+        arr = self._tree[key].array(library="np")
+        out = []
+        for entry in arr:
+            entry = np.asarray(entry, object) if not isinstance(
+                entry, np.ndarray) else entry
+            if entry.dtype == object or entry.ndim > 1:
+                # vector<vector<float>>: leading jet (ref root_utils.py:43)
+                out.append(np.asarray(entry[0], np.float64)
+                           if len(entry) else np.zeros(0))
+            else:
+                out.append(np.asarray(entry, np.float64))
+        return out
+
+
+def open_tree(path, tree="nominal", backend="auto"):
+    """Open ``path`` and return a tree source.
+
+    backend: 'auto' (uproot if importable, else rootio), 'uproot',
+    or 'rootio'.  Overridable via ``ATLASVAE_ROOT_BACKEND``.
+    """
+    import os
+    backend = os.environ.get("ATLASVAE_ROOT_BACKEND", backend)
+    if backend == "uproot":
+        return UprootSource(path, tree)
+    if backend == "rootio":
+        return RootIOSource(path, tree)
+    try:
+        import uproot  # noqa: F401
+        return UprootSource(path, tree)
+    except ImportError:
+        return RootIOSource(path, tree)

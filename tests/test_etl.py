@@ -94,3 +94,247 @@ def test_shuffle_merge_roundtrip(tmp_path, rng):
         # mixing actually interleaves the sources
         first_quarter = f["weights"][:sum(totals) // 4]
         assert len(np.unique(first_quarter)) > 1
+
+
+# ---------------------------------------------------------------------------
+# rootio + full conversion pipeline (VERDICT r1 item 3: executed ROOT reading)
+# ---------------------------------------------------------------------------
+
+import os
+import struct
+
+import pytest
+
+from atlasvae.etl import rootio, branches
+from atlasvae.etl.root2h5 import (convert, count_constituents, get_files,
+                                  read_root_files, id_weights, LUMINOSITY,
+                                  SCALARS, JET_VAR, OTHERS, MEV_SCALARS)
+from atlasvae.etl.source import open_tree
+from atlasvae.data import registry
+from atlasvae.data.loader import load_data
+
+
+def _fixture_branches(rng, n, max_const=9, seed_counts=None):
+    """All branches the canonical conversion reads, in ntuple units (MeV)."""
+    out = {}
+    for key in SCALARS:
+        scale = 1000.0 if key in MEV_SCALARS else 1.0
+        out[key] = (rng.uniform(0.5, 3.0, n) * scale).astype(np.float32)
+    out["weight_mc"] = rng.uniform(0.5, 2.0, n).astype(np.float32)
+    out["weight_pileup"] = rng.uniform(0.9, 1.1, n).astype(np.float32)
+    out["rljet_topTag_DNN19_qqb_score"] = rng.uniform(0, 1, n).astype(np.float32)
+    counts = (seed_counts if seed_counts is not None
+              else rng.integers(1, max_const + 1, n))
+    out["rljet_n_constituents"] = counts.astype(np.int32)
+    out["rljet_assoc_cluster_pt"] = [
+        rng.uniform(1e3, 2e5, c).astype(np.float32) for c in counts]
+    out["rljet_assoc_cluster_eta"] = [
+        rng.normal(0, 1, c).astype(np.float32) for c in counts]
+    out["rljet_assoc_cluster_phi"] = [
+        rng.uniform(-3, 3, c).astype(np.float32) for c in counts]
+    return out
+
+
+def _write_fixture_tree(path, rng, n, **kw):
+    data = _fixture_branches(rng, n, **kw)
+    rootio.write_tree(str(path), "nominal", data)
+    return data
+
+
+def test_rootio_roundtrip_dtypes_and_baskets(tmp_path, rng):
+    n = 4503  # > basket_entries below: multi-basket on every branch
+    branches_in = {
+        "f32": rng.normal(size=n).astype(np.float32),
+        "f64": rng.normal(size=n).astype(np.float64),
+        "i32": rng.integers(-5, 5, n).astype(np.int32),
+        "i64": rng.integers(0, 2**40, n).astype(np.int64),
+        "i16": rng.integers(-3, 3, n).astype(np.int16),
+        "jag": [rng.normal(size=c).astype(np.float32)
+                for c in rng.integers(0, 7, n)],
+    }
+    path = str(tmp_path / "rt.root")
+    rootio.write_tree(path, "nominal", branches_in, basket_entries=1000)
+    t = rootio.read_tree(path, "nominal")
+    assert t.num_entries == n
+    for key in ("f32", "f64", "i32", "i64", "i16"):
+        np.testing.assert_array_equal(np.asarray(t.array(key)),
+                                      branches_in[key])
+    jag = t.array("jag")
+    assert len(jag) == n
+    for got, want in zip(jag, branches_in["jag"]):
+        np.testing.assert_array_equal(got, want)
+
+
+def test_rootio_uncompressed_and_empty(tmp_path, rng):
+    path = str(tmp_path / "u.root")
+    data = {"x": rng.normal(size=257).astype(np.float32),
+            "jag": [np.zeros(0, np.float32)] * 257}
+    rootio.write_tree(path, "t", data, compression=None)
+    t = rootio.read_tree(path, "t")
+    np.testing.assert_array_equal(np.asarray(t.array("x")), data["x"])
+    assert all(len(a) == 0 for a in t.array("jag"))
+
+
+def test_rootio_format_envelope(tmp_path, rng):
+    """Byte-level checks of the ROOT container against the public spec."""
+    path = str(tmp_path / "fmt.root")
+    rootio.write_tree(path, "nominal",
+                      {"x": rng.normal(size=5000).astype(np.float32)})
+    buf = open(path, "rb").read()
+    assert buf[:4] == b"root"                          # magic
+    version, begin = struct.unpack_from(">ii", buf, 4)
+    assert version < 1000000 and begin == 100          # small-file format
+    end = struct.unpack_from(">i", buf, 12)[0]
+    assert end == len(buf)                             # fEND == file size
+    # first record at fBEGIN is the TFile key
+    nbytes, kver, objlen = struct.unpack_from(">ihI", buf, begin)
+    assert kver == 4
+    classname_len = buf[begin + 26]
+    assert buf[begin + 27:begin + 27 + classname_len] == b"TFile"
+    # compressed record headers carry the zlib tag
+    assert b"ZL\x08" in buf
+    # the reader finds the tree through header -> directory -> keys list
+    t = rootio.read_tree(path)
+    assert t.name == "nominal" and t.num_entries == 5000
+
+
+def test_convert_dijet_end_to_end(tmp_path, rng):
+    """Fixture .root files -> convert() -> HDF5 -> load_data round trip."""
+    inp = tmp_path / "rootfiles"
+    dsid = "361024"  # tag=1 in the topo-dijet table
+    d = inp / f"user.sim.{dsid}.ntuples"
+    d.mkdir(parents=True)
+    written = [_write_fixture_tree(d / f"part._{i:06d}.root", rng, 300)
+               for i in range(2)]
+    out = convert(str(inp), str(tmp_path / "h5"), "topo-dijet",
+                  n_constituents="unknown", tag=1, seed=3)
+    w_table = id_weights("topo-dijet")
+    with h5py.File(out, "r") as f:
+        n = len(f["weights"])
+        assert n == 600
+        # JZW synthesized as the int8 DSID index (ref root_utils.py:34-36)
+        assert f["JZW"].dtype == np.int8
+        assert set(np.asarray(f["JZW"])) == {1}
+        # MeV -> GeV on the m/pt scalars (ref root_utils.py:50)
+        want_m = np.concatenate([w["rljet_m_calo"] for w in written]) / 1000.0
+        got_m = np.sort(np.asarray(f["rljet_m_calo"]))
+        np.testing.assert_allclose(got_m, np.sort(want_m), rtol=1e-6)
+        # weights = lumi * weight_mc * ID_weight * weight_pileup
+        want_w = np.concatenate(
+            [w["weight_mc"].astype(np.float64) * w["weight_pileup"]
+             for w in written]) * LUMINOSITY["topo-dijet"] * w_table[dsid]
+        np.testing.assert_allclose(np.sort(np.asarray(f["weights"])),
+                                   np.sort(want_w), rtol=1e-5)
+        # constituents: float16, width = 4 * max multiplicity
+        max_c = max(int(w["rljet_n_constituents"].max()) for w in written)
+        assert f["constituents"].dtype == np.float16
+        assert f["constituents"].shape == (n, 4 * max_c)
+        assert f["m_calo"].dtype == np.float16
+    # loader round trip: registry -> load_data with cuts + constituents
+    registry.register_file("etl-roundtrip", out)
+    sample = load_data("etl-roundtrip", n, cuts=["(sample['m'] >= 0.5)"],
+                       n_const=6, n_dims=3, constituents="ON", hlvs="ON",
+                       hlv_list=["rljet_Tau1_wta", "rljet_Tau2_wta",
+                                 "rljet_Tau3_wta", "pt", "m",
+                                 "tau21", "tau32"],
+                       verbose=False)
+    assert sample["HLVs"].shape[1] == 7
+    assert sample["constituents"].shape == (len(sample["m"]), 18)
+    assert np.all(sample["m"] >= 0.5)
+    assert len(sample["m"]) > 0 and np.all(np.isfinite(sample["HLVs"]))
+
+
+def test_convert_ttbar_dsid_column(tmp_path, rng):
+    inp = tmp_path / "rootfiles"
+    for dsid in ("410284", "410285"):
+        d = inp / f"user.sim.{dsid}.ntuples"
+        d.mkdir(parents=True)
+        _write_fixture_tree(d / "part._000001.root", rng, 120)
+    out = convert(str(inp), str(tmp_path / "h5"), "topo-ttbar",
+                  n_constituents=9, seed=0)
+    with h5py.File(out, "r") as f:
+        assert f["DSID"].dtype == np.int32
+        assert set(np.asarray(f["DSID"])) == {410284, 410285}
+        assert "JZW" not in f
+    registry.register_file("etl-ttbar", out)
+    sample = load_data("etl-ttbar", 240, hlvs="OFF", dsids=410285,
+                       verbose=False)
+    assert len(sample["m"]) == 120
+
+
+def test_count_constituents(tmp_path, rng):
+    d = tmp_path / "user.sim.361023.x"
+    d.mkdir()
+    counts = np.array([3, 11, 7] * 10)
+    _write_fixture_tree(d / "a._000001.root", rng, 30, seed_counts=counts)
+    pairs = get_files(str(tmp_path), [d.name])
+    assert pairs and all(p[1] == "361023" for p in pairs)
+    assert count_constituents(pairs) == 11
+
+
+def test_read_root_files_weight_scaling_and_padding(tmp_path, rng):
+    d = tmp_path / "user.sim.361023.x"
+    d.mkdir()
+    data = _write_fixture_tree(d / "a._000001.root", rng, 50)
+    pairs = get_files(str(tmp_path), [d.name])
+    table = id_weights("topo-dijet")
+    out = read_root_files(pairs, SCALARS + JET_VAR + OTHERS, "topo-dijet",
+                          table, n_constituents=4)
+    np.testing.assert_allclose(out["weight_mc"],
+                               data["weight_mc"].astype(np.float64)
+                               * table["361023"], rtol=1e-6)
+    # truncation to n_constituents + MeV->GeV on cluster pt, float16
+    assert out["rljet_assoc_cluster_pt"].shape == (50, 4)
+    assert out["rljet_assoc_cluster_pt"].dtype == np.float16
+    row = np.asarray(data["rljet_assoc_cluster_pt"][0][:4], np.float64) / 1e3
+    k = len(row)
+    np.testing.assert_allclose(
+        np.asarray(out["rljet_assoc_cluster_pt"][0, :k], np.float64),
+        row, rtol=2e-3)
+    assert np.all(np.asarray(out["JZW"]) == 0)
+
+
+def test_convert_extra_branches_passthrough(tmp_path, rng):
+    inp = tmp_path / "rootfiles"
+    d = inp / "user.sim.361023.x"
+    d.mkdir(parents=True)
+    data = _fixture_branches(rng, 40)
+    data["eventNumber"] = np.arange(40, dtype=np.int64)
+    data["NPV"] = rng.integers(1, 60, 40).astype(np.int32)
+    rootio.write_tree(str(d / "a._000001.root"), "nominal", data)
+    out = convert(str(inp), str(tmp_path / "h5"), "topo-dijet",
+                  n_constituents=9, tag=0,
+                  extra_branches=["eventNumber", "NPV"])
+    with h5py.File(out, "r") as f:
+        assert set(np.asarray(f["eventNumber"], np.int64)) == set(range(40))
+        assert "NPV" in f
+    with pytest.raises(ValueError, match="catalog"):
+        convert(str(inp), str(tmp_path / "h5"), "topo-dijet",
+                n_constituents=9, tag=0, extra_branches=["not_a_branch"])
+
+
+def test_branch_catalog_matches_reference():
+    cat = branches.catalog()
+    assert len(cat) == len(set(cat)) == 171
+    ref_list = "/root/reference/tools/ROOT_variables.txt"
+    if os.path.exists(ref_list):
+        want = [l.strip() for l in open(ref_list) if l.strip()]
+        assert sorted(cat) == sorted(want)
+
+
+def test_rootio_uproot_crosscheck(tmp_path, rng):
+    """When uproot is installed, it must read rootio files bit-exactly."""
+    uproot = pytest.importorskip("uproot")
+    path = str(tmp_path / "x.root")
+    data = {"a": rng.normal(size=1000).astype(np.float32),
+            "jag": [rng.normal(size=c).astype(np.float32)
+                    for c in rng.integers(0, 5, 1000)]}
+    rootio.write_tree(path, "nominal", data)
+    with uproot.open(path) as f:
+        t = f["nominal"]
+        np.testing.assert_array_equal(t["a"].array(library="np"), data["a"])
+        got = t["jag"].array(library="np")
+        for g, w in zip(got, data["jag"]):
+            np.testing.assert_array_equal(np.asarray(g), w)
+    src = open_tree(path, backend="uproot")
+    assert src.num_entries == 1000
