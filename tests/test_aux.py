@@ -88,3 +88,46 @@ def test_global_mesh_over_all_devices():
     from atlasvae.parallel.multihost import global_mesh
     mesh = global_mesh()
     assert mesh.shape["data"] == 8  # all virtual CPU devices
+
+
+def test_global_mesh_covers_all_devices():
+    import jax
+    from atlasvae.parallel.multihost import global_mesh
+    mesh = global_mesh()
+    assert mesh.devices.size == jax.device_count() == 8
+    assert mesh.axis_names == ("data",)
+    mesh2d = global_mesh((("data", -1), ("model", 2)))
+    assert dict(zip(mesh2d.axis_names, mesh2d.devices.shape)) == {
+        "data": 4, "model": 2}
+
+
+def test_global_mesh_sharded_reduction_matches_host_slices():
+    """Per-host slicing (host_shard_range) + the global mesh reduce to
+    the same number as an unsharded computation: the multi-host data
+    path's arithmetic, simulated on the 8-device CPU mesh."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from atlasvae.parallel.multihost import global_mesh, host_shard_range
+
+    n_events, n_hosts = 1003, 4
+    x = np.arange(n_events, dtype=np.float32) ** 0.5
+    # simulate each host loading only its slice, then a global weighted sum
+    parts = [x[slice(*host_shard_range(n_events, n_hosts, h))]
+             for h in range(n_hosts)]
+    assert sum(len(p) for p in parts) == n_events
+    glob = np.concatenate(parts)
+
+    mesh = global_mesh()
+    pad = -len(glob) % mesh.devices.size
+    padded = np.pad(glob, (0, pad))
+    arr = jax.device_put(padded, NamedSharding(mesh, P("data")))
+
+    @jax.jit
+    def total(a):
+        return jnp.sum(a)
+
+    assert np.asarray(total(arr)) == np.float32(x.sum()) or np.isclose(
+        float(total(arr)), float(np.float64(glob).sum()), rtol=1e-6)
+    # sharding actually landed on every device
+    assert len({d for d in arr.sharding.device_set}) == 8

@@ -83,3 +83,48 @@ def test_aae_and_extra_plots(tmp_path, rng, sample):
     names = set(os.listdir(tmp_path))
     assert {"discriminant_Autoencoder.png", "ROC_2d_cuts.png", "ROC_curves.png",
             "grid.png", "deco_example.png", "cal_images_mean.png"} <= names
+
+
+def test_deco_walkthrough_full_bank(tmp_path):
+    """The analytic figure bank (ref OE-AAE/plots.py:1140-1688): all
+    panels emit, and the flattening math is exact — the pushforward of
+    the background under its own CDF is uniform, and on a base-e logit
+    axis its density peaks at exactly 1/4."""
+    from atlasvae.plotting.pedagogy import (deco_walkthrough,
+                                            _pushforward_hist,
+                                            _quartic_coeff, _poly_pdf,
+                                            _poly_cdf, _maxwell_cdf)
+    c = _quartic_coeff()
+    # the quartic satisfies its defining constraints (f(0)=f(1)=0, int=1)
+    assert abs(_poly_pdf(0.0, c)) < 1e-12
+    assert abs(_poly_pdf(1.0, c)) < 1e-12
+    assert abs(_poly_cdf(1.0, c) - 1.0) < 1e-12
+    F_bkg = lambda v: _poly_cdf(v, c)                      # noqa: E731
+    F_sig = lambda v: 1 - _maxwell_cdf(1 - v, 0.12)        # noqa: E731
+    new_x, hist_bkg, hist_sig = _pushforward_hist(F_bkg, F_sig)
+    g = hist_bkg / np.diff(new_x)
+    assert abs(g.mean() - 1.0) < 1e-3 and g.std() < 0.02   # uniform
+    files = deco_walkthrough(tmp_path, extras=True)
+    names = {os.path.basename(f) for f in files}
+    assert {"deco_0.png", "deco_1a.png", "deco_1b.png", "deco_1c.png",
+            "deco_1d.png", "deco_2a.png", "deco_2b.png", "deco_2c.png",
+            "deco_2d.png", "deco_AUC.png", "deco_uncut.png", "deco_cut.png",
+            "deco_distributions.png", "deco_ROC_curve.png",
+            "deco_gain_curve.png", "deco_sigma_curve.png"} == names
+    assert all(os.path.getsize(f) > 0 for f in files)
+
+
+def test_jetid_track_scalar_debug_plots(tmp_path, rng):
+    """Track/scalar debug plots (ref jet-ID/plots.py:449-550)."""
+    from atlasvae.plotting.pedagogy import (plot_tracks, plot_scalars,
+                                            plot_vertex)
+    tracks = rng.normal(0, 0.01, (300, 12, 5))
+    tracks[rng.uniform(size=(300, 12)) > 0.6] = 0  # variable track counts
+    labels = rng.integers(0, 3, 300)
+    for var in ("efrac", "deta", "d0"):
+        out1, out2 = plot_tracks(tracks, labels, var, tmp_path)
+        assert os.path.getsize(out1) and os.path.getsize(out2)
+    s = {"pt": rng.exponential(1, 400)}
+    st = {"pt": rng.uniform(-1, 1, 400)}
+    assert os.path.getsize(plot_scalars(s, st, "pt", tmp_path))
+    assert os.path.getsize(plot_vertex(rng.integers(0, 9, 500), tmp_path))
