@@ -24,6 +24,9 @@ def build_parser():
     parser.add_argument("--n_sig", default=1e6, type=float)
     parser.add_argument("--n_const", default=20, type=int)
     parser.add_argument("--n_dims", default=3, type=int)
+    parser.add_argument("--memGB", default=30, type=float,
+                        help="host-memory chunk budget per load "
+                             "(ref OE-VAE/vae.py:116 hardcodes 30)")
     parser.add_argument("--batch_size", default=1e4, type=float)
     parser.add_argument("--n_epochs", default=100, type=int)
     parser.add_argument("--FC_layers", default=[80, 40, 20, 10], type=int, nargs="+")
@@ -158,11 +161,13 @@ def main(argv=None):
                                    args.n_train, ood_sample, args.weight_type,
                                    train_cuts, args.constituents, args.HLVs,
                                    hlv_list, bin_sizes, hlv_scaler, const_scaler,
-                                   is_train=True, output_dir=args.output_dir)
+                                   is_train=True, mem_gb=args.memGB,
+                                   output_dir=args.output_dir)
         valid_gen = BatchGenerator(bkg_data, ood_data, args.n_const, args.n_dims,
                                    args.n_valid, ood_sample, args.weight_type,
                                    train_cuts, args.constituents, args.HLVs,
-                                   hlv_list, bin_sizes, hlv_scaler, const_scaler)
+                                   hlv_list, bin_sizes, hlv_scaler, const_scaler,
+                                   mem_gb=args.memGB)
         state_file = out_root + "/" + args.state_file if args.state_file else None
         params, _ = train_model(params, train_gen, valid_gen, args.OE_type,
                                 args.n_epochs, args.batch_size, args.beta,

@@ -67,3 +67,42 @@ def test_jetid_cli_generator_mode(out_dir):
           "--batch_size", "200", "--n_epochs", "2", "--plotting", "OFF",
           "--generator", "ON", "--memGB", "0.0002", "--output_dir", out])
     assert os.path.isfile(os.path.join(out, "model.npz"))
+
+
+def test_etl_cli_convert_and_merge(tmp_path, rng):
+    """ETL CLI end-to-end on built-in rootio fixtures: convert one dijet
+    DSID with extra branches, then shuffle-merge the output directory
+    (ref tools/root2h5.py:10-16 flag surface)."""
+    from atlasvae.cli.etl import main
+    from atlasvae.etl import rootio
+    from atlasvae.etl.root2h5 import SCALARS, MEV_SCALARS
+    import h5py
+
+    d = tmp_path / "in" / "user.sim.361024.ntuples"
+    d.mkdir(parents=True)
+    n = 150
+    data = {}
+    for key in SCALARS:
+        scale = 1000.0 if key in MEV_SCALARS else 1.0
+        data[key] = (rng.uniform(0.5, 3.0, n) * scale).astype(np.float32)
+    data["weight_mc"] = rng.uniform(0.5, 2.0, n).astype(np.float32)
+    data["weight_pileup"] = np.ones(n, np.float32)
+    data["rljet_topTag_DNN19_qqb_score"] = rng.uniform(0, 1, n).astype(np.float32)
+    counts = rng.integers(1, 8, n)
+    data["rljet_n_constituents"] = counts.astype(np.int32)
+    for key, gen in (("rljet_assoc_cluster_pt", lambda c: rng.uniform(1e3, 1e5, c)),
+                     ("rljet_assoc_cluster_eta", lambda c: rng.normal(0, 1, c)),
+                     ("rljet_assoc_cluster_phi", lambda c: rng.uniform(-3, 3, c))):
+        data[key] = [gen(c).astype(np.float32) for c in counts]
+    data["NPV"] = rng.integers(1, 50, n).astype(np.int32)
+    rootio.write_tree(str(d / "part._000001.root"), "nominal", data)
+
+    out = str(tmp_path / "out")
+    assert main(["--sample_type", "topo-dijet", "--tag", "1",
+                 "--input_path", str(tmp_path / "in"), "--output_path", out,
+                 "--extra_branches", "NPV"]) == 0
+    with h5py.File(f"{out}/topo-dijet_361024.h5") as f:
+        assert "NPV" in f and len(f["weights"]) == n
+    assert main(["--merging", "ON", "--n_constituents", "7",
+                 "--input_path", out, "--output_path", out]) == 0
+    assert os.path.isfile(f"{out}/merging/merging.h5")
