@@ -15,11 +15,16 @@ reference uses):
   TDirectory / keys list, with zlib ("ZL") record compression.
 * Leaf-list TTrees: flat branches of float32/float64/int32/int64/int16/
   int8/uint8, and counter-jagged branches (``var[N_var]/F`` style with a
-  TLeafI count leaf), which is how this module represents per-jet
-  constituent lists.  ``vector<vector<float>>`` branches (the raw ATLAS
-  layout) are NOT written; the adapter in ``root2h5`` normalises those
-  to the leading-jet list, which is all the reference ever reads
-  (ref tools/root_utils.py:42-43 takes ``n[0]``).
+  TLeafI count leaf).
+* STL-container TBranchElement branches holding ``vector<T>`` and
+  ``vector<vector<T>>`` — the raw ATLAS constituent layout (one list per
+  R=1.0 jet per event, ref tools/root_utils.py:42-43).  Entries are
+  streamed object-wise: a 6-byte bytecount+version header on the outer
+  vector, ``int32`` element count, then each inner ``vector<T>`` as a
+  bare count+data block (no per-element header) — the layout uproot
+  interprets as ``AsVector(True, AsVector(False, dtype))``.  The
+  member-wise variant (version flag ``0x4000`` plus a 2-byte inner class
+  version) is read and can be written for round-trip coverage.
 * Class versions follow ROOT 6.22/6.24 (TTree v20, TBranch v13,
   TLeaf v2).  Readability by real ROOT/uproot is designed-for and
   covered by a cross-check test that runs whenever uproot is importable
@@ -56,6 +61,30 @@ _LEAF_CODE = {"f4": "F", "f8": "D", "i4": "I", "i8": "L",
               "i2": "S", "i1": "B", "u1": "b"}
 _LEAF_BY_CLASS = {v[0]: k for k, v in _LEAF.items()}
 _LEAF_BY_CLASS["TLeafB"] = "i1"
+
+# STL element typenames (ROOT spelling, with the "> >" nested-template
+# space) <-> numpy kinds, for vector<T> / vector<vector<T>> branches
+_STL_TYPE = {"f4": "float", "f8": "double", "i4": "int", "i8": "Long64_t",
+             "i2": "short", "i1": "char", "u1": "unsigned char"}
+_STL_KIND = {v: k for k, v in _STL_TYPE.items()}
+_STL_KIND.update({"Int_t": "i4", "Float_t": "f4", "Double_t": "f8",
+                  "long long": "i8", "long": "i8", "unsigned int": "i4",
+                  "UInt_t": "i4", "bool": "u1", "Bool_t": "u1",
+                  "Short_t": "i2", "Char_t": "i1", "UChar_t": "u1"})
+K_MEMBERWISE = 0x4000           # kStreamedMemberWise flag on the version
+
+
+def _parse_stl(classname):
+    """'vector<vector<float> >' -> (depth, element np.dtype)."""
+    name = classname.replace(" >", ">").strip()
+    depth = 0
+    while name.startswith("vector<") and name.endswith(">"):
+        name = name[len("vector<"):-1].strip()
+        depth += 1
+    kind = _STL_KIND.get(name)
+    if depth not in (1, 2) or kind is None:
+        raise NotImplementedError(f"unsupported STL branch type {classname!r}")
+    return depth, np.dtype(f">{kind}")
 
 
 def _tstring(s):
@@ -202,6 +231,41 @@ def _normalise(arr):
     return kind, flat, counts
 
 
+def _is_doubly_jagged(arr):
+    """True when ``arr`` is a per-entry sequence of LISTS of arrays (or
+    2-D arrays) — the vector<vector<T>> shape; plain jagged entries are
+    1-D arrays / scalar lists."""
+    if isinstance(arr, np.ndarray) and arr.dtype != object:
+        return False
+    for entry in arr:
+        if isinstance(entry, np.ndarray):
+            return entry.ndim >= 2 or entry.dtype == object
+        if isinstance(entry, (list, tuple)):
+            return len(entry) > 0 and np.ndim(entry[0]) >= 1
+        return False
+    return False
+
+
+def _normalise_vv(arr):
+    """-> (kind, list of per-entry lists of 1-D element arrays)."""
+    entries, kind = [], None
+    for e in arr:
+        inner = [np.atleast_1d(np.asarray(v)) for v in e]
+        if kind is None and inner:
+            k = inner[0].dtype.str[1:]
+            kind = k if k in _STL_TYPE else (
+                "f4" if inner[0].dtype.kind == "f" else "i4")
+        entries.append(inner)
+    return kind or "f4", entries
+
+
+def _leaf_element_blob(name, title):
+    """TLeafElement v1: TLeaf base + fID=-1 + fType=0 (whole object)."""
+    base = _tnamed(name, title) + struct.pack(">iiiBB", 1, 0, 0, 0, 0)
+    base += struct.pack(">I", 0)                    # null fLeafCount
+    return _versioned(1, _versioned(2, base) + struct.pack(">ii", -1, 0))
+
+
 def _leaf_blob(classname, name, title, length, lentype, signed_range,
                leafcount_ref, maximum, version=1):
     base = _tnamed(name, title) + struct.pack(
@@ -232,21 +296,43 @@ def _obj_any_new(classname, blob):
 
 
 def write_tree(path, treename, branches, title="", compression="zlib",
-               basket_entries=20000):
-    """Write ``branches`` (dict name -> 1-D array, or list of per-entry
-    arrays for jagged data) as a TTree in a new ROOT file."""
+               basket_entries=20000, stl_memberwise=False,
+               stl_branches=()):
+    """Write ``branches`` (dict name -> 1-D array; list of per-entry
+    arrays for jagged data; list of per-entry LISTS of arrays — or 2-D
+    arrays — for raw-ATLAS ``vector<vector<T>>`` data) as a TTree in a
+    new ROOT file.
+
+    ``stl_memberwise`` streams STL entries with the member-wise version
+    flag (round-trip coverage for that layout).  Names in
+    ``stl_branches`` force singly-jagged data into ``vector<T>``
+    TBranchElement form instead of the default counter-jagged leaf
+    list."""
     w = _Writer(compression)
     fname = path.split("/")[-1]
     w.reserve_first_record(fname, title)
 
-    norm, counters = {}, {}
+    norm, counters, stl = {}, {}, {}
     for name, arr in branches.items():
+        if _is_doubly_jagged(arr):
+            kind, entries = _normalise_vv(arr)
+            stl[name] = (kind, entries,
+                         f"vector<vector<{_STL_TYPE[kind]}> >", 2)
+            continue
+        if name in stl_branches:
+            parts = [np.atleast_1d(np.asarray(v)) for v in arr]
+            k = parts[0].dtype.str[1:] if parts else "f4"
+            if k not in _STL_TYPE:
+                k = "f4" if parts and parts[0].dtype.kind == "f" else "i4"
+            stl[name] = (k, parts, f"vector<{_STL_TYPE[k]}>", 1)
+            continue
         kind, flat, counts = _normalise(arr)
         norm[name] = (kind, flat, counts)
         if counts is not None:
             counters[name] = f"N_{name}"
-    n_entries = {len(v[1]) if v[2] is None else len(v[2])
-                 for v in norm.values()}
+    n_entries = ({len(v[1]) if v[2] is None else len(v[2])
+                  for v in norm.values()}
+                 | {len(v[1]) for v in stl.values()})
     assert len(n_entries) == 1, "branches must share the entry count"
     n_entries = n_entries.pop()
 
@@ -302,6 +388,40 @@ def write_tree(path, treename, branches, title="", compression="zlib",
                 if n_entries == 0:
                     break
 
+    for name, (kind, entries, _classname, depth) in stl.items():
+        dtype = np.dtype(f">{kind}")
+        keylen = (KEY_FIXED + len(_tstring("TBasket")) + len(_tstring(name))
+                  + len(_tstring(treename)) + 19)
+        for e0 in range(0, max(n_entries, 1), basket_entries):
+            nev = min(basket_entries, n_entries - e0)
+            if nev <= 0 and n_entries > 0:
+                break
+            blobs, offs, pos = [], [], 0
+            for entry in entries[e0:e0 + nev]:
+                if depth == 1:
+                    v = np.asarray(entry, dtype)
+                    body = struct.pack(">i", len(v)) + v.tobytes()
+                else:
+                    body = struct.pack(">i", len(entry)) + b"".join(
+                        struct.pack(">i", len(v))
+                        + np.asarray(v, dtype).tobytes()
+                        for v in entry)
+                if stl_memberwise:
+                    head = struct.pack(">hh", 6 | K_MEMBERWISE, 6)
+                else:
+                    head = struct.pack(">h", 6)
+                blob = (struct.pack(
+                    ">I", (len(head) + len(body)) | K_BYTE_COUNT_MASK)
+                    + head + body)
+                offs.append(keylen + pos)
+                blobs.append(blob)
+                pos += len(blob)
+            payload = b"".join(blobs)
+            _write_basket(name, payload, len(payload), e0, nev, 0,
+                          offsets=offs)
+            if n_entries == 0:
+                break
+
     # ---- TTree record ------------------------------------------------------
     # Build the payload tracking byte positions so leaf-count references
     # use the ROOT map convention (position of the object's byte-count
@@ -312,12 +432,15 @@ def write_tree(path, treename, branches, title="", compression="zlib",
 
     leaf_pos = {}           # branch name -> map position of its leaf
 
-    def _branch_blob(bname, kind, jagged_counter, counts, base_offset):
+    def _branch_blob(bname, kind, jagged_counter, counts, base_offset,
+                     stl_class=None):
         """Serialized TBranch v13; registers its leaf position."""
         cls, _ = _LEAF[kind]
         code = _LEAF_CODE[kind]
         itemsize = np.dtype(f">{kind}").itemsize
-        if bname in counters.values():
+        if stl_class is not None:
+            cls, is_counter, leaf_title = "TLeafElement", False, bname
+        elif bname in counters.values():
             leaf_title = f"{bname}/I"
             cls, is_counter = "TLeafI", True
         else:
@@ -327,10 +450,11 @@ def write_tree(path, treename, branches, title="", compression="zlib",
         bk = baskets.get(bname, [])
         nb = len(bk)
         maxb = nb + 1
+        has_offsets = stl_class or (jagged_counter and not is_counter)
         head = _tnamed(bname, leaf_title) + _versioned(
             2, struct.pack(">hh", 0, 1001))
         head += struct.pack(">iiii", 1, 32000,
-                            1000 if (jagged_counter and not is_counter) else 0,
+                            1000 if has_offsets else 0,
                             nb)
         head += struct.pack(">q", sum(b[3] for b in bk))
         head += _iofeatures()
@@ -350,9 +474,12 @@ def write_tree(path, treename, branches, title="", compression="zlib",
             cnt_ref = leaf_pos[jagged_counter]
         if is_counter and counts is not None and len(counts):
             maximum = int(counts.max())
-        leaf = _obj_any_new(
-            cls, _leaf_blob(cls, bname, leaf_title, 1, itemsize,
-                            is_counter, cnt_ref, maximum))
+        if stl_class is not None:
+            leaf = _obj_any_new(cls, _leaf_element_blob(bname, leaf_title))
+        else:
+            leaf = _obj_any_new(
+                cls, _leaf_blob(cls, bname, leaf_title, 1, itemsize,
+                                is_counter, cnt_ref, maximum))
         leaf_pos[bname] = leaf_map_pos
         arr_body = (struct.pack(">h", 3) + _tobject() + _tstring("")
                     + struct.pack(">ii", 1, 0) + leaf)
@@ -388,6 +515,27 @@ def write_tree(path, treename, branches, title="", compression="zlib",
     blobs = []
     base = 4 + 2 + len(payload) + 4 + len(arr_prefix)
     for bname in order:
+        if bname in stl:
+            kind, _, classname, _depth = stl[bname]
+            # members of the embedded TBranch start after: bc(4) +
+            # newclass tag(4) + "TBranchElement\0"(15) + outer bc(4) +
+            # outer version(2) + inner bc(4) + inner version(2)
+            obj_head = 4 + 4 + len(b"TBranchElement\x00") + 4 + 2 + 4 + 2
+            branch = _branch_blob(bname, kind, None, None, base + obj_head,
+                                  stl_class=classname)
+            # TBranchElement v10 members after the TBranch base:
+            # fClassName, fParentName, fClonesName, fCheckSum,
+            # fClassVersion(short), fID=-1, fType=0, fStreamerType=-1,
+            # fMaximum, fBranchCount/fBranchCount2 (null)
+            extra = (_tstring(classname) + _tstring("") + _tstring("")
+                     + struct.pack(">Ih", 0, 6)
+                     + struct.pack(">iiii", -1, 0, -1, 0)
+                     + struct.pack(">II", 0, 0))
+            blob = _obj_any_new("TBranchElement",
+                                _versioned(10, branch + extra))
+            blobs.append(blob)
+            base += len(blob)
+            continue
         if bname in counters.values():
             src = next(k for k, v in counters.items() if v == bname)
             kind, _, counts = "i4", None, norm[src][2]
@@ -545,6 +693,7 @@ class Branch:
         self.leaves = leaves
         self.basket_seeks, self.basket_bytes = basket_seeks, basket_bytes
         self.basket_entries, self.entries = basket_entries, entries
+        self.element_class = None       # set for TBranchElement (STL)
 
 
 def _read_object_any(c, readers):
@@ -610,9 +759,22 @@ def _read_leaf(c, classname):
     return Leaf(classname, name, title, length, lentype, leafcount, maximum)
 
 
+def _read_leaf_element(c):
+    """TLeafElement v1: TLeaf base + fID + fType."""
+    _, end = c.versioned()
+    _, base_end = c.versioned()
+    name, title = _read_tnamed(c)
+    length, lentype, _ = c.fields(">iii")
+    c.fields(">BB")
+    leafcount = _read_object_any(c, _LEAF_READERS)
+    c.pos = end
+    return Leaf("TLeafElement", name, title, length, lentype, leafcount, 0)
+
+
 _LEAF_READERS = {n: (lambda c, n=n: _read_leaf(c, n))
                  for n in ("TLeafF", "TLeafD", "TLeafI", "TLeafL", "TLeafS",
                            "TLeafB", "TLeafO")}
+_LEAF_READERS["TLeafElement"] = _read_leaf_element
 
 
 def _read_objarray(c, readers):
@@ -652,7 +814,26 @@ def _read_branch(c):
                   basket_bytes[:nb], basket_entry[:nb + 1], entries)
 
 
-_BRANCH_READERS = {"TBranch": _read_branch}
+def _read_branch_element(c):
+    """TBranchElement: TBranch base + STL/class members.  The branch's
+    ``element_class`` drives STL decoding in :meth:`Tree.array`."""
+    ver, end = c.versioned()
+    br = _read_branch(c)
+    classname = c.tstring()
+    c.tstring()                                      # fParentName
+    c.tstring()                                      # fClonesName
+    c.field(">I")                                    # fCheckSum
+    c.field(">h" if ver >= 10 else ">i")             # fClassVersion
+    c.fields(">iiii")                                # fID/fType/fStreamer/fMax
+    _read_object_any(c, _BRANCH_READERS)             # fBranchCount
+    _read_object_any(c, _BRANCH_READERS)             # fBranchCount2
+    c.pos = end
+    br.element_class = classname
+    return br
+
+
+_BRANCH_READERS = {"TBranch": _read_branch,
+                   "TBranchElement": _read_branch_element}
 
 
 class Tree:
@@ -685,8 +866,12 @@ class Tree:
         return name in self.branches
 
     def array(self, name):
-        """-> np.ndarray (flat branch) or list of per-entry arrays."""
+        """-> np.ndarray (flat branch), list of per-entry arrays (jagged
+        leaf-list or vector<T>), or list of per-entry lists of arrays
+        (vector<vector<T>>)."""
         br = self.branches[name]
+        if br.element_class is not None:
+            return self._stl_array(br)
         leaf = br.leaves[0]
         dtype = leaf.dtype
         jagged = (leaf.leafcount is not None
@@ -718,6 +903,39 @@ class Tree:
             raise ValueError(f"cannot infer entry offsets for {name}")
         splits = np.cumsum(cnt)[:-1]
         return np.split(flat, splits)
+
+    def _stl_array(self, br):
+        """Decode an STL TBranchElement (vector<T> / vector<vector<T>>)
+        from its basket entry offsets."""
+        depth, dtype = _parse_stl(br.element_class)
+        isz = dtype.itemsize
+        out = []
+        for seek, nbytes in zip(br.basket_seeks, br.basket_bytes):
+            key = _Key.parse(self.buf, seek)
+            _, _, _, fnevbuf, flast, _ = struct.unpack_from(
+                ">hiiiiB", self.buf, key.trailer_pos)
+            payload = key.payload(self.buf)
+            border = flast - key.keylen
+            offs = np.frombuffer(payload, ">i4", fnevbuf, border + 4)
+            for start in (offs - key.keylen).tolist():
+                pos = start + 4                      # skip bytecount word
+                ver = struct.unpack_from(">h", payload, pos)[0]
+                pos += 2
+                if ver & K_MEMBERWISE:
+                    pos += 2                         # inner class version
+                n = struct.unpack_from(">i", payload, pos)[0]
+                pos += 4
+                if depth == 1:
+                    out.append(np.frombuffer(payload, dtype, n, pos).copy())
+                    continue
+                inner = []
+                for _ in range(n):
+                    m = struct.unpack_from(">i", payload, pos)[0]
+                    pos += 4
+                    inner.append(np.frombuffer(payload, dtype, m, pos).copy())
+                    pos += m * isz
+                out.append(inner)
+        return out
 
     def arrays(self, names=None):
         names = names or self.keys()

@@ -6,12 +6,13 @@ uproot is installed and otherwise uses :mod:`atlasvae.etl.rootio`, so the
 full conversion pipeline is executable (and tested) in environments
 without uproot.
 
-The protocol normalises the one structural difference between ATLAS
-ntuples and rootio's subset: constituent branches.  ATLAS stores
-``vector<vector<float>>`` (per event: one list per R=1.0 jet); the
-reference always takes the leading jet's list (``n[0]``,
-ref tools/root_utils.py:42-43).  ``leading_list`` returns exactly that:
-a list of 1-D arrays, one per entry.
+Constituent branches: ATLAS stores ``vector<vector<float>>`` (per
+event: one list per R=1.0 jet); the reference always takes the leading
+jet's list (``n[0]``, ref tools/root_utils.py:42-43).  ``leading_list``
+returns exactly that — a list of 1-D arrays, one per entry — from
+either backend: rootio reads STL TBranchElement branches natively, and
+also accepts counter-jagged leaf-list trees (already one list per
+entry).
 """
 
 import numpy as np
@@ -45,6 +46,10 @@ class RootIOSource:
         if not isinstance(arr, list):
             # a flat branch read as per-entry singletons
             return [np.atleast_1d(v) for v in np.asarray(arr)]
+        if arr and isinstance(arr[0], list):
+            # vector<vector<T>>: leading jet (ref tools/root_utils.py:43)
+            return [np.asarray(e[0], np.float64) if len(e) else np.zeros(0)
+                    for e in arr]
         return arr
 
 

@@ -328,7 +328,10 @@ def test_rootio_uproot_crosscheck(tmp_path, rng):
     path = str(tmp_path / "x.root")
     data = {"a": rng.normal(size=1000).astype(np.float32),
             "jag": [rng.normal(size=c).astype(np.float32)
-                    for c in rng.integers(0, 5, 1000)]}
+                    for c in rng.integers(0, 5, 1000)],
+            "vvf": [[rng.normal(size=m).astype(np.float32)
+                     for m in rng.integers(0, 4, k)]
+                    for k in rng.integers(0, 3, 1000)]}
     rootio.write_tree(path, "nominal", data)
     with uproot.open(path) as f:
         t = f["nominal"]
@@ -336,5 +339,145 @@ def test_rootio_uproot_crosscheck(tmp_path, rng):
         got = t["jag"].array(library="np")
         for g, w in zip(got, data["jag"]):
             np.testing.assert_array_equal(np.asarray(g), w)
+        got = t["vvf"].array(library="np")
+        for g, w in zip(got, data["vvf"]):
+            assert len(g) == len(w)
+            for gi, wi in zip(g, w):
+                np.testing.assert_array_equal(np.asarray(gi), wi)
     src = open_tree(path, backend="uproot")
     assert src.num_entries == 1000
+
+
+# ---------------------------------------------------------------------------
+# STL vector<vector<T>> branches — the raw ATLAS constituent layout
+# (ref tools/root_utils.py:42-43 reads these via uproot and takes n[0])
+# ---------------------------------------------------------------------------
+
+
+def _vvf_entries(rng, n, max_jets=3, max_const=6, dtype=np.float32):
+    return [[rng.normal(size=m).astype(dtype)
+             for m in rng.integers(0, max_const + 1, k)]
+            for k in rng.integers(0, max_jets + 1, n)]
+
+
+def _assert_vvf_equal(got, want):
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert len(g) == len(w)
+        for gi, wi in zip(g, w):
+            np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
+
+
+def test_rootio_vvf_roundtrip_multibasket(tmp_path, rng):
+    n = 2503  # > basket_entries: exercises entry offsets across baskets
+    data = {"clus": _vvf_entries(rng, n),
+            "ivv": [[rng.integers(-9, 9, m).astype(np.int32)
+                     for m in rng.integers(0, 3, k)]
+                    for k in rng.integers(0, 3, n)],
+            "flat": rng.normal(size=n).astype(np.float32)}
+    path = str(tmp_path / "vv.root")
+    rootio.write_tree(path, "nominal", data, basket_entries=1000)
+    t = rootio.read_tree(path, "nominal")
+    assert t.num_entries == n
+    assert t.branches["clus"].element_class == "vector<vector<float> >"
+    assert t.branches["ivv"].element_class == "vector<vector<int> >"
+    _assert_vvf_equal(t.array("clus"), data["clus"])
+    _assert_vvf_equal(t.array("ivv"), data["ivv"])
+    np.testing.assert_array_equal(np.asarray(t.array("flat")), data["flat"])
+
+
+def test_rootio_vvf_2d_entries_and_empty(tmp_path, rng):
+    # 2-D ndarray entries are accepted as the per-entry jet list; empty
+    # outer vectors and empty inner vectors both round-trip
+    n = 40
+    data = {"clus": [rng.normal(size=(2, 5)).astype(np.float32)
+                     if i % 3 else np.zeros((0, 5), np.float32)
+                     for i in range(n)]}
+    path = str(tmp_path / "vv2d.root")
+    rootio.write_tree(path, "t", data)
+    got = rootio.read_tree(path, "t").array("clus")
+    for i, g in enumerate(got):
+        want = data["clus"][i]
+        assert len(g) == len(want)
+        for gi, wi in zip(g, want):
+            np.testing.assert_array_equal(gi, wi)
+
+
+def test_rootio_vvf_memberwise_flag(tmp_path, rng):
+    """The member-wise STL layout (version flag 0x4000 + inner class
+    version) decodes identically to the object-wise default."""
+    n = 257
+    entries = _vvf_entries(rng, n)
+    p1, p2 = str(tmp_path / "ow.root"), str(tmp_path / "mw.root")
+    rootio.write_tree(p1, "t", {"c": entries})
+    rootio.write_tree(p2, "t", {"c": entries}, stl_memberwise=True)
+    _assert_vvf_equal(rootio.read_tree(p1, "t").array("c"), entries)
+    _assert_vvf_equal(rootio.read_tree(p2, "t").array("c"), entries)
+    # the two files genuinely differ at the byte level (flagged headers)
+    assert open(p1, "rb").read() != open(p2, "rb").read()
+
+
+def test_rootio_vector_depth1_stl(tmp_path, rng):
+    """vector<T> (singly-nested STL) branches, forced via stl_branches."""
+    n = 1203
+    jag = [rng.normal(size=c).astype(np.float32)
+           for c in rng.integers(0, 6, n)]
+    dbl = [rng.normal(size=c) for c in rng.integers(0, 4, n)]
+    path = str(tmp_path / "v1.root")
+    rootio.write_tree(path, "t", {"x": jag, "y": dbl},
+                      stl_branches=("x", "y"), basket_entries=500)
+    t = rootio.read_tree(path, "t")
+    assert t.branches["x"].element_class == "vector<float>"
+    assert t.branches["y"].element_class == "vector<double>"
+    for got, want in zip(t.array("x"), jag):
+        np.testing.assert_array_equal(got, want)
+    for got, want in zip(t.array("y"), dbl):
+        np.testing.assert_array_equal(got, want)
+
+
+def test_leading_list_vvf(tmp_path, rng):
+    """RootIOSource.leading_list takes the leading jet's list from a
+    vector<vector<float>> branch (ref tools/root_utils.py:43 n[0])."""
+    entries = [[np.array([1.0, 2.0], np.float32),
+                np.array([9.0], np.float32)],
+               [],                                     # no jets this event
+               [np.array([5.0, 6.0, 7.0], np.float32)]]
+    path = str(tmp_path / "lead.root")
+    rootio.write_tree(path, "nominal", {"rljet_assoc_cluster_pt": entries,
+                                        "m": np.ones(3, np.float32)})
+    src = open_tree(path, backend="rootio")
+    lead = src.leading_list("rljet_assoc_cluster_pt")
+    np.testing.assert_array_equal(lead[0], [1.0, 2.0])
+    assert len(lead[1]) == 0
+    np.testing.assert_array_equal(lead[2], [5.0, 6.0, 7.0])
+
+
+def test_convert_raw_atlas_vvf_layout_end_to_end(tmp_path, rng):
+    """Full conversion from the raw ATLAS layout: constituent branches
+    as vector<vector<float>> (one list per R=1.0 jet), no uproot."""
+    inp = tmp_path / "rootfiles"
+    d = inp / "user.sim.361023.ntuples"
+    d.mkdir(parents=True)
+    n = 150
+    data = _fixture_branches(rng, n)
+    # rebuild the cluster branches as multi-jet vvf entries whose
+    # LEADING list matches the singly-jagged fixture exactly
+    counts = data["rljet_n_constituents"]
+    for key in JET_VAR:
+        lead = data[key]
+        data[key] = [[lead[i]] + [rng.normal(size=3).astype(np.float32)
+                                  for _ in range(int(rng.integers(0, 3)))]
+                     for i in range(n)]
+    rootio.write_tree(str(d / "a._000001.root"), "nominal", data)
+    out = convert(str(inp), str(tmp_path / "h5"), "topo-dijet",
+                  n_constituents="unknown", tag=0, seed=1)
+    with h5py.File(out, "r") as f:
+        assert len(f["weights"]) == n
+        max_c = int(counts.max())
+        assert f["constituents"].shape == (n, 4 * max_c)
+        assert np.isfinite(np.asarray(f["pt_calo"], np.float64)).all()
+    registry.register_file("etl-vvf", out)
+    sample = load_data("etl-vvf", n, n_const=4, n_dims=3,
+                       constituents="ON", hlvs="OFF", verbose=False)
+    assert sample["constituents"].shape == (n, 12)
+    assert np.isfinite(sample["constituents"]).all()
