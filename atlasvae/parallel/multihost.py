@@ -31,9 +31,10 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None):
     they must not be swallowed as "already initialized".
 
     Validated in this environment: single-host no-op, already-initialized
-    detection, and error propagation (tests/test_aux.py); real multi-host
-    bring-up needs multiple coordinated processes and is exercised only
-    by the mesh/psum math riding on top (which is host-count agnostic).
+    detection, and error propagation (tests/test_aux.py), plus LIVE
+    two-process bring-up — 2 OS processes x 4 CPU devices joining one
+    8-device runtime and running the DP train step to single-device
+    parity (tests/test_multihost_live.py).
     """
     if coordinator_address is None:
         # no coordinator: nothing to do on a single host; on Slurm-style
