@@ -41,6 +41,9 @@ def build_parser():
     parser.add_argument("--scaler_out", default="",
                         help="scaler save path (default scaler_<type>.pkl)")
     parser.add_argument("--dropout", default=0.1, type=float)
+    parser.add_argument("--l2", default=1e-7, type=float,
+                        help="kernel L2 regularization on hidden Dense/Conv "
+                             "layers (ref jet-ID/classifier.py:32)")
     parser.add_argument("--image_size", default=16, type=int,
                         help="constituent-image pixels per side (CNN mode)")
     parser.add_argument("--train_cuts", default="",
@@ -186,7 +189,7 @@ def main(argv=None):
                          constituent_dim=const_dim, nn_type=args.NN_type,
                          images=images, image_shapes=image_shapes,
                          fcn_neurons=tuple(args.FCN_neurons),
-                         dropout=args.dropout,
+                         dropout=args.dropout, l2=args.l2,
                          compute_dtype="bfloat16" if on(args.mixed_precision)
                          else "float32")
     params = init_jetid(jax.random.PRNGKey(0), config)

@@ -1,19 +1,28 @@
 """Supervised jet classifier: multi-branch CNN/FCN -> softmax.
 
 Re-implements the reference's ``multi_CNN`` factory
-(ref jet-ID/models.py:9-66): per-image-shape Conv towers
-(Conv + MaxPool + LeakyReLU(0) + Dropout), a constituents FCN branch,
-a scalars FCN branch, concatenated into a final FCN + softmax head.
+(ref jet-ID/models.py:9-66): images grouped by shape into shared
+multi-channel Conv towers (Conv + MaxPool + LeakyReLU(0) + Dropout,
+ref :15-17 concatenates same-shape inputs on the channel axis), a
+constituents FCN branch, a scalars FCN branch, concatenated into a
+final FCN + softmax head.  Per-shape CNN hyper-parameters mirror the
+shape-keyed CNN dict (ref jet-ID/classifier.py:74-77), and kernels
+given as 3-tuples select the Conv3D tower over (h, w, channels)
+volumes (ref jet-ID/models.py:23-34).  Hidden Dense/Conv kernels carry
+the L2 penalty of ``kernel_regularizer=l2`` (ref :10; the softmax
+output layer :66 is unregularized).
 
-TPU-first notes: convolutions use ``lax.conv_general_dilated`` in NHWC
-(channels-last maps onto the MXU as implicit GEMMs); dropout is folded
-into the apply function with an explicit PRNG key; LeakyReLU(alpha=0)
-is plain ReLU, kept under its reference name for parity.  Multi-GPU
-MirroredStrategy (ref jet-ID/models.py:69-81) is replaced by the mesh
-utilities in atlasvae.parallel.
+TPU-first notes: convolutions use ``lax.conv_general_dilated`` in
+NHWC / NDHWC (channels-last maps onto the MXU as implicit GEMMs);
+dropout is folded into the apply function with an explicit PRNG key;
+LeakyReLU(alpha=0) is plain ReLU, kept under its reference name for
+parity.  Multi-GPU MirroredStrategy (ref jet-ID/models.py:69-81) is
+replaced by the mesh utilities in atlasvae.parallel.
 """
 
 import dataclasses
+
+import math
 
 import jax
 import jax.numpy as jnp
@@ -35,8 +44,15 @@ class JetIDConfig:
     cnn_maps: tuple = (100, 100)    # ref jet-ID/classifier.py:74-77 defaults
     cnn_kernels: tuple = ((3, 3), (3, 3))
     cnn_pools: tuple = ((2, 2), (2, 2))
+    # per-shape overrides ((shape, maps, kernels, pools), ...) mirroring
+    # the shape-keyed CNN dict (ref jet-ID/classifier.py:74-77); kernels
+    # of length 3 select the Conv3D tower (ref jet-ID/models.py:23-34)
+    cnn_by_shape: tuple = ()
     dropout: float = 0.1
     activation: str = "leaky_relu"
+    # kernel L2 regularization strength (ref jet-ID/classifier.py:32
+    # --l2 default 1e-7; applied via l2_penalty in the training loss)
+    l2: float = 0.0
     # TPU analog of the reference's mixed_float16 policy
     # (ref jet-ID/models.py:74-75): compute in bfloat16 with float32
     # master weights; the softmax stays float32 (as Keras' mixed policy
@@ -44,13 +60,47 @@ class JetIDConfig:
     compute_dtype: str = "float32"
 
 
-def _init_conv(key, kh, kw, c_in, c_out):
+def _shape_groups(config):
+    """Images grouped by shape, first-appearance order: one shared
+    multi-channel tower per distinct shape (ref jet-ID/models.py:12-17)."""
+    groups = {}
+    for name, shape in zip(config.images, config.image_shapes):
+        groups.setdefault(tuple(shape), []).append(name)
+    return list(groups.items())
+
+
+def _shape_cnn(config, shape):
+    """(maps, kernels, pools) for a tower shape, honoring per-shape
+    overrides (the shape-keyed CNN dict, ref jet-ID/classifier.py:74-77).
+
+    Mirrors the reference's kernel-rank rule (ref jet-ID/models.py:23-27):
+    3-D towers when every kernel has >=3 entries, else 2-D; kernels and
+    pools are padded with 1s / truncated to that rank."""
+    maps, kernels, pools = config.cnn_maps, config.cnn_kernels, config.cnn_pools
+    for entry in config.cnn_by_shape:
+        if tuple(entry[0]) == tuple(shape):
+            maps, kernels, pools = entry[1], entry[2], entry[3]
+            break
+    rank = 3 if all(len(k) >= 3 for k in kernels) else 2
+    kernels = tuple((tuple(k) + (1, 1))[:rank] for k in kernels)
+    pools = tuple((tuple(p) + (1, 1))[:rank] for p in pools)
+    return tuple(maps), kernels, pools, rank
+
+
+def _tower_key(shape):
+    return "x".join(str(s) for s in shape)
+
+
+def _init_conv(key, kernel, c_in, c_out):
+    """Conv kernel (spatial..., c_in, c_out), glorot-uniform (Keras
+    Conv2D/Conv3D default)."""
     k_w, _ = jax.random.split(key)
-    fan_in = kh * kw * c_in
-    fan_out = kh * kw * c_out
+    fan_in = math.prod(kernel) * c_in
+    fan_out = math.prod(kernel) * c_out
     limit = jnp.sqrt(6.0 / (fan_in + fan_out))
     return {
-        "w": jax.random.uniform(k_w, (kh, kw, c_in, c_out), minval=-limit, maxval=limit),
+        "w": jax.random.uniform(k_w, tuple(kernel) + (c_in, c_out),
+                                minval=-limit, maxval=limit),
         "b": jnp.zeros((c_out,), jnp.float32),
     }
 
@@ -61,17 +111,28 @@ def init_jetid(key, config):
     concat_dim = 0
     if config.images and config.nn_type == "CNN":
         towers = {}
-        for name, shape in zip(config.images, config.image_shapes):
-            convs, c_in, h, w = [], 1, shape[0], shape[1]
-            for maps, kern, pool in zip(config.cnn_maps, config.cnn_kernels, config.cnn_pools):
-                convs.append(_init_conv(next(keys), kern[0], kern[1], c_in, maps))
-                h = max(h - kern[0] + 1, 1)
-                w = max(w - kern[1] + 1, 1)
-                h = -(-h // pool[0])
-                w = -(-w // pool[1])
+        for shape, names in _shape_groups(config):
+            maps_list, kernels, pools, rank = _shape_cnn(config, shape)
+            # 2-D: spatial (h, w), channels = n same-shape images;
+            # 3-D: spatial (h, w, n_images), single input channel
+            # (ref jet-ID/models.py:24 Reshape(...+(1,)))
+            if rank == 2:
+                spatial, c_in = [shape[0], shape[1]], len(names)
+            else:
+                spatial, c_in = [shape[0], shape[1], len(names)], 1
+            convs = []
+            for maps, kern, pool in zip(maps_list, kernels, pools):
+                convs.append(_init_conv(next(keys), kern, c_in, maps))
+                for d in range(rank):
+                    spatial[d] = spatial[d] - kern[d] + 1           # VALID conv
+                    if spatial[d] <= 0:
+                        raise ValueError(
+                            f"conv tower for shape {shape}: kernel {kern} "
+                            f"does not fit the remaining volume (dim {d})")
+                    spatial[d] = -(-spatial[d] // pool[d])          # SAME pool
                 c_in = maps
-            towers[name] = convs
-            concat_dim += h * w * c_in
+            towers[_tower_key(shape)] = convs
+            concat_dim += math.prod(spatial) * c_in
         params["towers"] = towers
     elif config.images:
         concat_dim += sum(s[0] * s[1] for s in config.image_shapes)
@@ -92,15 +153,19 @@ def init_jetid(key, config):
     return params
 
 
-def _conv_tower(convs, x, pools, dropout, key, train):
-    x = x[..., None]  # NHW -> NHWC
+_CONV_DIMS = {2: ("NHWC", "HWIO", "NHWC"), 3: ("NDHWC", "DHWIO", "NDHWC")}
+
+
+def _conv_tower(convs, x, pools, rank, dropout, key, train):
+    """``x`` arrives channels-last: (N, h, w, c) for 2-D towers,
+    (N, h, w, d, 1) for 3-D towers."""
     for i, conv in enumerate(convs):
         x = jax.lax.conv_general_dilated(
-            x, conv["w"], window_strides=(1, 1), padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC")) + conv["b"]
-        ph, pw = pools[i]
+            x, conv["w"], window_strides=(1,) * rank, padding="VALID",
+            dimension_numbers=_CONV_DIMS[rank]) + conv["b"]
+        window = (1,) + tuple(pools[i]) + (1,)
         x = -jax.lax.reduce_window(-x, jnp.inf, jax.lax.min,
-                                   (1, ph, pw, 1), (1, ph, pw, 1), "SAME")
+                                   window, window, "SAME")
         x = jax.nn.relu(x)  # LeakyReLU(alpha=0), ref jet-ID/models.py:36
         x = _dropout(x, dropout, key, i, train)
     return x.reshape(x.shape[0], -1)
@@ -113,9 +178,26 @@ def _dropout(x, rate, key, salt, train):
     return jnp.where(keep, x / (1.0 - rate), 0.0)
 
 
+def l2_penalty(params):
+    """Sum of squared kernels over every hidden Dense/Conv layer — the
+    Keras ``kernel_regularizer=l2`` contribution (ref jet-ID/models.py:10;
+    applied at :30-34,44,55,63).  Biases and the softmax output layer
+    (ref :66, no regularizer) are excluded.  Multiply by config.l2."""
+    total = jnp.float32(0.0)
+    for name, sub in params.items():
+        if name == "out":
+            continue
+        for path, leaf in jax.tree_util.tree_flatten_with_path(sub)[0]:
+            if path and getattr(path[-1], "key", None) == "w":
+                total = total + jnp.sum(jnp.square(leaf.astype(jnp.float32)))
+    return total
+
+
 def jetid_apply(params, config, inputs, key=None, train=False):
     """Forward pass -> class probabilities.  ``inputs`` is a dict keyed by
-    branch name ('constituents', scalar names, image names)."""
+    branch name ('constituents', scalar names, image names); image
+    branches sharing a shape are stacked on the channel axis into one
+    tower (ref jet-ID/models.py:15-17)."""
     if key is None:
         key = jax.random.PRNGKey(0)
     dtype = jnp.dtype(config.compute_dtype)
@@ -124,9 +206,16 @@ def jetid_apply(params, config, inputs, key=None, train=False):
         inputs = {k: jnp.asarray(v).astype(dtype) for k, v in inputs.items()}
     branches = []
     if config.images and config.nn_type == "CNN":
-        for name in config.images:
-            branches.append(_conv_tower(params["towers"][name], inputs[name],
-                                        config.cnn_pools, config.dropout, key, train))
+        for shape, names in _shape_groups(config):
+            # (N, h, w, n_images): same-shape images stacked on the last
+            # axis (ref jet-ID/models.py:15-17 concatenate axis=3)
+            x = jnp.stack([inputs[n] for n in names], axis=-1)
+            _, _, pools, rank = _shape_cnn(config, shape)
+            if rank == 3:
+                x = x[..., None]  # image stack becomes the depth axis
+            branches.append(_conv_tower(params["towers"][_tower_key(shape)],
+                                        x, pools, rank,
+                                        config.dropout, key, train))
     elif config.images:
         for name in config.images:
             branches.append(inputs[name].reshape(inputs[name].shape[0], -1))

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..models.jetid import jetid_apply
+from ..models.jetid import jetid_apply, l2_penalty
 from .step import make_optimizer, clip_gradients, LoadCache, device_put_load
 from .checkpoint import save_pytree
 
@@ -32,10 +32,16 @@ def _ce_loss(probs, labels, weights):
 
 
 def make_jetid_step_fns(optimizer, config):
+    # kernel L2 term, included in train AND eval loss exactly as Keras
+    # adds regularization losses to both fit and evaluate
+    # (ref jet-ID/models.py:10 kernel_regularizer=l2(args.l2))
+    def _reg(params):
+        return config.l2 * l2_penalty(params) if config.l2 else 0.0
+
     def batch_loss(params, batch, key):
         inputs, labels, weights = batch
         probs = jetid_apply(params, config, inputs, key=key, train=True)
-        loss = _ce_loss(probs, labels, weights)
+        loss = _ce_loss(probs, labels, weights) + _reg(params)
         acc = jnp.sum((jnp.argmax(probs, 1) == labels) * weights) / \
             jnp.maximum(jnp.sum(weights), 1e-30)
         return loss, jnp.stack([loss, acc])
@@ -63,7 +69,7 @@ def make_jetid_step_fns(optimizer, config):
         def step(_, batch):
             inputs, labels, w = batch
             probs = jetid_apply(params, config, inputs, train=False)
-            loss = _ce_loss(probs, labels, w)
+            loss = _ce_loss(probs, labels, w) + _reg(params)
             return None, jnp.stack([loss * jnp.sum(w), jnp.sum(w)])
 
         _, metrics = jax.lax.scan(step, None, (inputs, labels, weights))

@@ -1,5 +1,6 @@
 """Model + loss tests: shapes, reference-formula parity, clipping guards."""
 
+import dataclasses
 import functools
 
 import jax
@@ -115,3 +116,80 @@ def test_jetid_fcn_and_cnn():
     probs2 = jax.jit(lambda p, i: jetid_apply(p, cfg2, i))(
         params2, {"img": jax.random.normal(key, (8, 12, 12))})
     np.testing.assert_allclose(np.asarray(probs2.sum(axis=1)), 1.0, rtol=1e-5)
+
+
+def test_jetid_same_shape_images_share_multichannel_tower():
+    """Images of one shape feed a single tower with stacked channels
+    (ref jet-ID/models.py:12-17 concatenate axis=3)."""
+    cfg = JetIDConfig(n_classes=2, images=("a", "b", "c"),
+                      image_shapes=((10, 10), (10, 10), (6, 4)),
+                      nn_type="CNN", cnn_maps=(4,), cnn_kernels=((3, 3),),
+                      cnn_pools=((2, 2),))
+    params = init_jetid(jax.random.PRNGKey(0), cfg)
+    assert set(params["towers"]) == {"10x10", "6x4"}
+    # shared tower sees 2 input channels, the lone tower 1
+    assert params["towers"]["10x10"][0]["w"].shape == (3, 3, 2, 4)
+    assert params["towers"]["6x4"][0]["w"].shape == (3, 3, 1, 4)
+    key = jax.random.PRNGKey(1)
+    inputs = {"a": jax.random.normal(key, (8, 10, 10)),
+              "b": jax.random.normal(key, (8, 10, 10)) + 1.0,
+              "c": jax.random.normal(key, (8, 6, 4))}
+    probs = jax.jit(lambda p, i: jetid_apply(p, cfg, i))(params, inputs)
+    np.testing.assert_allclose(np.asarray(probs.sum(axis=1)), 1.0, rtol=1e-5)
+    # channel order matters: swapping a and b must change the output
+    swapped = jax.jit(lambda p, i: jetid_apply(p, cfg, i))(
+        params, {**inputs, "a": inputs["b"], "b": inputs["a"]})
+    assert not np.allclose(np.asarray(probs), np.asarray(swapped))
+
+
+def test_jetid_conv3d_tower_and_per_shape_overrides():
+    """3-tuple kernels select the Conv3D tower over (h, w, channels)
+    volumes (ref jet-ID/models.py:23-34); per-shape CNN dicts mirror
+    ref jet-ID/classifier.py:74-77."""
+    cfg = JetIDConfig(
+        n_classes=2, images=("p", "q", "r", "s"),
+        image_shapes=((7, 11), (7, 11), (7, 11), (7, 11)),
+        nn_type="CNN",
+        cnn_by_shape=(((7, 11), (5, 5), ((3, 5, 3), (3, 5, 1)),
+                       ((1, 1, 1), (1, 1, 1))),))
+    params = init_jetid(jax.random.PRNGKey(0), cfg)
+    # 3-D kernels: (kh, kw, kd, c_in=1, maps)
+    assert params["towers"]["7x11"][0]["w"].shape == (3, 5, 3, 1, 5)
+    assert params["towers"]["7x11"][1]["w"].shape == (3, 5, 1, 5, 5)
+    key = jax.random.PRNGKey(1)
+    inputs = {n: jax.random.normal(jax.random.fold_in(key, i), (4, 7, 11))
+              for i, n in enumerate("pqrs")}
+    probs = jax.jit(lambda p, i: jetid_apply(p, cfg, i))(params, inputs)
+    assert probs.shape == (4, 2)
+    np.testing.assert_allclose(np.asarray(probs.sum(axis=1)), 1.0, rtol=1e-5)
+
+
+def test_jetid_l2_penalty():
+    """l2_penalty sums squared hidden kernels, excluding biases and the
+    softmax output layer (ref jet-ID/models.py:10,66)."""
+    from atlasvae.models.jetid import l2_penalty
+    cfg = JetIDConfig(n_classes=2, scalars=("s",), scalar_dims=(4,),
+                      nn_type="FCN", fcn_neurons=(8,), branch_neurons=(6,))
+    params = init_jetid(jax.random.PRNGKey(0), cfg)
+    expected = sum(float(np.sum(np.asarray(l["w"]) ** 2))
+                   for l in params["scalars"] + params["head"])
+    assert float(l2_penalty(params)) == pytest.approx(expected, rel=1e-6)
+    # the training loss moves with l2 (gradient flows through the penalty)
+    from atlasvae.train.jetid_loop import make_jetid_step_fns
+    from atlasvae.train.step import make_optimizer
+    opt = make_optimizer()
+    cfg_nd = dataclasses.replace(cfg, dropout=0.0)
+    cfg_l2 = dataclasses.replace(cfg, l2=1e-2, dropout=0.0)
+    inputs = {"s": np.random.default_rng(0).normal(size=(16, 4)).astype(np.float32)}
+    labels = np.arange(16, dtype=np.int32) % 2
+    w = np.ones(16, np.float32)
+    batch = ({k: v[None] for k, v in inputs.items()}, labels[None], w[None])
+
+    def first_loss(c):
+        train_epoch, _ = make_jetid_step_fns(opt, c)
+        _, _, metrics = train_epoch(params, opt.init(params), np.float32(0.0),
+                                    jax.random.PRNGKey(0), *batch)
+        return float(np.asarray(metrics)[0, 0])
+
+    assert first_loss(cfg_l2) == pytest.approx(
+        first_loss(cfg_nd) + 1e-2 * float(l2_penalty(params)), rel=1e-5)

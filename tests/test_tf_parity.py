@@ -121,3 +121,70 @@ def test_total_loss_matches_tf(setup, oe_type):
         jnp.asarray(w_ood), jax.random.PRNGKey(0), oe_type, beta, lamb, margin,
         noise=(jnp.asarray(noise), jnp.asarray(noise))))(params)[-1]
     np.testing.assert_allclose(np.asarray(ours), tf_total, rtol=2e-5, atol=2e-5)
+
+
+def test_jetid_conv_tower_matches_keras_2d():
+    """Our NHWC conv tower (VALID conv + SAME max-pool + ReLU) must
+    reproduce the reference's Keras Conv2D/MaxPooling2D semantics
+    (ref jet-ID/models.py:30-31) on identical weights, including the
+    same-shape multi-channel image stacking (ref :15-17)."""
+    from atlasvae.models import JetIDConfig, init_jetid, jetid_apply
+
+    cfg = JetIDConfig(n_classes=3, images=("a", "b"),
+                      image_shapes=((9, 11), (9, 11)), nn_type="CNN",
+                      cnn_maps=(4, 5), cnn_kernels=((3, 5), (3, 3)),
+                      cnn_pools=((2, 1), (2, 2)), dropout=0.0,
+                      fcn_neurons=(8,))
+    params = init_jetid(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(3)
+    inputs = {k: rng.normal(size=(16, 9, 11)).astype(np.float32)
+              for k in ("a", "b")}
+    ours = np.asarray(jax.jit(
+        lambda p, i: jetid_apply(p, cfg, i, train=False))(params, inputs))
+
+    y = tf.constant(np.stack([inputs["a"], inputs["b"]], axis=-1))
+    for conv, pool in zip(params["towers"]["9x11"], cfg.cnn_pools):
+        y = tf.nn.conv2d(y, np.asarray(conv["w"]), strides=1,
+                         padding="VALID") + np.asarray(conv["b"])
+        y = tf.nn.max_pool2d(y, ksize=pool, strides=pool, padding="SAME")
+        y = tf.nn.relu(y)
+    y = tf.reshape(y, (16, -1))
+    for layer in params["head"]:
+        y = tf.nn.relu(y @ np.asarray(layer["w"]) + np.asarray(layer["b"]))
+    logits = y @ np.asarray(params["out"]["w"]) + np.asarray(params["out"]["b"])
+    theirs = tf.nn.softmax(logits, axis=-1).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=2e-5, atol=2e-5)
+
+
+def test_jetid_conv_tower_matches_keras_3d():
+    """The Conv3D tower path (3-tuple kernels, image stack as the depth
+    axis; ref jet-ID/models.py:23-34) against tf.nn.conv3d/max_pool3d."""
+    from atlasvae.models import JetIDConfig, init_jetid, jetid_apply
+
+    cfg = JetIDConfig(
+        n_classes=2, images=("p", "q", "r", "s"),
+        image_shapes=((7, 11),) * 4, nn_type="CNN", dropout=0.0,
+        fcn_neurons=(8,),
+        cnn_by_shape=(((7, 11), (3, 4), ((3, 5, 3), (3, 3, 1)),
+                       ((1, 1, 2), (2, 2, 1))),))
+    params = init_jetid(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(4)
+    inputs = {k: rng.normal(size=(8, 7, 11)).astype(np.float32)
+              for k in "pqrs"}
+    ours = np.asarray(jax.jit(
+        lambda p, i: jetid_apply(p, cfg, i, train=False))(params, inputs))
+
+    vol = np.stack([inputs[k] for k in "pqrs"], axis=-1)[..., None]
+    y = tf.constant(vol)  # (N, 7, 11, 4, 1) NDHWC
+    for conv, pool in zip(params["towers"]["7x11"],
+                          (((1, 1, 2)), ((2, 2, 1)))):
+        y = tf.nn.conv3d(y, np.asarray(conv["w"]), strides=(1, 1, 1, 1, 1),
+                         padding="VALID") + np.asarray(conv["b"])
+        y = tf.nn.max_pool3d(y, ksize=pool, strides=pool, padding="SAME")
+        y = tf.nn.relu(y)
+    y = tf.reshape(y, (8, -1))
+    for layer in params["head"]:
+        y = tf.nn.relu(y @ np.asarray(layer["w"]) + np.asarray(layer["b"]))
+    logits = y @ np.asarray(params["out"]["w"]) + np.asarray(params["out"]["b"])
+    theirs = tf.nn.softmax(logits, axis=-1).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=2e-5, atol=2e-5)
