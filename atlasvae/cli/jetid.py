@@ -40,6 +40,13 @@ def build_parser():
                         help="load a pickled HLV scaler instead of fitting")
     parser.add_argument("--scaler_out", default="",
                         help="scaler save path (default scaler_<type>.pkl)")
+    parser.add_argument("--t_scaling", default="ON",
+                        help="RobustScaler on constituent components for the "
+                             "flat tracks branch (ref jet-ID/classifier.py:42 "
+                             "--t_scaling; utils.py:366-389 fit/apply_t_scaler)")
+    parser.add_argument("--t_scaler_in", default="",
+                        help="load a pickled track scaler instead of fitting")
+    parser.add_argument("--t_scaler_out", default="t_scaler.pkl")
     parser.add_argument("--dropout", default=0.1, type=float)
     parser.add_argument("--l2", default=1e-7, type=float,
                         help="kernel L2 regularization on hidden Dense/Conv "
@@ -208,6 +215,29 @@ def main(argv=None):
                             scaler_type=args.scaler_type)
         sample["HLVs"] = apply_scaler(sample["HLVs"], scaler=scaler)
 
+    # track scaler: RobustScaler per 4-vector component on the flat
+    # constituents branch (ref jet-ID/utils.py:366-389 fit_t_scaler/
+    # apply_t_scaler; classifier.py:42 --t_scaling, default ON)
+    t_scaler = None
+    if const_dim and on(args.t_scaling):
+        if args.t_scaler_in and os.path.isfile(args.t_scaler_in):
+            from ..data.scalers import Scaler
+            t_scaler = Scaler.load(args.t_scaler_in)
+            print("Loaded track scaler from:", args.t_scaler_in)
+        else:
+            fit_rows = first_chunk["constituents"] if streaming \
+                else sample["constituents"][train_idx if len(train_idx)
+                                            else slice(None)]
+            print("Fitting track scaler", end="")
+            t_scaler = fit_scaler(fit_rows, n_dims=args.n_dims,
+                                  scaler_out=out_root + "/" + args.t_scaler_out,
+                                  scaler_type="RobustScaler", reshape=True,
+                                  verbose=False)
+            print(" -> " + out_root + "/" + args.t_scaler_out)
+        sample["constituents"] = apply_scaler(
+            sample["constituents"], args.n_dims, t_scaler, tag="tracks",
+            reshape=True, verbose=False)
+
     def inputs_for(idx):
         out = {}
         if scalars:
@@ -291,6 +321,10 @@ def main(argv=None):
                 if scalars and scaler is not None:
                     ch["HLVs"] = apply_scaler(ch["HLVs"], scaler=scaler,
                                               verbose=False)
+                if const_dim and t_scaler is not None:
+                    ch["constituents"] = apply_scaler(
+                        ch["constituents"], args.n_dims, t_scaler,
+                        tag="tracks", reshape=True, verbose=False)
                 w = np.ones(len(ch_labels), np.float32) if class_weight is None \
                     else np.asarray([class_weight[int(l)] for l in ch_labels],
                                     np.float32)

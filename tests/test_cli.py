@@ -57,6 +57,24 @@ def test_sweep_cli_selects_grid_point(out_dir, capsys):
     assert "0.0001" in text and os.path.isdir(out)
 
 
+def test_jetid_cli_track_scaler_roundtrip(out_dir):
+    """--t_scaling ON (default) fits a per-component RobustScaler on the
+    constituents branch and writes t_scaler.pkl; --t_scaler_in reloads it
+    (ref jet-ID/classifier.py:42,54-55; utils.py:366-389)."""
+    from atlasvae.cli.jetid import main
+    out = str(out_dir / "jetid_ts")
+    main(TINY + ["--output_dir", out])
+    t_path = os.path.join(out, "t_scaler.pkl")
+    assert os.path.isfile(t_path)
+    out2 = str(out_dir / "jetid_ts2")
+    main(TINY + ["--output_dir", out2, "--t_scaler_in", t_path])
+    assert os.path.isfile(os.path.join(out2, "model.npz"))
+    assert not os.path.isfile(os.path.join(out2, "t_scaler.pkl"))  # loaded, not refit
+    out3 = str(out_dir / "jetid_ts3")
+    main(TINY + ["--output_dir", out3, "--t_scaling", "OFF"])
+    assert not os.path.isfile(os.path.join(out3, "t_scaler.pkl"))
+
+
 def test_jetid_cli_generator_mode(out_dir):
     """--generator ON streams training chunks per epoch (ref
     classifier.py:257-266); the full training sample is never
