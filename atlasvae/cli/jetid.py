@@ -128,10 +128,13 @@ def main(argv=None):
         _, disc_labels, disc = discriminant(v_view, v_labels, probs)
         auc = auc_score(disc_labels, disc, v_view["weights"])
         print(f"VALIDATION AUC (signal vs background): {auc:.4f}")
+        from ..plotting.performance import background_rejection
+        background_rejection(v_labels, probs, v_view["weights"])
         if on(args.plotting):
-            from ..plotting.performance import roc_curves
+            from ..plotting.performance import roc_curves, class_distributions
             roc_curves(disc_labels, {"jet-ID": disc}, v_view["weights"],
                        ["jet-ID"], out_root)
+            class_distributions(v_labels, probs, v_view["weights"], out_root)
         return 0
     n_devices = args.n_devices or 1
     batch_size = n_devices * args.batch_size  # ref classifier.py:137-138
@@ -392,12 +395,15 @@ def main(argv=None):
     _, disc_labels, disc = discriminant(v_view, v_labels, probs)
     auc = auc_score(disc_labels, disc, v_view["weights"])
     print(f"VALIDATION AUC (signal vs background): {auc:.4f}")
+    from ..plotting.performance import background_rejection
+    background_rejection(v_labels, probs, v_view["weights"])
     with open(out_root + "/" + args.results_out, "wb") as f:
         pickle.dump((v_view, v_labels, probs), f)
     if on(args.plotting):
-        from ..plotting.performance import roc_curves
+        from ..plotting.performance import roc_curves, class_distributions
         roc_curves(disc_labels, {"jet-ID": disc}, v_view["weights"],
                    ["jet-ID"], out_root)
+        class_distributions(v_labels, probs, v_view["weights"], out_root)
     return 0
 
 

@@ -240,3 +240,55 @@ def loss_distributions(y_true, x_loss, weights, metric, output_dir,
     print("Saving metric loss       to:", file_name)
     plt.savefig(file_name)
     plt.close(fig)
+
+
+def class_distributions(y_true, y_prob, weights, output_dir,
+                        class_names=("Signal", "QCD"), n_bins=50):
+    """Per-class network-probability distributions: weighted, normalized
+    to 100% per class, log-scaled counts (ref jet-ID/plots.py:128-244
+    ``plot_distributions_DG``, condensed to the signal-probability panel;
+    invoked from the valid_results fan-out, ref jet-ID/utils.py:620)."""
+    y_true = np.asarray(y_true)
+    y_prob = np.asarray(y_prob)
+    prob_sig = y_prob[:, 0] if y_prob.ndim > 1 else y_prob
+    colors = ["tab:orange", "tab:blue", "tab:green", "tab:red",
+              "tab:purple", "tab:brown"]
+    bins = np.linspace(0, 100, n_bins + 1)
+    fig = plt.figure(figsize=(12, 8))
+    ax = plt.gca()
+    ax.grid(True)
+    for n in sorted(set(y_true)):
+        sel = y_true == n
+        w = np.array(np.asarray(weights)[sel], np.float64)
+        w *= 100 / max(np.sum(w), 1e-30)  # ref plots.py:155 percent norm
+        name = class_names[n] if n < len(class_names) else f"class {n}"
+        plt.hist(100 * prob_sig[sel], bins, histtype="step", weights=w,
+                 log=True, label=name, color=colors[n % len(colors)], lw=2)
+    plt.xlim(0, 100)
+    plt.ylim(1e-3, 1e2)
+    plt.xlabel("Signal probability (%)", fontsize=24)
+    plt.ylabel("Distribution (%)", fontsize=24)
+    plt.legend(loc="upper center", fontsize=18)
+    file_name = os.path.join(str(output_dir), "distributions.png")
+    print("Saving class probability distributions to:", file_name)
+    plt.savefig(file_name)
+    plt.close(fig)
+
+
+def background_rejection(y_true, y_prob, weights=None, sig_eff=(90, 80, 70)):
+    """Background rejection 1/eps_bkg at fixed signal efficiencies
+    (ref jet-ID/utils.py:601-606 ``print_performance``).  Returns
+    {eff_percent: rejection} and prints the reference's lines."""
+    from ..eval.roc import roc_rates
+    y_true = np.asarray(y_true)
+    score = np.asarray(y_prob[:, 0] if np.ndim(y_prob) > 1 else y_prob)
+    w = np.ones(len(y_true)) if weights is None else np.asarray(weights)
+    # roc_rates treats class 0 as signal (ref pos_label=0)
+    fpr, tpr, _ = roc_rates(y_true, score, w)
+    out = {}
+    for val in sig_eff:
+        idx = np.searchsorted(tpr, val / 100.0, side="left")
+        rej = 1.0 / max(float(fpr[min(idx, len(fpr) - 1)]), 1e-30)
+        out[val] = rej
+        print(f"BACKGROUND REJECTION AT {val}%: {rej:>6.0f}")
+    return out

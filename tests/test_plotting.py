@@ -128,3 +128,25 @@ def test_jetid_track_scalar_debug_plots(tmp_path, rng):
     st = {"pt": rng.uniform(-1, 1, 400)}
     assert os.path.getsize(plot_scalars(s, st, "pt", tmp_path))
     assert os.path.getsize(plot_vertex(rng.integers(0, 9, 500), tmp_path))
+
+
+def test_class_distributions_and_background_rejection(tmp_path, rng):
+    """Per-class probability distributions (ref jet-ID/plots.py:128-244)
+    and background rejection at fixed signal efficiencies
+    (ref jet-ID/utils.py:601-606)."""
+    from atlasvae.plotting.performance import (class_distributions,
+                                               background_rejection)
+    n = 2000
+    labels = rng.integers(0, 2, n)
+    probs = np.zeros((n, 2), np.float32)
+    # class 0 (signal) gets high signal-probability scores
+    probs[:, 0] = np.clip(rng.normal(0.8, 0.15, n) * (labels == 0)
+                          + rng.normal(0.2, 0.15, n) * (labels == 1), 0, 1)
+    probs[:, 1] = 1 - probs[:, 0]
+    w = rng.uniform(0.5, 2.0, n)
+    class_distributions(labels, probs, w, tmp_path)
+    assert os.path.getsize(os.path.join(tmp_path, "distributions.png"))
+    rej = background_rejection(labels, probs, w)
+    assert set(rej) == {90, 80, 70}
+    # rejection grows monotonically as the working point tightens
+    assert rej[70] >= rej[80] >= rej[90] >= 1.0
