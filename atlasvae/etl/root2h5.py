@@ -160,12 +160,14 @@ def get_files(input_path, data_paths):
     return sorted(pairs)
 
 
-def count_constituents(file_pairs, tree="nominal"):
+def count_constituents(file_pairs, tree="nominal", sources=None):
     """Max constituent multiplicity over all files
     (ref tools/root_utils.py:157-167: max of rljet_n_constituents)."""
     top = 0
     for path, _ in file_pairs:
-        src = open_tree(path, tree)
+        src = (sources or {}).get(path) or open_tree(path, tree)
+        if sources is not None:
+            sources[path] = src
         arr = src.scalar("rljet_n_constituents")
         if len(arr):
             top = max(top, int(np.max(arr)))
@@ -173,7 +175,7 @@ def count_constituents(file_pairs, tree="nominal"):
 
 
 def read_root_files(file_pairs, var_list, sample_type, weights_table,
-                    n_constituents, tree="nominal"):
+                    n_constituents, tree="nominal", sources=None):
     """Branch reader (ref tools/root_utils.py:16-52 ``get_data`` /
     ``root_conversion``).
 
@@ -191,7 +193,7 @@ def read_root_files(file_pairs, var_list, sample_type, weights_table,
     out = {key: [] for key in var_list}
     dsid_order = list(weights_table)
     for path, dsid in file_pairs:
-        src = open_tree(path, tree)
+        src = (sources or {}).get(path) or open_tree(path, tree)
         n = src.num_entries
         for key in var_list:
             if key == "JZW":
@@ -209,11 +211,15 @@ def read_root_files(file_pairs, var_list, sample_type, weights_table,
                     padded /= 1000.0           # MeV -> GeV
                 out[key].append(np.float16(padded))
             else:
-                arr = np.asarray(src.scalar(key), np.float64)
+                # native dtype preserved, as the reference writes each
+                # branch in its ntuple dtype (ref tools/root_utils.py:47-51)
+                # — int columns (counts, eventNumber, ...) must not be
+                # rounded through float64
+                arr = np.asarray(src.scalar(key))
                 if key in MEV_SCALARS:
-                    arr = arr / 1000.0          # MeV -> GeV
+                    arr = np.float64(arr) / 1000.0   # MeV -> GeV
                 if key == "weight_mc" and dsid in weights_table:
-                    arr = arr * weights_table[dsid]
+                    arr = np.float64(arr) * weights_table[dsid]
                 out[key].append(arr)
     return {key: np.concatenate(val) for key, val in out.items()}
 
@@ -252,10 +258,11 @@ def convert(input_path, output_path, sample_type, n_constituents="unknown",
         b for b in extra_branches
         if b not in SCALARS + JET_VAR + OTHERS
         and b not in branch_catalog.JAGGED]
+    sources = {}  # one open (mmapped) tree per file across both passes
     if n_constituents == "unknown":
-        n_constituents = count_constituents(file_pairs, tree)
+        n_constituents = count_constituents(file_pairs, tree, sources=sources)
     data = read_root_files(file_pairs, var_list, sample_type, weights_table,
-                           int(n_constituents), tree)
+                           int(n_constituents), tree, sources=sources)
     pt, eta, phi = (data.pop(k) for k in JET_VAR)
     data.update(final_jets(np.float64(pt), np.float64(eta), np.float64(phi)))
     data["weights"] = (LUMINOSITY[sample_type] * data.pop("weight_mc")

@@ -171,10 +171,16 @@ class _Writer:
 
     @staticmethod
     def _compress(payload):
+        # Chunk below the 3-byte frame limit with headroom for zlib's
+        # worst-case expansion (~5 bytes per 16 KiB block + 6), so an
+        # incompressible chunk still fits the 24-bit compressed-size
+        # field (0xFF0000 + ~5.1 KiB < 0xFFFFFF).
         out = b""
-        for i in range(0, len(payload), 0xFFFFFF):
-            chunk = payload[i:i + 0xFFFFFF]
+        chunk_max = 0xFF0000
+        for i in range(0, len(payload), chunk_max):
+            chunk = payload[i:i + chunk_max]
             c = zlib.compress(chunk, 1)
+            assert len(c) <= 0xFFFFFF, "zlib expansion exceeded headroom"
             out += (b"ZL" + bytes([8])
                     + len(c).to_bytes(3, "little")
                     + len(chunk).to_bytes(3, "little") + c)
@@ -236,7 +242,9 @@ def _is_doubly_jagged(arr):
     2-D arrays) — the vector<vector<T>> shape; plain jagged entries are
     1-D arrays / scalar lists."""
     if isinstance(arr, np.ndarray) and arr.dtype != object:
-        return False
+        # a regular (n, j, k) ndarray is uniform-multiplicity vv data
+        # (each entry a 2-D matrix); (n, k) is uniform singly-jagged
+        return arr.ndim >= 3
     for entry in arr:
         if isinstance(entry, np.ndarray):
             return entry.ndim >= 2 or entry.dtype == object
@@ -946,8 +954,15 @@ class RootFile:
     """Minimal TFile reader (subset documented in the module docstring)."""
 
     def __init__(self, path):
-        with open(path, "rb") as f:
-            self.buf = f.read()
+        # memory-map rather than slurp: only the touched baskets' pages
+        # are ever read, and no resident full-file copy is held
+        self._file = open(path, "rb")
+        try:
+            import mmap
+            self.buf = mmap.mmap(self._file.fileno(), 0,
+                                 access=mmap.ACCESS_READ)
+        except (ValueError, OSError):  # empty or unmappable file
+            self.buf = self._file.read()
         if self.buf[:4] != MAGIC:
             raise ValueError(f"{path}: not a ROOT file (bad magic)")
         version = struct.unpack_from(">i", self.buf, 4)[0]

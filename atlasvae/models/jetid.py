@@ -156,9 +156,10 @@ def init_jetid(key, config):
 _CONV_DIMS = {2: ("NHWC", "HWIO", "NHWC"), 3: ("NDHWC", "DHWIO", "NDHWC")}
 
 
-def _conv_tower(convs, x, pools, rank, dropout, key, train):
+def _conv_tower(convs, x, pools, rank, dropout, key, train, salt0=0):
     """``x`` arrives channels-last: (N, h, w, c) for 2-D towers,
-    (N, h, w, d, 1) for 3-D towers."""
+    (N, h, w, d, 1) for 3-D towers.  ``salt0`` decorrelates dropout
+    masks across towers (each Keras Dropout layer draws independently)."""
     for i, conv in enumerate(convs):
         x = jax.lax.conv_general_dilated(
             x, conv["w"], window_strides=(1,) * rank, padding="VALID",
@@ -167,7 +168,7 @@ def _conv_tower(convs, x, pools, rank, dropout, key, train):
         x = -jax.lax.reduce_window(-x, jnp.inf, jax.lax.min,
                                    window, window, "SAME")
         x = jax.nn.relu(x)  # LeakyReLU(alpha=0), ref jet-ID/models.py:36
-        x = _dropout(x, dropout, key, i, train)
+        x = _dropout(x, dropout, key, salt0 + i, train)
     return x.reshape(x.shape[0], -1)
 
 
@@ -206,7 +207,7 @@ def jetid_apply(params, config, inputs, key=None, train=False):
         inputs = {k: jnp.asarray(v).astype(dtype) for k, v in inputs.items()}
     branches = []
     if config.images and config.nn_type == "CNN":
-        for shape, names in _shape_groups(config):
+        for t, (shape, names) in enumerate(_shape_groups(config)):
             # (N, h, w, n_images): same-shape images stacked on the last
             # axis (ref jet-ID/models.py:15-17 concatenate axis=3)
             x = jnp.stack([inputs[n] for n in names], axis=-1)
@@ -215,7 +216,8 @@ def jetid_apply(params, config, inputs, key=None, train=False):
                 x = x[..., None]  # image stack becomes the depth axis
             branches.append(_conv_tower(params["towers"][_tower_key(shape)],
                                         x, pools, rank,
-                                        config.dropout, key, train))
+                                        config.dropout, key, train,
+                                        salt0=1000 * (t + 1)))
     elif config.images:
         for name in config.images:
             branches.append(inputs[name].reshape(inputs[name].shape[0], -1))

@@ -339,15 +339,16 @@ def deco_walkthrough(output_dir, series=("poly", "maxwell"), extras=False):
         save(fig, f"{tag}d")
 
     if extras:
-        written += _deco_extras(output_dir, colors, coeff, save)
+        _deco_extras(output_dir, colors, coeff, save)
     return written
 
 
 def _deco_extras(output_dir, colors, coeff, save):
     """Standalone illustrations (ref OE-AAE/plots.py plot_number
     'AUC'/'uncut'/'cut'/'distributions'/'ROC_curve'/'gain_curve'/
-    'sigma_curve' — kept behind the figure switch in the reference)."""
-    written = []
+    'sigma_curve' — kept behind the figure switch in the reference).
+    Files are recorded through ``save``, which appends to the caller's
+    written-files list."""
     x = np.linspace(0, 1, 100001)
 
     def rectircle(v, a, b, r):
@@ -448,7 +449,6 @@ def _deco_extras(output_dir, colors, coeff, save):
         ax.set_xlabel(r"$\epsilon_{\mathrm{sig}}$", fontsize=18)
         ax.set_ylabel(ylab, fontsize=18)
         save(fig, name)
-    return written
 
 
 # ---------------------------------------------------------------------------

@@ -62,6 +62,9 @@ def oracle_log_gammainc(a, x, lower=True):
         raise RuntimeError("native oracle unavailable (g++ not found)")
     a = np.ascontiguousarray(np.atleast_1d(a), np.float64)
     x = np.ascontiguousarray(np.atleast_1d(x), np.float64)
+    a, x = np.broadcast_arrays(a, x)
+    a = np.ascontiguousarray(a)
+    x = np.ascontiguousarray(x)  # the C loop reads a.size elements of BOTH
     out = np.empty(a.shape, np.float64)
     lib.bh_log_gammainc(
         a.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),

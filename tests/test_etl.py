@@ -403,6 +403,36 @@ def test_rootio_vvf_2d_entries_and_empty(tmp_path, rng):
             np.testing.assert_array_equal(gi, wi)
 
 
+def test_rootio_3d_ndarray_is_vv(tmp_path, rng):
+    # a regular (n, j, k) ndarray — what np.asarray collapses a
+    # uniform-multiplicity list of 2-D entries into — must be written as
+    # vector<vector<T>>, not silently mis-normalised as singly jagged
+    n, j, k = 7, 3, 5
+    cube = rng.normal(size=(n, j, k)).astype(np.float32)
+    path = str(tmp_path / "cube.root")
+    rootio.write_tree(path, "t", {"c": cube})
+    t = rootio.read_tree(path, "t")
+    assert t.branches["c"].element_class == "vector<vector<float> >"
+    got = t.array("c")
+    for i in range(n):
+        assert len(got[i]) == j
+        for a, b in zip(got[i], cube[i]):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_rootio_incompressible_large_basket(tmp_path, rng):
+    # one basket payload beyond the 24-bit zlib frame limit of random
+    # (incompressible) bytes: the writer must chunk with headroom so the
+    # compressed frame size still fits 3 bytes (was an OverflowError)
+    n = 2200  # x 2000 float64 = 35.2 MB in one basket
+    data = {"v": [rng.random(2000) for _ in range(n)]}
+    path = str(tmp_path / "big.root")
+    rootio.write_tree(path, "t", data, basket_entries=n)
+    got = rootio.read_tree(path, "t").array("v")
+    assert len(got) == n
+    np.testing.assert_array_equal(np.asarray(got[-1]), data["v"][-1])
+
+
 def test_rootio_vvf_memberwise_flag(tmp_path, rng):
     """The member-wise STL layout (version flag 0x4000 + inner class
     version) decodes identically to the object-wise default."""
