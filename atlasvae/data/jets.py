@@ -10,6 +10,7 @@ return numpy so the loaders stay memory-budgeted (ref OE-VAE/utils.py:48).
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -130,14 +131,9 @@ def count_constituents(jets):
     return _chunked(_count_constituents, jets)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
-def _const_images(jets, n_pixels, extent, n_dims):
-    """pt-weighted (delta-eta, delta-phi) calorimeter-style images from
-    constituents, binned around the pt-weighted jet axis — the
-    device-side equivalent of the reference's detector images fed to the
-    jet-ID CNN towers (ref jet-ID/classifier.py:74-77 image shapes; the
-    reference's ETL centers jets before imaging,
-    ref tools/root_utils.py:122-154)."""
+def _image_bins(jets, n_pixels, extent, n_dims):
+    """Shared binning math for the calorimeter-style images: per
+    constituent -> (flat pixel index, pt weight masked by liveness)."""
     n = jets.shape[1] // n_dims
     p = jets.reshape(-1, n, n_dims).astype(jnp.float32)
     if n_dims == 4:
@@ -164,25 +160,75 @@ def _const_images(jets, n_pixels, extent, n_dims):
                   0, n_pixels - 1)
     iy = jnp.clip(((dphi + extent) / (2 * extent) * n_pixels).astype(jnp.int32),
                   0, n_pixels - 1)
-    flat_idx = ix * n_pixels + iy
+    return ix * n_pixels + iy, pt * alive
 
-    def one(idx, weight, mask):
-        return jnp.zeros(n_pixels * n_pixels).at[idx].add(weight * mask)
 
-    images = jax.vmap(one)(flat_idx, pt, alive)
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _const_images(jets, n_pixels, extent, n_dims):
+    """pt-weighted (delta-eta, delta-phi) calorimeter-style images from
+    constituents, binned around the pt-weighted jet axis — the
+    device-side equivalent of the reference's detector images fed to the
+    jet-ID CNN towers (ref jet-ID/classifier.py:74-77 image shapes; the
+    reference's ETL centers jets before imaging,
+    ref tools/root_utils.py:122-154).  Scatter-add formulation — fastest
+    on the CPU host-prep path."""
+    flat_idx, wts = _image_bins(jets, n_pixels, extent, n_dims)
+
+    def one(idx, weight):
+        return jnp.zeros(n_pixels * n_pixels).at[idx].add(weight)
+
+    images = jax.vmap(one)(flat_idx, wts)
     return images.reshape(-1, n_pixels, n_pixels)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _const_images_mxu(jets, n_pixels, extent, n_dims, block=4096):
+    """Same images via a one-hot batched matvec instead of scatter-add:
+    TPU scatters serialize, while ``(idx == cell)`` one-hot contraction
+    rides the MXU (measured 3.3x on v5e at 16x16 images, 60
+    constituents).  Binning math is byte-identical to ``_const_images``;
+    only summation order (and hence f32 rounding at bin edges) differs."""
+    flat_idx, wts = _image_bins(jets, n_pixels, extent, n_dims)
+    n_jets = flat_idx.shape[0]
+    pad = (-n_jets) % block
+    flat_idx = jnp.pad(flat_idx, ((0, pad), (0, 0)))
+    wts = jnp.pad(wts, ((0, pad), (0, 0)))
+    cells = jnp.arange(n_pixels * n_pixels, dtype=jnp.int32)
+
+    def blk(args):
+        idx, w = args
+        one_hot = (idx[:, :, None] == cells[None, None, :]).astype(jnp.float32)
+        return jnp.einsum("nc,ncp->np", w, one_hot)
+
+    nb = flat_idx.shape[0] // block
+    out = jax.lax.map(blk, (flat_idx.reshape(nb, block, -1),
+                            wts.reshape(nb, block, -1)))
+    return out.reshape(-1, n_pixels, n_pixels)[:n_jets]
 
 
 def constituent_images(jets, n_pixels=16, extent=1.0, n_dims=4):
     """(jets, n_dims*n_const) flat constituents -> (jets, n_pixels,
     n_pixels) pt-weighted (delta-eta, delta-phi) images centered on the
     jet axis, chunked over the sample.  ``n_dims`` selects the layout:
-    4 = (E,px,py,pz) blocks, 3 = (px,py,pz)."""
+    4 = (E,px,py,pz) blocks, 3 = (px,py,pz).
+
+    ``ATLASVAE_IMAGES=mxu`` switches accelerator backends to the
+    one-hot-contraction kernel: 3.3x warm throughput on v5e, but a much
+    costlier XLA compile (260 s vs 41 s through this environment's
+    remote tunnel — docs/PERF.md), so the scatter path stays the
+    default: image prep is ~20x faster than its CNN-training consumer
+    either way, making cold-start the binding cost."""
     jets = np.asarray(jets)
     if jets.shape[1] % n_dims != 0:
         raise ValueError(f"constituent width {jets.shape[1]} is not a "
                          f"multiple of n_dims={n_dims}")
-    return _chunked(lambda x: _const_images(x, n_pixels, extent, n_dims), jets)
+    use_mxu = (os.environ.get("ATLASVAE_IMAGES") == "mxu"
+               and jax.default_backend() != "cpu")
+    if use_mxu:
+        return _chunked(
+            lambda x: _const_images_mxu(x, n_pixels, extent, n_dims), jets)
+    return _chunked(lambda x: _const_images(x, n_pixels, extent, n_dims),
+                    jets)
 
 
 @jax.jit

@@ -153,6 +153,21 @@ def test_constituent_images_centered_and_layouts(rng):
         constituent_images(jets3[:, :22], n_dims=4)  # 22 % 4 != 0
 
 
+def test_constituent_images_mxu_matches_scatter(rng):
+    """The accelerator one-hot-matmul formulation equals the scatter-add
+    path (same binning math; only f32 summation order differs), incl.
+    the block-padding path (n not a multiple of block) and all-zero
+    padding jets."""
+    from atlasvae.data.jets import _const_images, _const_images_mxu
+    n, c = 300, 12
+    jets = rng.normal(size=(n, 4 * c)).astype(np.float32)
+    jets[-5:] = 0.0  # all-padding jets must yield empty images
+    a = np.asarray(_const_images(jets, 16, 1.0, 4))
+    b = np.asarray(_const_images_mxu(jets, 16, 1.0, 4, 128))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+    assert np.all(b[-5:] == 0)
+
+
 def test_merge_samples_empty_range_raises(tmp_path):
     from atlasvae.data import register_file
     from atlasvae.data.loader import merge_samples
