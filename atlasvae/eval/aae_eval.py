@@ -23,10 +23,8 @@ from ..utils.chunks import bin_edges
 from ..stats import batched_local_sigma
 from .roc import get_rates
 from .deco import mass_deco
-from .bump import _adaptive_bins, bump_hunter
-
-_WIDTHS = (2, 3, 4, 5, 6)
-_STEPS = (1, 1, 1, 1, 1)
+from .bump import _adaptive_bins, bump_hunter, pad_hist_matrices, \
+    _WIDTHS, _STEPS
 
 
 def aae_loss_mapping(x):
@@ -146,18 +144,7 @@ def aae_bump_scan(y_true, x_loss, disc_name, sample, sig_label, output_dir,
         kept.append(i)
     if not kept:
         return None
-    # round the padded width up to a multiple of 32 and the row count up
-    # to the full cut grid: the scan's one-time XLA compile (~20 s via
-    # the remote tunnel) is cached per shape, and both the adaptive bin
-    # count and the surviving-cut count vary per evaluation.  Trailing
-    # zero bins/rows never scan (bkg=0 -> every window invalid)
-    nbins = -(-max(len(h) for h in data_hists) // 32) * 32
-    n_rows = max(len(data_hists), n_cuts)
-    pad = lambda h: np.pad(h, (0, nbins - len(h)))
-    data_mat = np.zeros((n_rows, nbins))
-    bkg_mat = np.zeros((n_rows, nbins))
-    data_mat[:len(data_hists)] = np.stack([pad(h) for h in data_hists])
-    bkg_mat[:len(bkg_hists)] = np.stack([pad(h) for h in bkg_hists])
+    data_mat, bkg_mat = pad_hist_matrices(data_hists, bkg_hists, n_cuts)
     loc_sigma, _, _, bin_sigma = map(np.asarray, batched_local_sigma(
         data_mat, bkg_mat, _WIDTHS, _STEPS))
     loc_sigma = loc_sigma[:len(data_hists)]
@@ -171,9 +158,11 @@ def aae_bump_scan(y_true, x_loss, disc_name, sample, sig_label, output_dir,
     cut_thresholds = np.take(thresholds, kept)
     cut_eff = np.take(fpr, kept)
     opt_max_sigma = float(np.max(max_sigma))
-    # normalized curves sigma_cut / sigma_uncut (ref plots.py:296-297)
+    # normalized curve sigma_cut / sigma_uncut (ref plots.py:296-297).
+    # Only the LOCAL-sigma curve is plotted: the reference normalizes
+    # max_sigma too but its max-sigma trace is commented out in
+    # plot_significance (ref OE-AAE/plots.py:398-399)
     loc_norm = loc_sigma / loc_sigma[-1]
-    max_norm = max_sigma / max_sigma[-1]
     best = int(np.argmax(loc_norm))
     best_cut = {"cuts": {disc_name: cut_thresholds[best]}}
     best_cut["sig_eff"] = tpr[np.argmin(np.abs(thresholds - cut_thresholds[best]))]

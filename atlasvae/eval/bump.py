@@ -27,6 +27,25 @@ _WIDTHS = (2, 3, 4, 5, 6)     # ref OE-VAE/utils.py:483
 _STEPS = (1, 1, 1, 1, 1)
 
 
+def pad_hist_matrices(data_hists, bkg_hists, n_rows_min):
+    """Stack per-cut histograms into fixed compile-friendly matrices:
+    the padded width is rounded up to a multiple of 32 and the row count
+    up to the full cut grid, because the scan's one-time XLA compile
+    (~20 s via the remote tunnel) is cached per shape while the adaptive
+    bin count and surviving-cut count vary per evaluation.  Trailing
+    zero bins/rows never scan (bkg=0 -> every window invalid).  Shared
+    by the VAE and AAE cut scans — the alignment policy must not
+    diverge between them."""
+    nbins = -(-max(len(h) for h in data_hists) // 32) * 32
+    n_rows = max(len(data_hists), n_rows_min)
+    pad = lambda h: np.pad(h, (0, nbins - len(h)))
+    data_mat = np.zeros((n_rows, nbins))
+    bkg_mat = np.zeros((n_rows, nbins))
+    data_mat[:len(data_hists)] = np.stack([pad(h) for h in data_hists])
+    bkg_mat[:len(bkg_hists)] = np.stack([pad(h) for h in bkg_hists])
+    return data_mat, bkg_mat
+
+
 def _adaptive_bins(bkg_m, m_range, bin_size, logspace=False):
     m_min = max(m_range[0], float(np.min(bkg_m)))
     m_max = min(m_range[1], float(np.max(bkg_m)))
@@ -127,18 +146,7 @@ def bump_scan(y_true, x_loss, loss_metric, sample, sig_data, output_dir,
             continue
     if not kept:
         return None
-    # round the padded width up to a multiple of 32 and the row count up
-    # to the full cut grid: the scan's one-time XLA compile (~20 s via
-    # the remote tunnel) is cached per shape, and both the adaptive bin
-    # count and the surviving-cut count vary per evaluation.  Trailing
-    # zero bins/rows never scan (bkg=0 -> every window invalid)
-    nbins = -(-max(len(h) for h in data_hists) // 32) * 32
-    n_rows = max(len(data_hists), n_cuts + 1)
-    pad = lambda h: np.pad(h, (0, nbins - len(h)))
-    data_mat = np.zeros((n_rows, nbins))
-    bkg_mat = np.zeros((n_rows, nbins))
-    data_mat[:len(data_hists)] = np.stack([pad(h) for h in data_hists])
-    bkg_mat[:len(bkg_hists)] = np.stack([pad(h) for h in bkg_hists])
+    data_mat, bkg_mat = pad_hist_matrices(data_hists, bkg_hists, n_cuts + 1)
     # the plotted quantity is the data-only LOCAL sigma — no pseudo
     # experiments needed for the per-cut curve (the reference runs the
     # full npe=1000 pseudo scan per cut and then uses only loc_sigma,

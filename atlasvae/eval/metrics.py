@@ -25,10 +25,13 @@ _CHUNK = 1_000_000
 
 def _kld_terms(p, q):
     """Elementwise p*log2(p/q) with the reference's nan_to_num guard
-    (ref OE-VAE/utils.py:347-350)."""
+    (ref OE-VAE/utils.py:347-350): NaN terms (0*log(0/0)) drop to 0, but
+    +/-inf terms (q == 0 with p != 0) saturate to the float max — a jet
+    whose prediction zeroes a live feature must rank maximally
+    anomalous, not lose the term."""
     ratio = p / q
     term = p * jnp.log2(ratio)
-    return jnp.where(jnp.isfinite(term), term, 0.0)
+    return jnp.nan_to_num(term)
 
 
 @functools.partial(jax.jit, static_argnames=("metric",))
@@ -41,13 +44,18 @@ def _metric_kernel(p, q, metric):
         return jnp.mean(jnp.abs(p - q), axis=1)
     if metric == "MARE":
         return jnp.mean(jnp.abs(p - q) / p, axis=1)
+    # sums are re-saturated: several float-max terms overflow f32 to inf
+    # (as the reference's f64 sums overflow past ~1.8e308), which would
+    # turn into NaN in loss_mapping's x/(|x|+1); a finite max keeps the
+    # "maximally anomalous" ranking without poisoning downstream maps
     if metric == "KLD":
-        return jnp.sum(_kld_terms(p, q), axis=1)
+        return jnp.nan_to_num(jnp.sum(_kld_terms(p, q), axis=1))
     if metric == "JSD":
         m = (p + q) / 2
-        return jnp.sum((_kld_terms(p, m) + _kld_terms(q, m)) / 2, axis=1)
+        return jnp.nan_to_num(
+            jnp.sum((_kld_terms(p, m) + _kld_terms(q, m)) / 2, axis=1))
     if metric == "X-S":
-        return jnp.sum(_kld_terms(p, p * q), axis=1)
+        return jnp.nan_to_num(jnp.sum(_kld_terms(p, p * q), axis=1))
     raise ValueError(f"unknown metric {metric!r}")
 
 

@@ -69,14 +69,18 @@ def make_aae_step_fns(optimizer, lamb=0.0, beta=0.0, activation="relu",
         mae_ood = _mae(ood_x, recon_ood)
         qcd_loss = _weighted_mean(mae_bkg, bkg_w)
         oe_loss = _weighted_mean(jax.nn.sigmoid(mae_bkg - mae_ood), ood_w)
-        return qcd_loss, oe_loss, recon_bkg, recon_ood
+        # the reference's out2 weighted-MAE metric = 'OoD-AE Loss'
+        # (ref aae.py:90-92 weighted_metrics; recorded at :163-164,:274-275)
+        ood_mae = _weighted_mean(mae_ood, ood_w)
+        return qcd_loss, oe_loss, ood_mae, recon_bkg, recon_ood
 
     # ---- phase (a): autoencoder
     def ae_batch_loss(ae_params, rest, batch):
         bkg_x, ood_x, bkg_w, ood_w = batch
-        qcd_loss, oe_loss, _, _ = ae_losses(ae_params, rest, bkg_x, ood_x, bkg_w, ood_w)
+        qcd_loss, oe_loss, ood_mae, _, _ = ae_losses(
+            ae_params, rest, bkg_x, ood_x, bkg_w, ood_w)
         total = qcd_loss + lamb * oe_loss
-        return total, jnp.stack([qcd_loss, oe_loss, total])
+        return total, jnp.stack([qcd_loss, oe_loss, total, ood_mae])
 
     ae_grad = jax.grad(ae_batch_loss, has_aux=True)
 
@@ -138,7 +142,7 @@ def make_aae_step_fns(optimizer, lamb=0.0, beta=0.0, activation="relu",
     # ---- phase (c): AAE — AE trained to fool the frozen discriminator
     def aae_batch_loss(ae_params, disc_params, batch):
         bkg_x, ood_x, bkg_w, ood_w = batch
-        qcd_loss, oe_loss, recon_bkg, recon_ood = ae_losses(
+        qcd_loss, oe_loss, ood_mae, recon_bkg, recon_ood = ae_losses(
             ae_params, disc_params, bkg_x, ood_x, bkg_w, ood_w)
         # reconstructions of everything, judged by the frozen disc with
         # fooling labels {bkg: 0 (QCD), OoD: 1 (recon-QCD)} (ref :240-252)
@@ -151,7 +155,7 @@ def make_aae_step_fns(optimizer, lamb=0.0, beta=0.0, activation="relu",
         d_acc = _weighted_mean((jnp.argmax(probs, axis=1) == labels).astype(jnp.float32),
                                w_all)
         total = qcd_loss + lamb * oe_loss + beta * d_ce
-        return total, jnp.stack([qcd_loss, oe_loss, total, d_ce, d_acc])
+        return total, jnp.stack([qcd_loss, oe_loss, total, d_ce, d_acc, ood_mae])
 
     aae_grad = jax.grad(aae_batch_loss, has_aux=True)
 
@@ -168,7 +172,14 @@ def make_aae_step_fns(optimizer, lamb=0.0, beta=0.0, activation="relu",
             updates, opt_state = optimizer.update(grads, opt_state, ae_params)
             updates = jax.tree.map(lambda u: u * lr, updates)
             ae_params = optax.apply_updates(ae_params, updates)
-            return (ae_params, opt_state), metrics
+            # the REAL 3-class discriminator loss/accuracy on
+            # {bkg: 0, recon-bkg: 1, OoD: 2} with the post-update AE —
+            # what the reference measures per batch and records in
+            # loss_history as 'Disc Loss'/'Disc Accuracy'
+            # (ref OE-AAE/aae.py:255-281); the fooling d_ce/d_acc above
+            # are only PRINTED as 'D_Loss'/'D_Accuracy' (ref :282)
+            _, disc_m = disc_batch_loss(disc_params, ae_params, batch)
+            return (ae_params, opt_state), jnp.concatenate([metrics, disc_m])
 
         (ae_params, opt_state), metrics = jax.lax.scan(
             step, (ae_params, opt_state), perm)
@@ -243,6 +254,7 @@ def train_aae(params, train_generator, n_cycles, batch_size, output_dir,
             epoch_counter += 1
             loss_history["QCD-AE Loss"].append((cycle + 1, epoch_counter, float(m[0])))
             if lamb != 0:
+                loss_history["OoD-AE Loss"].append((cycle + 1, epoch_counter, float(m[3])))
                 loss_history["OE Loss"].append((cycle + 1, epoch_counter, float(m[1])))
             loss_history["AE Loss"].append((cycle + 1, epoch_counter, float(m[2])))
             if (epoch + 1) % 10 == 0 or epoch + 1 == n_epochs:
@@ -284,14 +296,19 @@ def train_aae(params, train_generator, n_cycles, batch_size, output_dir,
             epoch_counter += 1
             loss_history["QCD-AE Loss"].append((cycle + 1, epoch_counter, float(m[0])))
             if lamb != 0:
+                loss_history["OoD-AE Loss"].append((cycle + 1, epoch_counter, float(m[5])))
                 loss_history["OE Loss"].append((cycle + 1, epoch_counter, float(m[1])))
             # 'AE Loss' excludes the beta*CE fooling term (ref aae.py:277)
             loss_history["AE Loss"].append(
                 (cycle + 1, epoch_counter, float(m[0] + lamb * m[1])))
-            loss_history["Disc Loss"].append((cycle + 1, epoch_counter, float(m[3])))
-            loss_history["Disc Accuracy"].append((cycle + 1, epoch_counter, float(m[4])))
+            # history stores the REAL 3-class discriminator CE/accuracy
+            # on {bkg, recon-bkg, OoD} (ref aae.py:255-281); the fooling
+            # values are printed only (ref :282 'D_Loss'/'D_Accuracy')
+            loss_history["Disc Loss"].append((cycle + 1, epoch_counter, float(m[6])))
+            loss_history["Disc Accuracy"].append((cycle + 1, epoch_counter, float(m[7])))
             print(f"Epoch {epoch + 1}/{n_epochs}: AAE Loss = {m[2]:4.3e} "
-                  f"D_CE = {m[3]:4.3e} ({time.time() - start:.1f}s)")
+                  f"D_Loss = {m[3]:4.3e} D_Accuracy = {100 * m[4]:4.1f}% "
+                  f"Disc Loss = {m[6]:4.3e} ({time.time() - start:.1f}s)")
 
     if hist_file:
         with open(os.path.join(output_dir, hist_file) if output_dir else hist_file,

@@ -11,6 +11,7 @@ optimizer state is never saved — resume restarts Adam moments).  Here:
   weights-only path for parity.
 """
 
+import os
 import pickle
 
 import jax
@@ -24,10 +25,15 @@ def _flatten(tree):
 
 def save_pytree(path, tree):
     flat, _ = _flatten(tree)
-    # write through a file handle: np.savez(path) silently appends
-    # '.npz' to bare paths, which would break isfile/load round trips
-    with open(path, "wb") as f:
+    # write-then-rename: these files are rewritten every epoch and are
+    # what crash-resume reads back, so a kill mid-write must never leave
+    # a truncated state file at the final path.  (Also written through a
+    # file handle: np.savez(path) silently appends '.npz' to bare paths,
+    # which would break isfile/load round trips.)
+    tmp = f"{path}.tmp"
+    with open(tmp, "wb") as f:
         np.savez(f, **{f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(flat)})
+    os.replace(tmp, path)
 
 
 def load_pytree(path, template):
@@ -46,8 +52,10 @@ def load_weights(path, template):
 
 
 def save_history(history, path):
-    with open(path, "wb") as f:
+    tmp = f"{path}.tmp"
+    with open(tmp, "wb") as f:
         pickle.dump(history, f)
+    os.replace(tmp, path)  # rewritten every epoch; resume reads it back
 
 
 def load_history(path):

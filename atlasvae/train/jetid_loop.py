@@ -13,6 +13,7 @@ Replaces the reference's ``model.fit`` + callback stack
   atlasvae.parallel (batch scaling n_gpus x 5e3, ref classifier.py:136-138).
 """
 
+import functools
 import time
 
 import jax
@@ -156,6 +157,10 @@ def train_classifier_streaming(params, config, load_iter_fn, valid_inputs,
         lr, best_val = float(st["lr"]), float(st["best_val"])
         lr_wait, stop_wait = int(st["lr_wait"]), int(st["stop_wait"])
         key = st["key"]
+        if stop_wait >= patience:  # stop decision was already recorded
+            print(f"Training already early-stopped (state file {state_file})"
+                  " — returning best weights")
+            return best_params, history
         print(f"Resuming full classifier state from {state_file} "
               f"(lr={lr:g}, best val_loss={best_val:.4f})")
     load_cache = LoadCache()
@@ -207,23 +212,38 @@ def train_classifier_streaming(params, config, load_iter_fn, valid_inputs,
                 if verbose:
                     print(f"Reducing learning rate to {lr}")
                 lr_wait = 0
-            if stop_wait >= patience:  # EarlyStopping(restore_best)
-                if verbose:
-                    print("Early stopping — restoring best weights")
-                break
         if state_file:
+            # written BEFORE any break so the state records the stop
+            # decision (stop_wait >= patience) and a rerun resumes as
+            # already-stopped rather than training past it
             save_pytree(state_file, {
                 "params": params, "best": best_params, "opt": opt_state,
                 "lr": np.float32(lr), "best_val": np.float32(best_val),
                 "lr_wait": np.int32(lr_wait), "stop_wait": np.int32(stop_wait),
                 "key": key})
+        if stop_wait >= patience:
+            if verbose:
+                print("Early stopping — restoring best weights")
+            break
     return best_params, history
+
+
+@functools.lru_cache(maxsize=None)
+def _predict_fn(config):
+    """One jitted inference program per config: a fresh ``jax.jit``
+    wrapper per call would own its own (empty) cache and re-pay the
+    ~20-40 s tunnel-side compile on every predict (feature_removal and
+    cross_valid call predict once per ablation/fold)."""
+    return jax.jit(lambda p, i: jetid_apply(p, config, i, train=False))
 
 
 def predict_classifier(params, config, inputs, batch_size=20_000):
     """Chunked class-probability inference (ref classifier predict,
     jet-ID/utils.py:547-551)."""
-    apply_fn = jax.jit(lambda p, i: jetid_apply(p, config, i, train=False))
+    try:
+        apply_fn = _predict_fn(config)
+    except TypeError:  # unhashable config (list-valued fields)
+        apply_fn = jax.jit(lambda p, i: jetid_apply(p, config, i, train=False))
     n = len(next(iter(inputs.values())))
     out = []
     for i in range(0, n, batch_size):

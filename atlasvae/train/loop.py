@@ -76,6 +76,10 @@ def train_model(params, train_sample, valid_sample, oe_type="KLD", n_epochs=1,
         params, opt_state = state["params"], state["opt"]
         lr, count = float(state["lr"]), int(state["count"])
         key = state["key"]
+        if count < 0:  # terminal marker written when the schedule stopped
+            print(f"Training already terminated by the plateau schedule "
+                  f"(state file {state_file}) — not resuming past it")
+            return params, history
         print(f"Resuming full train state from {state_file} "
               f"(lr={lr:g}, plateau count={count})")
     load_cache = LoadCache()
@@ -137,13 +141,17 @@ def train_model(params, train_sample, valid_sample, oe_type="KLD", n_epochs=1,
         # history[:-1] is empty, ref models.py:219)
         if epoch > 0 or len(history["Train loss"]) > 1:
             lr, count = model_checkpoint(params, lr, history, model_out, count)
-            if count is None:
-                break
         if state_file:
             from .checkpoint import save_pytree
+            # count = -1 records termination, so a rerun does not resume
+            # training past the schedule's stop decision
             save_pytree(state_file, {"params": params, "opt": opt_state,
                                      "lr": np.float32(lr),
-                                     "count": np.int32(count), "key": key})
+                                     "count": np.int32(-1 if count is None
+                                                       else count),
+                                     "key": key})
+        if count is None:
+            break
     return params, history
 
 

@@ -69,6 +69,17 @@ def test_train_aae_cycle(tmp_path):
     assert cycle1_qcd[-1] < cycle1_qcd[0]
     accs = [v for _, _, v in hist["Disc Accuracy"]]
     assert accs[-1] > 0.4  # disc learns the 3-class task above chance
+    # every history key the reference records is populated, incl. the
+    # OoD weighted-MAE series (ref aae.py:163-164,274-275) — it was
+    # silently left empty before
+    assert all(len(v) > 0 for v in hist.values()), \
+        {k: len(v) for k, v in hist.items()}
+    # AAE-phase Disc Loss entries are the REAL 3-class CE (ref :275-281):
+    # with a freshly trained disc they must be finite and nonzero, and
+    # each AAE epoch contributes one (cycles record Disc+AAE phases)
+    n_epochs_with_disc = 2 * (5 + 5)  # 2 cycles x (Disc 5 + AAE 5)
+    assert len(hist["Disc Loss"]) == n_epochs_with_disc
+    assert all(np.isfinite(v) and v > 0 for _, _, v in hist["Disc Loss"])
 
 
 def test_make_discriminant_formulas():

@@ -41,6 +41,26 @@ def test_metric_bank_golden(pq):
         np.testing.assert_allclose(ours, expected, rtol=2e-3, atol=5e-4)
 
 
+def test_kld_zero_prediction_ranks_maximally_anomalous(pq):
+    """A jet whose prediction zeroes a live feature must rank at the top
+    of the KLD/X-S/JSD discriminants — the reference's nan_to_num maps
+    the +inf term to float max (ref OE-VAE/utils.py:347-350), it does
+    not drop it (clip_values maps non-finite decoder outputs to exactly
+    0, so q == 0 with p > 0 is a reachable state)."""
+    p, q = (a.copy() for a in pq)
+    q[7, 3] = 0.0          # one dead predicted feature on jet 7
+    for metric in ("KLD", "X-S"):
+        loss = loss_function(p, q, 3, metric, multiloss=False)
+        assert np.isfinite(loss).all()
+        assert np.argmax(loss) == 7, metric
+    # NaN terms (p == q == 0, the 0*log(0/0) case) still drop to zero,
+    # not to float max: the jet stays in the normal range
+    p2, q2 = (a.copy() for a in pq)
+    p2[5, 2] = q2[5, 2] = 0.0
+    mod = loss_function(p2, q2, 3, "KLD", multiloss=False)
+    assert np.isfinite(mod).all() and abs(mod[5]) < 1e3
+
+
 def test_latent_loss_matches_kld():
     import jax
     from atlasvae.models import VAEConfig, init_vae, encode

@@ -282,6 +282,45 @@ def test_state_file_resume_is_bit_exact(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_state_file_records_termination(tmp_path):
+    """A state file whose plateau count is the terminal marker (-1,
+    written when the schedule stops training) must not be resumed past
+    the stop decision, and save_pytree must write atomically (no
+    truncated state after a crash mid-write)."""
+    from atlasvae.train.checkpoint import save_pytree, load_pytree
+    cfg = VAEConfig(fc_layers=(8, 4), input_dim=4)
+    params = init_vae(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer()
+    state = str(tmp_path / "state.npz")
+    key = jax.random.PRNGKey(0)
+    save_pytree(state, {"params": params, "opt": opt.init(params),
+                        "lr": np.float32(1e-3), "count": np.int32(-1),
+                        "key": key})
+    load = _toy_load(n=64, dim=4)
+    p, history = train_model(params, [load], [load], oe_type="MAE",
+                             n_epochs=3, state_file=state, batch_size=32)
+    assert history["Train loss"] == []  # no epochs ran past termination
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # atomic write: a failure mid-save leaves the previous file intact
+    template = {"x": np.arange(4)}
+    path = str(tmp_path / "atomic.npz")
+    save_pytree(path, template)
+    import atlasvae.train.checkpoint as ckpt
+    orig = ckpt.np.savez
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash mid-write")
+    ckpt.np.savez = boom
+    try:
+        with pytest.raises(RuntimeError):
+            save_pytree(path, {"x": np.arange(4) + 99})
+    finally:
+        ckpt.np.savez = orig
+    out = load_pytree(path, template)
+    np.testing.assert_array_equal(out["x"], np.arange(4))
+
+
 def test_tp_matches_single_device():
     """dp x tp GSPMD step over a (4, 2) mesh must reproduce the
     1-device step to float tolerance, and its compiled step must be
