@@ -20,6 +20,9 @@ def build_parser():
     parser.add_argument("--n_OoD", default=10e6, type=float)
     parser.add_argument("--n_sig", default=1e6, type=float)
     parser.add_argument("--n_const", default=20, type=int)
+    parser.add_argument("--memGB", default=30, type=float,
+                        help="host-memory budget for sample loads "
+                             "(ref OE-AAE/utils.py:48)")
     parser.add_argument("--n_dims", default=3, type=int)
     parser.add_argument("--batch_size", default=5e3, type=float)
     parser.add_argument("--n_epochs", default=100, type=int)  # = n_cycles
@@ -112,7 +115,8 @@ def main(argv=None):
                       and const_scaler is None)
         if need_hlv or need_const:
             print("\nLOADING QCD TRAINING SAMPLE (scaler fit)")
-            n_jets = min(args.n_train, int(1e9 * 30 / args.n_const / args.n_dims / 4))
+            n_jets = min(args.n_train,
+                         int(1e9 * args.memGB / args.n_const / args.n_dims / 4))
             train_sample = load_data(args.bkg_data, n_jets, train_cuts,
                                      args.n_const, args.n_dims, args.constituents,
                                      args.HLVs, hlv_list)
@@ -138,7 +142,8 @@ def main(argv=None):
                                    args.n_dims, [0, args.n_train], ood_sample,
                                    args.weight_type, train_cuts, args.constituents,
                                    args.HLVs, hlv_list, bin_sizes, hlv_scaler,
-                                   const_scaler, is_train=True)
+                                   const_scaler, is_train=True,
+                                   mem_gb=args.memGB)
         params, _ = train_aae(params, train_gen, args.n_epochs, args.batch_size,
                               out_root, os.path.basename(args.model_out),
                               args.hist_file,

@@ -191,7 +191,20 @@ def main(argv=None):
         imgs = np.asarray(
             constituent_images(sample["constituents"], px, n_dims=args.n_dims),
             np.float32)
-        sample["images"] = imgs / max(float(imgs.max()), 1e-6)
+        # the normalization scale is fit on the TRAINING rows only and
+        # persisted next to the model, so a --model_in re-evaluation on
+        # a different slice sees the same feature scale it trained with
+        scale_file = out_root + "/image_scale.pkl"
+        if args.model_in and os.path.isfile(scale_file):
+            with open(scale_file, "rb") as f:
+                img_scale = pickle.load(f)
+            print(f"Loaded image scale {img_scale:g} from: {scale_file}")
+        else:
+            fit_rows = imgs[train_idx] if len(train_idx) else imgs
+            img_scale = max(float(fit_rows.max()), 1e-6)
+            with open(scale_file, "wb") as f:
+                pickle.dump(img_scale, f)
+        sample["images"] = imgs / img_scale
         images, image_shapes = ("images",), ((px, px),)
         const_dim = 0  # the flat branch is replaced by the image tower
     config = JetIDConfig(n_classes=args.n_classes, scalars=tuple(scalars),
@@ -204,11 +217,25 @@ def main(argv=None):
                          else "float32")
     params = init_jetid(jax.random.PRNGKey(0), config)
 
+    def _resolve_in(path):
+        """Resolve a --*_in file against cwd then output_dir (the vae/aae
+        CLIs prefix output_dir, ref OE-AAE/train.py:58-60); a named but
+        missing file warns instead of silently refitting."""
+        if not path:
+            return None
+        for cand in (path, out_root + "/" + path):
+            if os.path.isfile(cand):
+                return cand
+        print(f"WARNING: --scaler file '{path}' not found (also tried "
+              f"{out_root}/) -> refitting")
+        return None
+
     scaler = None
-    if scalars and args.scaler_in and os.path.isfile(args.scaler_in):
+    scaler_in = _resolve_in(args.scaler_in) if scalars else None
+    if scaler_in:
         from ..data.scalers import Scaler
-        scaler = Scaler.load(args.scaler_in)
-        print("Loaded HLV scaler from:", args.scaler_in)
+        scaler = Scaler.load(scaler_in)
+        print("Loaded HLV scaler from:", scaler_in)
         sample["HLVs"] = apply_scaler(sample["HLVs"], scaler=scaler)
     elif args.scaler_type and scalars:
         scaler_out = args.scaler_out or f"scaler_{args.scaler_type}.pkl"
@@ -223,10 +250,11 @@ def main(argv=None):
     # apply_t_scaler; classifier.py:42 --t_scaling, default ON)
     t_scaler = None
     if const_dim and on(args.t_scaling):
-        if args.t_scaler_in and os.path.isfile(args.t_scaler_in):
+        t_scaler_in = _resolve_in(args.t_scaler_in)
+        if t_scaler_in:
             from ..data.scalers import Scaler
-            t_scaler = Scaler.load(args.t_scaler_in)
-            print("Loaded track scaler from:", args.t_scaler_in)
+            t_scaler = Scaler.load(t_scaler_in)
+            print("Loaded track scaler from:", t_scaler_in)
         else:
             fit_rows = first_chunk["constituents"] if streaming \
                 else sample["constituents"][train_idx if len(train_idx)
@@ -303,7 +331,13 @@ def main(argv=None):
                                args.n_folds, params)
         _, cv_acc = compo_matrix(labels, (), cv_probs)
         print(f"\n{args.n_folds}-FOLD CV ACCURACY: {cv_acc:.2f} %")
-    if args.n_epochs > 0 and streaming:
+        # in k-fold mode the cross-validated predictions ARE the
+        # validation result (every event scored by the fold that held it
+        # out, ref jet-ID/utils.py:532-566); no additional single model
+        # is trained
+        valid_idx = np.arange(n)
+        kfold_probs = cv_probs
+    elif args.n_epochs > 0 and streaming:
         from ..train.jetid_loop import train_classifier_streaming
         from ..utils.chunks import index_ranges
 
@@ -386,7 +420,10 @@ def main(argv=None):
             print(f"  {name:20s} {100 * drop:+.2f} %")
 
     # validation results (ref classifier.py:287 valid_results)
-    probs = predict_classifier(params, config, inputs_for(valid_idx))
+    if args.n_folds > 1:
+        probs = kfold_probs
+    else:
+        probs = predict_classifier(params, config, inputs_for(valid_idx))
     v_labels = labels[valid_idx]
     v_view = {k: np.asarray(v)[valid_idx] for k, v in sample.items()
               if np.ndim(v) >= 1}

@@ -136,7 +136,11 @@ def main(argv=None):
         if (args.const_scaler_type and const_scaler is None) or \
            (args.HLV_scaler_type and hlv_scaler is None):
             print("\nLOADING QCD TRAINING SAMPLE (scaler fit)")
-            n_jets = min(args.n_train[1], int(1e9 * 30 / args.n_const / args.n_dims / 4))
+            # honor --memGB for the one-off scaler-fit load too (the
+            # reference hardcodes its 30 GB budget here,
+            # ref OE-AAE/train.py:113)
+            n_jets = min(args.n_train[1],
+                         int(1e9 * args.memGB / args.n_const / args.n_dims / 4))
             train_sample = load_data(bkg_data, n_jets, train_cuts, args.n_const,
                                      args.n_dims, args.constituents, args.HLVs,
                                      hlv_list)

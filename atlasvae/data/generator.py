@@ -132,6 +132,19 @@ class BatchGenerator:
         if "HLVs" in bkg_sample:
             bkg_sample["HLVs"] = apply_scaler(
                 bkg_sample["HLVs"], self.n_dims, self.hlv_scaler, "QCD")
+        if self.ood_sample is None:
+            # a caller-provided OoD sample arrives pre-scaled (the CLIs
+            # scale it once up front, ref OE-AAE/train.py:126-129), but
+            # the self-paired fallback above was drawn from the RAW
+            # background load — scale it the same way or the OE loss
+            # compares mismatched feature spaces
+            if "constituents" in ood_sample:
+                ood_sample["constituents"] = apply_scaler(
+                    ood_sample["constituents"], self.n_dims,
+                    self.const_scaler, "OoD")
+            if "HLVs" in ood_sample:
+                ood_sample["HLVs"] = apply_scaler(
+                    ood_sample["HLVs"], self.n_dims, self.hlv_scaler, "OoD")
         return bkg_sample, ood_sample
 
     def __iter__(self):
@@ -145,10 +158,22 @@ class BatchGenerator:
 
         def worker():
             for i in range(n):
-                out.put(self[i])
+                try:
+                    load = self[i]
+                except BaseException as exc:  # propagate, don't deadlock
+                    out.put(exc)
+                    return
+                out.put(load)
 
         thread = threading.Thread(target=worker, daemon=True)
         thread.start()
         for _ in range(n):
-            yield out.get()
+            item = out.get()
+            if isinstance(item, BaseException):
+                # a failed load (I/O error, degenerate chunk, ...) must
+                # surface in the training loop, not hang the consumer
+                # on an empty queue forever
+                thread.join()
+                raise item
+            yield item
         thread.join()

@@ -73,8 +73,12 @@ def _jets_4v(jets):
 
 
 def jets_4v(jets):
+    jets = np.asarray(jets)
+    if len(jets) == 0:  # empty slice: match the other _chunked wrappers
+        return {"pt_calo": np.zeros(0, np.float32),
+                "m_calo": np.zeros(0, np.float32)}
     pt, m = zip(*[
-        _jets_4v(np.asarray(jets)[i:i + _CHUNK]) for i in range(0, len(jets), _CHUNK)
+        _jets_4v(jets[i:i + _CHUNK]) for i in range(0, len(jets), _CHUNK)
     ])
     return {
         "pt_calo": np.concatenate([np.asarray(p) for p in pt]),

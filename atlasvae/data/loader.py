@@ -22,7 +22,6 @@ HLV_LIST = [
     "rljet_ECF3", "ECF2", "d12", "d23", "pt", "m", "tau21", "tau32",
 ]
 
-_KINEMATIC_KEYS = {"m_calo", "pt_calo", "rljet_m_comb", "rljet_pt_comb"}
 
 
 def _on(flag):
@@ -55,7 +54,13 @@ def load_data(data_type, idx, cuts=(), n_const=20, n_dims=3, constituents="OFF",
             key: np.asarray(data[key][idx[0]:idx[1]])
             for key in keys if "constituents" not in key
         }
-        need_derived = len(set(sample) & _KINEMATIC_KEYS) == 0
+        # derive from constituents when EITHER kinematic family is
+        # missing: a file carrying only pt (or only m) columns must not
+        # KeyError at the pop below — the derived pt_calo/m_calo fill
+        # whichever side is absent (stored comb columns still win)
+        need_derived = (
+            len(set(sample) & {"rljet_pt_comb", "pt_calo"}) == 0
+            or len(set(sample) & {"rljet_m_comb", "m_calo"}) == 0)
         if _on(constituents) or need_derived:
             raw = np.asarray(data["constituents"][idx[0]:idx[1], :])
             sorted_const = sort_constituents_by_pt(raw)

@@ -140,40 +140,12 @@ def fit_scaler(sample, n_dims=3, scaler_out=None, scaler_type="RobustScaler",
 # ------------------------------------------------------------- transforms
 
 def _ndtri(p):
-    """Inverse standard-normal CDF via Acklam's rational approximation +
-    one Halley refinement; jit-friendly.  p is clipped to [1e-7, 1-1e-7]
+    """Inverse standard-normal CDF, clipped to [1e-7, 1-1e-7]
     (float32-safe; sklearn's QuantileTransformer saturates at the same
-    +-5.2 sigma via its BOUNDS_THRESHOLD)."""
-    p = jnp.clip(p, 1e-7, 1 - 1e-7)
-    a = jnp.array([-3.969683028665376e+01, 2.209460984245205e+02,
-                   -2.759285104469687e+02, 1.383577518672690e+02,
-                   -3.066479806614716e+01, 2.506628277459239e+00])
-    b = jnp.array([-5.447609879822406e+01, 1.615858368580409e+02,
-                   -1.556989798598866e+02, 6.680131188771972e+01,
-                   -1.328068155288572e+01])
-    c = jnp.array([-7.784894002430293e-03, -3.223964580411365e-01,
-                   -2.400758277161838e+00, -2.549732539343734e+00,
-                   4.374664141464968e+00, 2.938163982698783e+00])
-    d = jnp.array([7.784695709041462e-03, 3.224671290700398e-01,
-                   2.445134137142996e+00, 3.754408661907416e+00])
-    plow, phigh = 0.02425, 1 - 0.02425
-
-    def tail(q):
-        r = jnp.sqrt(-2 * jnp.log(q))
-        return (((((c[0] * r + c[1]) * r + c[2]) * r + c[3]) * r + c[4]) * r + c[5]) / \
-               ((((d[0] * r + d[1]) * r + d[2]) * r + d[3]) * r + 1)
-
-    def middle(p):
-        q = p - 0.5
-        r = q * q
-        return (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5]) * q / \
-               (((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1)
-
-    x = jnp.where(p < plow, tail(p), jnp.where(p > phigh, -tail(1 - p), middle(p)))
-    # Halley refinement against the forward CDF.
-    e = 0.5 * jax.lax.erfc(-x / jnp.sqrt(2.0)) - p
-    u = e * jnp.sqrt(2 * jnp.pi) * jnp.exp(x * x / 2)
-    return x - u / (1 + x * u / 2)
+    +-5.2 sigma via its BOUNDS_THRESHOLD).  Delegates to the shared
+    Acklam+Halley kernel in ops/gammainc.py."""
+    from ..ops.gammainc import _ndtri as _shared_ndtri
+    return _shared_ndtri(p, p_lo=1e-7)
 
 
 def _ndtr(x):

@@ -239,9 +239,14 @@ def sigma_from_log_pval(log_p):
     return jnp.where(log_p > -60.0, moderate, deep)
 
 
-def _ndtri(p):
-    """Acklam's inverse normal CDF + one Halley refinement (float32)."""
-    p = jnp.clip(p, 1e-30, 1.0 - 1e-7)
+def _ndtri(p, p_lo=1e-30):
+    """Acklam's inverse normal CDF + one Halley refinement (float32).
+
+    Shared by the statistics kernels (default deep-tail clip) and the
+    QuantileTransformer in data/scalers.py (p_lo=1e-7, the float32-safe
+    sklearn BOUNDS_THRESHOLD saturation) — one implementation so
+    precision fixes cannot diverge."""
+    p = jnp.clip(p, p_lo, 1.0 - 1e-7)
     a = jnp.array([-3.969683028665376e+01, 2.209460984245205e+02,
                    -2.759285104469687e+02, 1.383577518672690e+02,
                    -3.066479806614716e+01, 2.506628277459239e+00])

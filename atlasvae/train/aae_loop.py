@@ -190,13 +190,21 @@ def make_aae_step_fns(optimizer, lamb=0.0, beta=0.0, activation="relu",
 
 def train_aae(params, train_generator, n_cycles, batch_size, output_dir,
               model_out="AAE.npz", hist_file="history.pkl", ae_weights="",
-              lamb=0.0, beta=0.0, lr=1e-6, seed=0, feature_key="HLVs"):
+              lamb=0.0, beta=0.0, lr=1e-6, seed=0, feature_key=None):
     """The full cycle schedule (ref OE-AAE/aae.py:119-292).
 
     Uses ONE load from the generator (the reference takes
     ``train_generator[0]``, ref :124) and runs the AE/Disc/AAE phase
     epochs per cycle.  Returns (params, loss_history) with the
     reference's (cycle, epoch_counter, value) history tuples.
+
+    ``feature_key=None`` assembles the model inputs with the standard
+    constituents+HLVs feature stack — equal to 'HLVs' at the canonical
+    HLVs-only config, and consistent with the model's input_dim and the
+    eval side when constituents are on.  (The reference hardcodes
+    sample['HLVs'] at aae.py:124-125 while sizing the model WITH
+    constituents at train.py:71 — '--constituents ON' would crash it;
+    a reference bug not replicated, per SURVEY S7.)
     """
     epoch_dict = {"AE": np.full(n_cycles, 0), "Disc": np.full(n_cycles, 5),
                   "AAE": np.full(n_cycles, 5)}
@@ -205,8 +213,13 @@ def train_aae(params, train_generator, n_cycles, batch_size, output_dir,
 
     sample = train_generator[0]
     bkg_sample, ood_sample = sample if isinstance(sample, tuple) else (sample["bkg"], sample["OoD"])
-    bkg_x = np.asarray(bkg_sample[feature_key], np.float32)
-    ood_x = np.asarray(ood_sample[feature_key], np.float32)
+    if feature_key is None:
+        from .loop import features
+        bkg_x = np.asarray(features(bkg_sample), np.float32)
+        ood_x = np.asarray(features(ood_sample), np.float32)
+    else:
+        bkg_x = np.asarray(bkg_sample[feature_key], np.float32)
+        ood_x = np.asarray(ood_sample[feature_key], np.float32)
     bkg_w = np.asarray(bkg_sample["weights"], np.float32)
     ood_w = np.asarray(ood_sample["weights"], np.float32)
     n = len(bkg_x)

@@ -82,6 +82,27 @@ def test_train_aae_cycle(tmp_path):
     assert all(np.isfinite(v) and v > 0 for _, _, v in hist["Disc Loss"])
 
 
+def test_train_aae_with_constituents(tmp_path):
+    """With constituents ON, train_aae assembles the same
+    constituents+HLVs feature stack the model was sized with — the
+    reference hardcodes sample['HLVs'] while sizing input_size WITH
+    constituents (ref aae.py:124-125 vs train.py:71), a crash-bug not
+    replicated."""
+    rng = np.random.default_rng(0)
+    n, cdim, hdim = 256, 6, 4
+    def mk(shift):
+        return {"constituents": rng.normal(shift, 1, (n, cdim)).astype(np.float32),
+                "HLVs": rng.normal(shift, 1, (n, hdim)).astype(np.float32),
+                "weights": np.ones(n, np.float32)}
+    cfg = AAEConfig(input_dim=cdim + hdim, ae_layers=(12, 6),
+                    disc_layers=(12, 3))
+    params = init_aae(jax.random.PRNGKey(0), cfg)
+    params, hist = train_aae(params, [(mk(0.0), mk(1.0))], n_cycles=1,
+                             batch_size=64, output_dir=str(tmp_path),
+                             lamb=1.0, beta=1.0, lr=1e-3)
+    assert np.isfinite([v for _, _, v in hist["AE Loss"]]).all()
+
+
 def test_make_discriminant_formulas():
     rng = np.random.default_rng(0)
     p = rng.uniform(0.1, 1, (100, 6))

@@ -257,6 +257,29 @@ def test_maxabs_matches_sklearn(rng):
     np.testing.assert_allclose(ours, MaxAbsScaler().fit_transform(x), rtol=1e-5)
 
 
+def test_load_data_partial_kinematics(tmp_path):
+    """A file storing only ONE kinematic family (pt but no m, or m but
+    no pt) derives the missing side from constituents instead of
+    KeyError'ing at the pt/m pop."""
+    import h5py
+    from atlasvae.data import registry, load_data
+    rng = np.random.default_rng(0)
+    n, c = 50, 6
+    const = rng.normal(size=(n, 4 * c)).astype(np.float32)
+    for name, key in (("pt-only", "rljet_pt_comb"), ("m-only", "rljet_m_comb")):
+        path = str(tmp_path / f"{name}.h5")
+        with h5py.File(path, "w") as f:
+            f.create_dataset("constituents", data=const)
+            f.create_dataset(key, data=rng.uniform(10, 100, n))
+        s = load_data(path, n, n_const=c, n_dims=3, constituents="ON",
+                      hlvs="OFF", verbose=False)
+        assert len(s["pt"]) == n and len(s["m"]) == n
+        assert np.isfinite(s["pt"]).all() and np.isfinite(s["m"]).all()
+        # the stored column wins; the other side is constituent-derived
+        stored = "pt" if key == "rljet_pt_comb" else "m"
+        assert (s[stored] >= 10).all()
+
+
 def test_registry_synthetic_fallback(tmp_path, monkeypatch):
     """get_file resolves synthetic_<name>.h5 in the data dir when the
     production file is absent (cross-process synthetic datasets)."""

@@ -1,6 +1,7 @@
 """BatchGenerator tests: load arithmetic, double-buffered iteration."""
 
 import numpy as np
+import pytest
 
 from atlasvae.data import BatchGenerator, load_data
 
@@ -55,6 +56,52 @@ def test_stream_prep_placement(monkeypatch):
     assert not isinstance(_stream_prep_context(1), contextlib.nullcontext)
     monkeypatch.setenv("ATLASVAE_STREAM_PREP", "device")
     assert isinstance(_stream_prep_context(8), contextlib.nullcontext)
+
+
+def test_iter_propagates_worker_exception(synth_dir):
+    """A failing load in the prefetch worker must raise in the consumer,
+    not leave it blocked forever on an empty queue."""
+    gen = BatchGenerator("QCD-Geneva", "OoD-H", 10, 3, [0, 3000],
+                         weight_type="None", constituents="OFF", hlvs="ON",
+                         mem_gb=12e-6)
+    assert len(gen) >= 3
+    boom = RuntimeError("simulated load failure")
+
+    orig = gen._prepare_load
+
+    def failing(idx):
+        if idx == 1:
+            raise boom
+        return orig(idx)
+
+    gen._prepare_load = failing
+    it = iter(gen)
+    next(it)  # load 0 succeeds
+    with pytest.raises(RuntimeError, match="simulated load failure"):
+        next(it)
+
+
+def test_self_paired_ood_is_scaled(synth_dir):
+    """With ood_sample=None the OoD side is derived from the raw
+    background load; its features must get the same scaling as the
+    background or the OE loss compares mismatched feature spaces."""
+    from atlasvae.data.scalers import fit_scaler
+    head = load_data("QCD-Geneva", 2000, n_const=10, n_dims=3,
+                     constituents="OFF", hlvs="ON", verbose=False)
+    scaler = fit_scaler(head["HLVs"], 3, scaler_type="RobustScaler",
+                        verbose=False)
+    gen = BatchGenerator("QCD-Geneva", "QCD-Geneva", 10, 3, [0, 2000],
+                         ood_sample=None, weight_type="None",
+                         constituents="OFF", hlvs="ON", hlv_scaler=scaler)
+    bkg, ood = gen[0]
+    # scaled feature spaces overlap: per-column scale of the OoD side
+    # matches the background side (raw HLVs differ by orders of magnitude)
+    b_spread = np.percentile(bkg["HLVs"], 95, axis=0) - \
+        np.percentile(bkg["HLVs"], 5, axis=0)
+    o_spread = np.percentile(ood["HLVs"], 95, axis=0) - \
+        np.percentile(ood["HLVs"], 5, axis=0)
+    ratio = o_spread / np.maximum(b_spread, 1e-9)
+    assert np.all((ratio > 0.2) & (ratio < 5.0)), ratio
 
 
 def test_multi_load_generator_yields_host_arrays(synth_dir):
