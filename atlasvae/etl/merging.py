@@ -51,8 +51,14 @@ def mix_samples(data_path, data_files, idx_list, out_idx, n_constituents,
 
 def merge_files(merge_dir, output_file=None):
     """Resize-append all intermediate files into one
-    (ref tools/merging.py:57-70)."""
-    h5_files = sorted(f for f in os.listdir(merge_dir) if f.endswith(".h5"))
+    (ref tools/merging.py:57-70).  Only the ``part_*.h5`` intermediates
+    are merged — a previous run's merged output living in the same dir
+    must never be picked up as an input (that silently doubles the
+    dataset on re-runs)."""
+    h5_files = sorted(f for f in os.listdir(merge_dir)
+                      if f.startswith("part_") and f.endswith(".h5"))
+    if not h5_files:
+        raise FileNotFoundError(f"no part_*.h5 intermediates in {merge_dir}")
     sizes = [len(h5py.File(os.path.join(merge_dir, f), "r")["constituents"])
              for f in h5_files]
     idx = np.cumsum(sizes)
@@ -95,6 +101,11 @@ def file_processing(data_path, n_constituents="unknown", n_files=40,
                 for b in (np.linspace(0, n, n_files + 1, dtype=int) for n in n_jets)]
     merge_dir = os.path.join(data_path, "merging")
     os.makedirs(merge_dir, exist_ok=True)
+    # drop intermediates from an earlier (possibly interrupted) run: a
+    # stale part_NN.h5 beyond this run's n_files would be merged in
+    for name in os.listdir(merge_dir):
+        if name.startswith("part_") and name.endswith(".h5"):
+            os.remove(os.path.join(merge_dir, name))
     start = time.time()
     for out_idx in range(n_files):
         mix_samples(data_path, data_files, idx_list, out_idx, n_constituents,

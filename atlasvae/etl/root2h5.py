@@ -175,7 +175,8 @@ def count_constituents(file_pairs, tree="nominal", sources=None):
 
 
 def read_root_files(file_pairs, var_list, sample_type, weights_table,
-                    n_constituents, tree="nominal", sources=None):
+                    n_constituents, tree="nominal", sources=None,
+                    optional=()):
     """Branch reader (ref tools/root_utils.py:16-52 ``get_data`` /
     ``root_conversion``).
 
@@ -192,8 +193,19 @@ def read_root_files(file_pairs, var_list, sample_type, weights_table,
         var_list += ["DSID"]
     out = {key: [] for key in var_list}
     dsid_order = list(weights_table)
+    srcs = {path: (sources or {}).get(path) or open_tree(path, tree)
+            for path, _ in file_pairs}
+    # optional (extra) branches missing from ANY tree are dropped with a
+    # warning — convert's contract is "pass through when present", and a
+    # partial column would misalign the concatenated rows
+    for key in optional:
+        if key in out and any(key not in src for src in srcs.values()):
+            print(f"WARNING: extra branch '{key}' absent from some input "
+                  "trees -> dropped")
+            del out[key]
+    var_list = list(out)
     for path, dsid in file_pairs:
-        src = (sources or {}).get(path) or open_tree(path, tree)
+        src = srcs[path]
         n = src.num_entries
         for key in var_list:
             if key == "JZW":
@@ -262,7 +274,8 @@ def convert(input_path, output_path, sample_type, n_constituents="unknown",
     if n_constituents == "unknown":
         n_constituents = count_constituents(file_pairs, tree, sources=sources)
     data = read_root_files(file_pairs, var_list, sample_type, weights_table,
-                           int(n_constituents), tree, sources=sources)
+                           int(n_constituents), tree, sources=sources,
+                           optional=tuple(extra_branches))
     pt, eta, phi = (data.pop(k) for k in JET_VAR)
     data.update(final_jets(np.float64(pt), np.float64(eta), np.float64(phi)))
     data["weights"] = (LUMINOSITY[sample_type] * data.pop("weight_mc")

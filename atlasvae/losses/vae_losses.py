@@ -39,7 +39,7 @@ def kld_loss(z_mean, z_log_var):
     return -jnp.mean(1 + z_log_var - z_exp - z_mean ** 2, axis=-1) / 2
 
 
-def oe_loss(recon_bkg_loss, kld_bkg, params, x_bkg, x_ood, oe_type, margin, key,
+def oe_loss(recon_bkg_loss, kld_bkg, params, x_ood, oe_type, margin, key,
             activation="relu", noise=None, impl="xla"):
     """Outlier-exposure term.  For 'KLD' the gap is between latent KLDs;
     otherwise between reconstruction losses (ref models.py:88-105)."""
@@ -67,12 +67,12 @@ def get_losses(params, bkg_x, ood_x, bkg_w, ood_w, key, oe_type="KLD",
     noise_bkg, noise_ood = noise if noise is not None else (None, None)
     recon, z_mean, z_log_var = vae_apply(params, bkg_x, k_bkg, activation,
                                          noise=noise_bkg, impl=impl)
-    loss_mse = reconstruction_loss(bkg_x, recon, oe_type) * bkg_w
-    loss_kld = kld_loss(z_mean, z_log_var) * bkg_w * beta
     raw_recon = reconstruction_loss(bkg_x, recon, oe_type)
-    loss_oe = oe_loss(raw_recon, kld_loss(z_mean, z_log_var), params,
-                      bkg_x, ood_x, oe_type, margin, k_ood, activation,
-                      noise_ood, impl)
+    raw_kld = kld_loss(z_mean, z_log_var)
+    loss_mse = raw_recon * bkg_w
+    loss_kld = raw_kld * bkg_w * beta
+    loss_oe = oe_loss(raw_recon, raw_kld, params, ood_x, oe_type, margin,
+                      k_ood, activation, noise_ood, impl)
     loss_oe = loss_oe * ood_w * lamb
     total = loss_mse + loss_kld + loss_oe
     return loss_mse, loss_kld, loss_oe, total

@@ -6,7 +6,7 @@ matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 import numpy as np
 
-from ..utils.chunks import bin_edges
+from ..utils.chunks import bin_edges, density_weights
 
 
 def _sig_tag(sig_data):
@@ -47,8 +47,17 @@ def plot_distributions(samples, sig_data, plot_var, bin_sizes, output_dir,
                 variable = np.float32(sample[plot_var][condition])
                 size = bin_sizes[plot_var]
             weights = np.array(sample["weights"][condition], dtype=np.float64)
-            lo = max(0.0, float(np.min(variable)))
-            hi = float(np.max(variable))
+            # bin range from the UNCONDITIONED sample in the default
+            # case, so signal and QCD share one grid; the conditioned
+            # range only for m_over_pt / flat weighting
+            # (ref OE-VAE/plots.py:697-700)
+            if plot_var == "m_over_pt" or "flat" in str(weight_type):
+                lo = max(0.0, float(np.min(variable)))
+                hi = float(np.max(variable))
+            else:
+                full = np.float32(sample[plot_var])
+                lo = max(0.0, float(np.min(full)))
+                hi = float(np.max(full))
             bins = bin_edges(hi, size, lo)
             if len(bins) < 2:  # degenerate after a hard cut (ref guards
                 continue       # the same case with try/except, plots.py:710-712)
@@ -57,10 +66,7 @@ def plot_distributions(samples, sig_data, plot_var, bin_sizes, output_dir,
                     else np.sum(sample["weights"])
                 weights *= 100.0 / denom
             if density:
-                idx = np.searchsorted(bins, variable, side="right")
-                widths = np.diff(bins)
-                weights = weights / np.take(widths,
-                                            np.clip(idx - 1, 0, len(widths) - 1))
+                weights = density_weights(variable, weights, bins)
             plt.hist(variable, bins, histtype="step", weights=weights,
                      color=colors[m], lw=2, log=log, alpha=alphas[n],
                      label=labels[n][m])

@@ -17,6 +17,8 @@ import matplotlib
 matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 import numpy as np
+
+from ..utils.chunks import density_weights
 from scipy.spatial import distance as _sdistance
 
 from ..eval.roc import get_rates
@@ -59,9 +61,7 @@ def plot_bump_result(data, data_weights, y_true, bins, bin_sigma, loc_sigma,
                                    sharex=True,
                                    gridspec_kw={"height_ratios": [3, 1]})
     data_weights = 100 * np.asarray(data_weights, np.float64) / np.sum(data_weights)
-    idx = np.searchsorted(bins, data, side="right")
-    data_weights = data_weights / np.take(np.diff(bins),
-                                          np.minimum(idx, len(bins) - 1) - 1)
+    data_weights = density_weights(data, data_weights, bins)
     samples = [data[y_true == 1], data[y_true == 0]]
     weights = [data_weights[y_true == 1], data_weights[y_true == 0]]
     labels = ["QCD", sig_label or "signal"]
@@ -217,8 +217,7 @@ def loss_distributions(y_true, x_loss, weights, metric, output_dir,
         if normalize:
             w *= 100 / np.sum(w)
         if density:
-            idx = np.searchsorted(bins, variable, side="right")
-            w = w / np.take(np.diff(bins), np.minimum(idx, len(bins) - 1) - 1)
+            w = density_weights(variable, w, bins)
         plt.hist(variable, bins, histtype="step", weights=w, label=labels[n],
                  color=colors[n], lw=2)
     if best_loss is not None and metric == best_loss["metric"]:

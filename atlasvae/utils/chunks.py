@@ -10,6 +10,8 @@ def index_ranges(max_val, n_bins=10, bin_size=None, min_val=0):
     (ref OE-VAE/utils.py:541-548): ``bin_size`` wins over ``n_bins``;
     the final range is clipped to ``max_val``.
     """
+    if max_val <= min_val:
+        return []  # empty range (e.g. n_train=0): no chunks, not a crash
     if bin_size is None:
         n_bins = max(1, min(int(max_val - min_val), n_bins))
         bin_size = (max_val - min_val) // n_bins
@@ -22,6 +24,17 @@ def bin_edges(max_val, bin_size, min_val=0.0):
     """Float bin edges [min_val, min_val+bin_size, ..., max_val]
     (ref OE-VAE/utils.py:541-548 ``get_idx(..., integer=False, tuples=False)``)."""
     return np.append(np.arange(min_val, max_val, bin_size), max_val)
+
+
+def density_weights(values, weights, bins):
+    """Divide histogram weights by their bin's width (per-GeV density
+    normalization used across the distribution plots).  Out-of-range
+    values clip to the nearest edge bin — never wrap to the other end.
+    One shared helper so the three plotting call sites cannot diverge."""
+    idx = np.searchsorted(bins, values, side="right")
+    widths = np.diff(bins)
+    return np.asarray(weights, np.float64) / np.take(
+        widths, np.clip(idx - 1, 0, len(widths) - 1))
 
 
 def merged_bins(values, edges=None, max_bins=100, min_bin_count=2, logspace=True):

@@ -58,10 +58,18 @@ class StepTimer:
     @staticmethod
     def sync(tree):
         """Force completion by fetching one element of every leaf (the
-        only reliable sync through the axon remote-device tunnel)."""
+        only reliable sync through the axon remote-device tunnel).  The
+        slice happens DEVICE-side before the fetch, so the wire cost is
+        O(1) bytes per leaf — np.asarray(leaf) would device_get whole
+        arrays and turn the sync itself into the bottleneck."""
         import jax
         for leaf in jax.tree.leaves(tree):
-            np.asarray(leaf).ravel()[:1]
+            if np.ndim(leaf) and np.size(leaf) > 65536:
+                # eager slice dispatch costs ~0.5 s here, so only pay it
+                # where the full fetch would cost more
+                np.asarray(jax.numpy.ravel(leaf)[:1])
+            else:
+                np.asarray(leaf)
         return tree
 
     def report(self, items_per_step=None):

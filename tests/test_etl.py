@@ -94,6 +94,12 @@ def test_shuffle_merge_roundtrip(tmp_path, rng):
         # mixing actually interleaves the sources
         first_quarter = f["weights"][:sum(totals) // 4]
         assert len(np.unique(first_quarter)) > 1
+    # re-running is idempotent: the previous merged output (and any stale
+    # part files) inside merging/ must not be swept up as inputs — that
+    # silently doubled the dataset
+    out2 = file_processing(str(src), n_constituents=2, n_files=3)
+    with h5py.File(out2, "r") as f:
+        assert len(f["constituents"]) == sum(totals)
 
 
 # ---------------------------------------------------------------------------
