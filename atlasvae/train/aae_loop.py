@@ -172,18 +172,21 @@ def make_aae_step_fns(optimizer, lamb=0.0, beta=0.0, activation="relu",
             updates, opt_state = optimizer.update(grads, opt_state, ae_params)
             updates = jax.tree.map(lambda u: u * lr, updates)
             ae_params = optax.apply_updates(ae_params, updates)
-            # the REAL 3-class discriminator loss/accuracy on
-            # {bkg: 0, recon-bkg: 1, OoD: 2} with the post-update AE —
-            # what the reference measures per batch and records in
-            # loss_history as 'Disc Loss'/'Disc Accuracy'
-            # (ref OE-AAE/aae.py:255-281); the fooling d_ce/d_acc above
-            # are only PRINTED as 'D_Loss'/'D_Accuracy' (ref :282)
-            _, disc_m = disc_batch_loss(disc_params, ae_params, batch)
-            return (ae_params, opt_state), jnp.concatenate([metrics, disc_m])
+            return (ae_params, opt_state), metrics
 
         (ae_params, opt_state), metrics = jax.lax.scan(
             step, (ae_params, opt_state), perm)
-        return {**ae_params, **disc_params}, opt_state, metrics
+        # the REAL 3-class discriminator loss/accuracy on {bkg: 0,
+        # recon-bkg: 1, OoD: 2} — what the reference records in
+        # loss_history as 'Disc Loss'/'Disc Accuracy'.  It stores the
+        # LAST batch's value with the post-update AE (loss_dict survives
+        # the batch loop, ref OE-AAE/aae.py:270-281,:287), so one
+        # evaluation after the scan is both exact parity and ~24%
+        # cheaper than per-batch evaluation; the fooling d_ce/d_acc in
+        # `metrics` are only PRINTED as 'D_Loss'/'D_Accuracy' (ref :282)
+        last = tuple(arr[perm[-1]] for arr in (bkg_x, ood_x, bkg_w, ood_w))
+        _, disc_m = disc_batch_loss(disc_params, ae_params, last)
+        return {**ae_params, **disc_params}, opt_state, (metrics, disc_m)
 
     return ae_epoch, disc_epoch, aae_epoch
 
@@ -304,8 +307,10 @@ def train_aae(params, train_generator, n_cycles, batch_size, output_dir,
         start = time.time()
         for epoch in range(n_epochs):
             perm = jnp.asarray(rng.permutation(n_batches))
-            params, opt_ae, metrics = aae_epoch(params, opt_ae, perm, *batches)
+            params, opt_ae, (metrics, disc_m) = aae_epoch(params, opt_ae, perm,
+                                                          *batches)
             m = np.asarray(metrics).mean(axis=0)
+            disc_m = np.asarray(disc_m)
             epoch_counter += 1
             loss_history["QCD-AE Loss"].append((cycle + 1, epoch_counter, float(m[0])))
             if lamb != 0:
@@ -315,13 +320,14 @@ def train_aae(params, train_generator, n_cycles, batch_size, output_dir,
             loss_history["AE Loss"].append(
                 (cycle + 1, epoch_counter, float(m[0] + lamb * m[1])))
             # history stores the REAL 3-class discriminator CE/accuracy
-            # on {bkg, recon-bkg, OoD} (ref aae.py:255-281); the fooling
-            # values are printed only (ref :282 'D_Loss'/'D_Accuracy')
-            loss_history["Disc Loss"].append((cycle + 1, epoch_counter, float(m[6])))
-            loss_history["Disc Accuracy"].append((cycle + 1, epoch_counter, float(m[7])))
+            # on {bkg, recon-bkg, OoD}, last-batch value (ref
+            # aae.py:255-281,:287); the fooling values are printed only
+            # (ref :282 'D_Loss'/'D_Accuracy')
+            loss_history["Disc Loss"].append((cycle + 1, epoch_counter, float(disc_m[0])))
+            loss_history["Disc Accuracy"].append((cycle + 1, epoch_counter, float(disc_m[1])))
             print(f"Epoch {epoch + 1}/{n_epochs}: AAE Loss = {m[2]:4.3e} "
                   f"D_Loss = {m[3]:4.3e} D_Accuracy = {100 * m[4]:4.1f}% "
-                  f"Disc Loss = {m[6]:4.3e} ({time.time() - start:.1f}s)")
+                  f"Disc Loss = {disc_m[0]:4.3e} ({time.time() - start:.1f}s)")
 
     if hist_file:
         with open(os.path.join(output_dir, hist_file) if output_dir else hist_file,

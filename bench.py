@@ -133,9 +133,9 @@ def bench_aae(jax):
     def cycle():
         p, oa, m1 = ae_epoch(state["p"], state["ae"], perm, bkg, ood, w, w)
         p, od, m2 = disc_epoch(p, state["disc"], perm, bkg, ood, w, w)
-        p, oa2, m3 = aae_epoch(p, oa, perm, bkg, ood, w, w)
+        p, oa2, (m3, disc_m) = aae_epoch(p, oa, perm, bkg, ood, w, w)
         state["p"], state["ae"], state["disc"] = p, oa2, od
-        return m3
+        return disc_m
 
     _log("compiling AAE phase epochs...")
     np.asarray(cycle())
