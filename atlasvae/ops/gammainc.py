@@ -236,7 +236,12 @@ def sigma_from_log_pval(log_p):
         return s - f / df
 
     deep = jax.lax.fori_loop(0, 6, newton, s0)
-    return jnp.where(log_p > -60.0, moderate, deep)
+    sigma = jnp.where(log_p > -60.0, moderate, deep)
+    # p >= 1 (log p >= 0, e.g. no qualifying scan window) reports zero
+    # significance, matching the reference's p=1 branch
+    # (ref bumphunter_1dim.py:1208-1211) — NOT the -5.17 artifact the
+    # 1-1e-7 clip would produce
+    return jnp.where(log_p >= 0.0, 0.0, sigma)
 
 
 def _ndtri(p, p_lo=1e-30):

@@ -59,22 +59,38 @@ def scan_histograms(hists, ref, widths, scan_steps, hinf, hsup, mode="excess",
     """
     nbins = ref.shape[0]
     k = hists.shape[0]
-    c_h = jnp.concatenate([jnp.zeros((k, 1)), jnp.cumsum(hists, axis=1)], axis=1)
-    c_r = jnp.concatenate([jnp.zeros(1), jnp.cumsum(ref)], axis=0)
     pos = jnp.arange(nbins)
+
+    def window_sums(x, w):
+        """Direct sum of w consecutive bins along the last axis.
+
+        NOT a cumsum difference: differencing float32 cumulative sums
+        catastrophically cancels once the histogram total exceeds
+        float32's 2^24 integer range (~1.7e7 counts — well inside the
+        reference's 1e7-jet production scale), silently corrupting the
+        minimum window.  A windowed tree-reduction carries only ~log2(w)
+        ulps of error regardless of the histogram total."""
+        two_d = x.ndim == 1
+        if two_d:
+            x = x[None, :]
+        out = jax.lax.reduce_window(x, 0.0, jax.lax.add,
+                                    window_dimensions=(1, w),
+                                    window_strides=(1, 1), padding="VALID")
+        return out[0] if two_d else out
 
     if use_sideband:
         vinf, vsup = hinf, hsup
         if sideband_width is not None:
             hinf = hinf + sideband_width
             hsup = hsup - sideband_width
-        ref_total = c_r[vsup] - c_r[vinf]
-        hist_total = c_h[:, vsup] - c_h[:, vinf]
+        in_range = (pos >= vinf) & (pos < vsup)
+        ref_total = jnp.sum(jnp.where(in_range, ref, 0.0))
+        hist_total = jnp.sum(jnp.where(in_range[None, :], hists, 0.0), axis=1)
 
     all_logp, all_nh, all_nr = [], [], []
     for w, step in zip(widths, scan_steps):
-        nh = c_h[:, w:] - c_h[:, :-w]          # (K, nbins-w+1)
-        nr = c_r[w:] - c_r[:-w]                # (nbins-w+1,)
+        nh = window_sums(hists, w)             # (K, nbins-w+1)
+        nr = window_sums(ref, w)               # (nbins-w+1,)
         pad = nbins - nh.shape[1]
         nh = jnp.pad(nh, ((0, 0), (0, pad)))
         nr = jnp.pad(nr, (0, pad))
@@ -110,6 +126,10 @@ def scan_histograms(hists, ref, widths, scan_steps, hinf, hsup, mode="excess",
     nr_flat = nr_all.transpose(1, 0, 2).reshape(k, -1)
     signal_eval = (jnp.take_along_axis(nh_flat, arg[:, None], 1)
                    - jnp.take_along_axis(nr_flat, arg[:, None], 1))[:, 0]
+    # no qualifying window anywhere (all log p masked to 0): argmin picks
+    # the arbitrary flat index 0 — report 0 evaluated signal like the
+    # reference's dummy-window branch (ref bumphunter_1dim.py:402-407)
+    signal_eval = jnp.where(min_log_pval >= 0.0, 0.0, signal_eval)
     return min_log_pval, min_loc, min_width, signal_eval, log_pvals
 
 
@@ -195,24 +215,39 @@ class BumpHunter1D:
         self.str_ar = []
 
     def save_state(self):
-        """Snapshot every knob + result into a dict (ref :729-779)."""
+        """Snapshot every knob + result into a dict (ref :729-779).
+
+        The flip_sig setting is stored under the reference's dict key
+        'sig_flip' (ref :757) so state dicts interchange both ways."""
         keys = ["mode", "rang", "bins", "weights", "width_min", "width_max",
                 "width_step", "scan_step", "npe", "nworker", "seed",
                 "sigma_limit", "str_min", "str_step", "str_scale",
-                "signal_exp", "flip_sig", "npe_inject", "use_sideband",
+                "signal_exp", "npe_inject", "use_sideband",
                 "global_Pval", "significance", "res_ar", "min_Pval_ar",
                 "log_Pval_ar", "min_loc_ar", "min_width_ar", "t_ar",
                 "signal_eval", "norm_scale", "signal_min", "signal_ratio",
                 "data_inject"]
-        return {k: getattr(self, k) for k in keys}
+        state = {k: getattr(self, k) for k in keys}
+        state["sig_flip"] = self.flip_sig
+        return state
 
     def load_state(self, state):
-        """Restore from a save_state dict (ref :781-919)."""
+        """Restore from a save_state dict (ref :781-919).
+
+        Accepts the reference's 'sig_flip' key AND restores it into the
+        live ``flip_sig`` attribute — the reference loads it into a dead
+        ``self.sig_flip`` (ref :875-878) while signal_inject reads
+        ``self.flip_sig``, losing the setting; a bug not replicated."""
         defaults = BumpHunter1D().__dict__
         for k, v in defaults.items():
             setattr(self, k, state.get(k, v))
         for k, v in state.items():
-            setattr(self, k, v)
+            if k != "sig_flip":
+                setattr(self, k, v)
+        if "sig_flip" in state:
+            self.flip_sig = state["sig_flip"]
+        elif "flip_sig" in state:  # dicts written by older snapshots here
+            self.flip_sig = state["flip_sig"]
 
     # --------------------------------------------------------- internals
 
@@ -503,9 +538,13 @@ class BumpHunter1D:
         # Background-only t distribution.
         key, sub = jax.random.split(key)
         pseudo_bkg = _poisson_pseudo(sub, jnp.asarray(bkg_hist), self.npe)
-        t_bkg = -np.asarray(scan_histograms(pseudo_bkg, jnp.asarray(bkg_hist),
-                                            widths, steps, hinf, hsup, self.mode,
-                                            self.use_sideband, self.sideband_width)[0])
+        bkg_res = scan_histograms(pseudo_bkg, jnp.asarray(bkg_hist),
+                                  widths, steps, hinf, hsup, self.mode,
+                                  self.use_sideband, self.sideband_width)
+        t_bkg = -np.asarray(bkg_res[0])
+        bkg_logp, bkg_loc, bkg_width = (np.asarray(bkg_res[0]),
+                                        np.asarray(bkg_res[1]),
+                                        np.asarray(bkg_res[2]))
 
         self.sigma_ar = []
         self.str_ar = []
@@ -540,10 +579,13 @@ class BumpHunter1D:
             key, sub = jax.random.split(key)
             pseudo_data = _poisson_pseudo(sub, jnp.asarray(np.maximum(data_hist, 0)),
                                           self.npe_inject)
-            t_inj = -np.asarray(scan_histograms(pseudo_data, jnp.asarray(bkg_hist),
-                                                widths, steps, hinf, hsup, self.mode,
-                                                self.use_sideband,
-                                                self.sideband_width)[0])
+            inj_res = scan_histograms(pseudo_data, jnp.asarray(bkg_hist),
+                                      widths, steps, hinf, hsup, self.mode,
+                                      self.use_sideband, self.sideband_width)
+            t_inj = -np.asarray(inj_res[0])
+            inj_logp, inj_loc, inj_width = (np.asarray(inj_res[0]),
+                                            np.asarray(inj_res[1]),
+                                            np.asarray(inj_res[2]))
             tdat, tinf, tsup = (np.median(t_inj), np.quantile(t_inj, 0.16),
                                 np.quantile(t_inj, 0.84))
             qs = [np.sum(t_bkg > t) / self.npe for t in (tdat, tinf, tsup)]
@@ -565,9 +607,19 @@ class BumpHunter1D:
                 print(f"REACHED STAT LIMIT AT {self.significance:.3f} SIGMA")
         self.signal_ratio = abs(self.signal_min / self.signal_exp)
         self.data_inject = data_hist
-        # background t's + the last injection's t distribution
-        # (ref :1426,:1500 t_ar = append(t_ar_bkg, -log(min_Pval_ar)))
+        # background results + the last injection's results, like the
+        # reference's append at :1495-1500 — plot_bump/bump_info after
+        # signal_inject read these arrays
         self.t_ar = np.append(t_bkg, t_inj)
+        if len(t_inj):
+            self.min_Pval_ar = np.exp(np.append(bkg_logp, inj_logp)
+                                      .astype(np.float64))
+            self.min_loc_ar = np.append(bkg_loc, inj_loc).astype(int)
+            self.min_width_ar = np.append(bkg_width, inj_width).astype(int)
+        else:  # loop never ran (sigma_limit <= 0): background scans only
+            self.min_Pval_ar = np.exp(bkg_logp.astype(np.float64))
+            self.min_loc_ar = bkg_loc.astype(int)
+            self.min_width_ar = bkg_width.astype(int)
         self.sigma_ar = np.array(self.sigma_ar)
         self.str_ar = np.array(self.str_ar)
 

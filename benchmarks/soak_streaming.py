@@ -28,11 +28,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_big_file(path, kind, n_events, n_const_max, chunk=1_000_000, seed=0):
-    """Chunked synthetic HDF5 writer (memory-bounded at any n_events)."""
+    """Chunked synthetic HDF5 writer (memory-bounded at any n_events).
+
+    Reuse requires the 'complete' attribute (set only after the final
+    chunk lands) AND a matching n_const_max — datasets are pre-allocated
+    at full length, so a bare length check would accept a file whose
+    build was interrupted (zero-filled tail) or built at another width."""
     from atlasvae.data.synthetic import make_synthetic_dataset
     if os.path.exists(path):
         with h5py.File(path, "r") as f:
-            if len(f["weights"]) == n_events:
+            if (f.attrs.get("complete", False)
+                    and f.attrs.get("n_const_max", -1) == n_const_max
+                    and len(f["weights"]) == n_events):
                 return path
         os.remove(path)
     tmp = tempfile.mktemp(suffix=".h5")
@@ -52,6 +59,8 @@ def build_big_file(path, kind, n_events, n_const_max, chunk=1_000_000, seed=0):
                 for key in src:
                     out[key][lo:lo + n] = src[key][:]
             print(f"  {kind}: {lo + n:,}/{n_events:,}")
+        out.attrs["complete"] = True
+        out.attrs["n_const_max"] = n_const_max
     finally:
         if out is not None:
             out.close()
@@ -64,12 +73,19 @@ class TimedGenerator:
     """BatchGenerator wrapper timing worker-side prep and consumer-side
     queue waits per load — the overlap evidence: with working prefetch,
     the consumer only ever waits for the FIRST load (plus any residual
-    when prep is slower than training)."""
+    when prep is slower than training).
+
+    ``epoch_starts`` records a timestamp each time iteration begins
+    (train_model iterates once per epoch), giving per-epoch walls from a
+    SINGLE train_model call — separate per-epoch train_model calls would
+    rebuild their jit wrappers and re-pay full XLA compilation every
+    epoch, poisoning the soak numbers."""
 
     def __init__(self, gen):
         self.gen = gen
         self.prep_walls = []
         self.wait_walls = []
+        self.epoch_starts = []
 
     def __len__(self):
         return len(self.gen)
@@ -77,6 +93,7 @@ class TimedGenerator:
     def __iter__(self):
         import queue
         import threading
+        self.epoch_starts.append(time.time())
         n = len(self.gen)
         out = queue.Queue(maxsize=1)
 
@@ -162,23 +179,26 @@ def main():
                       VAEConfig(fc_layers=(80, 40, 20, 10),
                                 input_dim=input_dim))
     timed = TimedGenerator(gen)
-    epoch_walls = []
-    for epoch in range(args.n_epochs):
-        timed.prep_walls, timed.wait_walls = [], []
-        t0 = time.time()
-        params, hist = train_model(params, timed, [], oe_type="MAE",
-                                   n_epochs=1, batch_size=args.batch_size,
-                                   beta=0.1, lamb=1.0)
-        epoch_walls.append(time.time() - t0)
-        print(f"epoch {epoch}: wall {epoch_walls[-1]:.1f}s  "
-              f"prep {sum(timed.prep_walls):.1f}s  "
-              f"waits {[round(w, 2) for w in timed.wait_walls]}  "
-              f"loss {hist['Train loss'][-1]:.3f}")
+    # ONE train_model call: epoch 1 pays the jit compile in-process,
+    # later epochs reuse it (separate calls would recompile per epoch)
+    t0 = time.time()
+    params, hist = train_model(params, timed, [], oe_type="MAE",
+                               n_epochs=args.n_epochs,
+                               batch_size=args.batch_size,
+                               beta=0.1, lamb=1.0)
+    edges = timed.epoch_starts + [time.time()]
+    epoch_walls = [b - a for a, b in zip(edges[:-1], edges[1:])]
+    for epoch, w in enumerate(epoch_walls):
+        print(f"epoch {epoch}: wall {w:.1f}s  "
+              f"loss {hist['Train loss'][epoch]:.3f}")
     wall = epoch_walls[-1]
-    prep = sum(timed.prep_walls)
+    n_per_epoch = len(timed.wait_walls) // max(args.n_epochs, 1)
+    last_waits = timed.wait_walls[-n_per_epoch:]
+    last_preps = timed.prep_walls[-n_per_epoch:]
+    prep = sum(last_preps)
     # prep time not hidden by training = queue waits beyond the
-    # unavoidable first-load wait
-    exposed = sum(timed.wait_walls) - timed.wait_walls[0]
+    # unavoidable first-load wait (warm epoch only)
+    exposed = sum(last_waits) - last_waits[0]
     result = {
         "metric": "streaming_soak_jets_per_s",
         "value": round(n_events / wall, 1),
@@ -188,7 +208,7 @@ def main():
         "epoch_wall_s": round(wall, 2),
         "cold_epoch_wall_s": round(epoch_walls[0], 2),
         "host_prep_s": round(prep, 2),
-        "first_load_wait_s": round(timed.wait_walls[0], 2),
+        "first_load_wait_s": round(last_waits[0], 2),
         "exposed_prep_s": round(exposed, 2),
         "prep_hidden_frac": round(1 - exposed / max(prep, 1e-9), 3),
         "transfer_dtype": args.transfer_dtype or "float32",

@@ -30,6 +30,26 @@ def test_oracle_matches_jax_scan(rng):
     np.testing.assert_allclose(jl, ol, rtol=2e-3, atol=2e-3)
 
 
+def test_oracle_matches_at_production_statistics(rng):
+    """High-statistics histograms (total >> float32's 2^24 integer
+    range, the reference's 1e7-jet production scale): the scan must
+    still agree with the long-double oracle.  The original cumsum-
+    difference formulation catastrophically cancelled here and returned
+    the wrong minimum window."""
+    nbins = 160
+    ref = np.maximum(2.5e7 * np.exp(-np.arange(nbins) / 20.0) / 20.0, 50.0)
+    hists = rng.poisson(np.tile(ref, (6, 1))).astype(np.float64)
+    hists[2, 60:63] *= 1.02  # mild excess at high statistics
+    widths = (2, 3, 4, 5, 6)
+    jl, jloc, jw, _, _ = map(np.asarray, scan_histograms(
+        jnp.asarray(hists, jnp.float32), jnp.asarray(ref, jnp.float32),
+        widths, (1, 1, 1, 1, 1), 0, nbins))
+    ol, oloc, ow = oracle_scan(hists, ref, widths)
+    np.testing.assert_array_equal(jloc, oloc)
+    np.testing.assert_array_equal(jw, ow)
+    np.testing.assert_allclose(jl, ol, rtol=5e-3, atol=5e-2)
+
+
 def test_oracle_deficit_mode(rng):
     nbins = 30
     ref = np.full(nbins, 500.0)

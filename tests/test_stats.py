@@ -165,7 +165,7 @@ def test_save_load_state_roundtrip():
     assert other.npe == 10 and other.width_max == 3
 
 
-def test_signal_inject_reaches_limit(rng):
+def test_signal_inject_reaches_limit(rng, tmp_path):
     edges = np.linspace(0, 400, 41)
     bkg_m = rng.exponential(80, 100_000) + 20
     bkg_hist = np.histogram(bkg_m, bins=edges)[0].astype(float)
@@ -177,6 +177,50 @@ def test_signal_inject_reaches_limit(rng):
     hunter.signal_inject(sig_hist, bkg_hist, is_hist=True, verbose=False)
     assert hunter.significance >= 3 or hunter.global_Pval <= 1 / hunter.npe
     assert hunter.signal_ratio is not None
+    # the result arrays are populated (bkg + last-injection scans, ref
+    # :1495-1500) so plot_bump/bump_info work straight after injection
+    assert len(hunter.min_loc_ar) == hunter.npe + hunter.npe_inject
+    assert len(hunter.min_Pval_ar) == len(hunter.min_width_ar) \
+        == len(hunter.t_ar)
+    hunter.plot_bump(hunter.data_inject, bkg_hist, is_hist=True,
+                     filename=str(tmp_path / "inject_bump.png"))
+
+
+def test_state_dict_uses_reference_sig_flip_key():
+    """State dicts interchange with the reference: flip_sig is saved
+    under its 'sig_flip' key (ref :757) and restored into the LIVE
+    flip_sig attribute (the reference loads it into a dead self.sig_flip,
+    ref :875-878 — bug not replicated)."""
+    hunter = BumpHunter1D(flip_sig=False)
+    state = hunter.save_state()
+    assert state["sig_flip"] is False and "flip_sig" not in state
+    other = BumpHunter1D()
+    other.load_state(state)
+    assert other.flip_sig is False
+
+
+def test_sigma_zero_at_p_one():
+    """p >= 1 (no qualifying window / all pseudo t >= t_data) reports
+    sigma = 0 like the reference's p=1 branch — not the -5.17 artifact
+    of clipping p at 1-1e-7."""
+    from atlasvae.ops.gammainc import sigma_from_log_pval
+    assert float(sigma_from_log_pval(0.0)) == 0.0
+    assert float(sigma_from_log_pval(np.log(0.5))) > 0.0 - 1e-6
+
+
+def test_scan_no_window_reports_zero_signal():
+    """A histogram with no excess anywhere must report signal_eval = 0
+    (ref :402-407 dummy-window branch), not the arbitrary first window's
+    nh - nr."""
+    from atlasvae.stats import scan_histograms
+    import jax.numpy as jnp
+    ref = np.full(32, 1000.0)
+    hists = np.full((2, 32), 900.0)  # deficit everywhere: excess never fires
+    logp, loc, width, sig_eval, _ = map(np.asarray, scan_histograms(
+        jnp.asarray(hists, jnp.float32), jnp.asarray(ref, jnp.float32),
+        (2, 3), (1, 1), 0, 32, mode="excess"))
+    assert np.all(logp == 0.0)
+    assert np.all(sig_eval == 0.0)
 
 
 def test_bump_scan_under_rbg_prng(rng):
