@@ -57,6 +57,17 @@ def _log_poisson_prefactor(a, x, shift):
 
 # -------------------------------------------------------- exact small-a
 
+# Series/CF iteration bound.  These branches only serve a <= _A_SWITCH
+# (=400); worst-case convergence there needs ~sqrt(2*a*ln(1/eps)) ~ 115
+# terms at x ~ a.  Measured against the long-double oracle over a dense
+# (a <= 400) x (x/a in 0.01..100) grid: the f32 error floor is reached
+# by n=96 (no change vs n=320) and degrades only below n=80
+# (1.6e-4 at 80, 2.8e-3 at 64).  128 keeps full accuracy with margin
+# while the scan kernels run 2.5x fewer serial loop steps (both
+# branches execute unconditionally under jit).
+_N_ITER = 128
+
+
 def _log_lower_series(a, x):
     """log P(a,x) by the lower series, valid/convergent for x < a+1."""
     # P(a,x) = x^a e^-x / Gamma(a+1) * sum_k prod_{j<=k} x/(a+j)
@@ -65,7 +76,8 @@ def _log_lower_series(a, x):
         term = term * x / (a + k)
         return total + term, term
 
-    total, _ = jax.lax.fori_loop(1, 320, body, (jnp.ones_like(x), jnp.ones_like(x)))
+    total, _ = jax.lax.fori_loop(1, _N_ITER, body,
+                                 (jnp.ones_like(x), jnp.ones_like(x)))
     return _log_poisson_prefactor(a, x, 1.0) + jnp.log(total)
 
 
@@ -88,7 +100,7 @@ def _log_upper_cf(a, x):
         d = 1.0 / d
         return c, d, h * d * c
 
-    _, _, h = jax.lax.fori_loop(1, 320, body, (c0, d0, h0))
+    _, _, h = jax.lax.fori_loop(1, _N_ITER, body, (c0, d0, h0))
     return _log_poisson_prefactor(a, x, 0.0) + jnp.log(h)
 
 

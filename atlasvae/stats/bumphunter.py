@@ -664,17 +664,8 @@ class BumpHunter1D:
 
 # --------------------------------------------------- batched cut scanning
 
-def batched_local_sigma(data_hists, bkg_hists, widths, scan_steps, mode="excess"):
-    """Local (data-only) BumpHunter significances for many paired
-    (data, background) histograms in one vmapped program — no
-    pseudo-experiments, since the local sigma depends only on the data
-    scan (used by the reference's per-cut grids whose plotted values are
-    loc/max sigma, ref OE-AAE/plots.py:283-285,330-332).
-
-    Returns (loc_sigma, min_loc, min_width, bin_sigma) arrays.
-    """
-    data_hists = jnp.asarray(data_hists, jnp.float32)
-    bkg_hists = jnp.asarray(bkg_hists, jnp.float32)
+@functools.partial(jax.jit, static_argnames=("widths", "scan_steps", "mode"))
+def _batched_local_sigma_jit(data_hists, bkg_hists, widths, scan_steps, mode):
     nbins = data_hists.shape[1]
 
     def one(data_hist, bkg_hist):
@@ -691,18 +682,28 @@ def batched_local_sigma(data_hists, bkg_hists, widths, scan_steps, mode="excess"
     return jax.vmap(one)(data_hists, bkg_hists)
 
 
-def batched_bump_sigma(data_hists, bkg_hists, widths, scan_steps, npe=1000,
-                       mode="excess", seed=0):
-    """Run independent BumpHunter scans for many (data, bkg) histogram
-    pairs in one vmapped program — the reference fans this out as one OS
-    process per threshold cut (ref OE-VAE/plots.py:289-290).
+def batched_local_sigma(data_hists, bkg_hists, widths, scan_steps, mode="excess"):
+    """Local (data-only) BumpHunter significances for many paired
+    (data, background) histograms in one vmapped program — no
+    pseudo-experiments, since the local sigma depends only on the data
+    scan (used by the reference's per-cut grids whose plotted values are
+    loc/max sigma, ref OE-AAE/plots.py:283-285,330-332).
 
-    Returns (local_sigma, global_sigma, t_data) arrays of shape (n_cuts,).
+    Returns (loc_sigma, min_loc, min_width, bin_sigma) arrays.  Jitted
+    at top level: an unjitted vmap re-traces and eagerly dispatches the
+    whole batched program per call (~1 s of pure overhead through this
+    environment vs ~50 ms compiled).
     """
-    data_hists = jnp.asarray(data_hists, jnp.float32)
-    bkg_hists = jnp.asarray(bkg_hists, jnp.float32)
-    n_cuts, nbins = data_hists.shape
-    keys = jax.random.split(_threefry_key(seed), n_cuts)
+    return _batched_local_sigma_jit(jnp.asarray(data_hists, jnp.float32),
+                                    jnp.asarray(bkg_hists, jnp.float32),
+                                    tuple(widths), tuple(scan_steps), mode)
+
+
+@functools.partial(jax.jit, static_argnames=("widths", "scan_steps", "npe",
+                                             "mode"))
+def _batched_bump_sigma_jit(keys, data_hists, bkg_hists, widths, scan_steps,
+                            npe, mode):
+    nbins = data_hists.shape[1]
 
     def one(key, data_hist, bkg_hist):
         pseudo = jax.random.poisson(key, bkg_hist,
@@ -717,6 +718,24 @@ def batched_bump_sigma(data_hists, bkg_hists, widths, scan_steps, npe=1000,
         t = -min_logp
         s = jnp.sum(t[1:] >= t[0])
         global_logp = jnp.log(jnp.maximum(s, 1.0) / npe)
-        return sigma_from_log_pval(min_logp[0]), sigma_from_log_pval(global_logp), t[0]
+        return (sigma_from_log_pval(min_logp[0]),
+                sigma_from_log_pval(global_logp), t[0])
 
     return jax.vmap(one)(keys, data_hists, bkg_hists)
+
+
+def batched_bump_sigma(data_hists, bkg_hists, widths, scan_steps, npe=1000,
+                       mode="excess", seed=0):
+    """Run independent BumpHunter scans for many (data, bkg) histogram
+    pairs in one vmapped program — the reference fans this out as one OS
+    process per threshold cut (ref OE-VAE/plots.py:289-290).
+
+    Returns (local_sigma, global_sigma, t_data) arrays of shape
+    (n_cuts,).  Jitted at top level (see batched_local_sigma).
+    """
+    data_hists = jnp.asarray(data_hists, jnp.float32)
+    keys = jax.random.split(_threefry_key(seed), data_hists.shape[0])
+    return _batched_bump_sigma_jit(keys, data_hists,
+                                   jnp.asarray(bkg_hists, jnp.float32),
+                                   tuple(widths), tuple(scan_steps),
+                                   int(npe), mode)
