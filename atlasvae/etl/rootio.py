@@ -12,7 +12,11 @@ Scope (documented subset, enough for the ATLAS ntuple surface the
 reference uses):
 
 * TFile small-format (version < 1000000) header / TKey records /
-  TDirectory / keys list, with zlib ("ZL") record compression.
+  TDirectory / keys list, with zlib ("ZL"), lz4 ("L4", XXH64-checksummed
+  blocks) or zstd ("ZS") record compression — see ``rootcodec``; "XZ"
+  (lzma) is additionally readable.  Malformed input (truncation, corrupt
+  streams, bad checksums, unknown codecs) raises the named
+  ``RootIOError`` family, never a bare struct/zlib error.
 * Leaf-list TTrees: flat branches of float32/float64/int32/int64/int16/
   int8/uint8, and counter-jagged branches (``var[N_var]/F`` style with a
   TLeafI count leaf).
@@ -35,9 +39,11 @@ Writer: :func:`write_tree`.  Reader: :class:`RootFile` / :func:`read_tree`.
 """
 
 import struct
-import zlib
 
 import numpy as np
+
+from .rootcodec import (RootIOError, TruncatedFileError, CorruptRecordError,
+                        compress_record, decompress_record)
 
 # ---------------------------------------------------------------- constants
 MAGIC = b"root"
@@ -135,6 +141,9 @@ class _Writer:
     """Accumulates the file image; records object positions for refs."""
 
     def __init__(self, compression="zlib"):
+        if compression not in (None, "zlib", "lz4", "zstd"):
+            raise ValueError(f"unsupported write compression {compression!r};"
+                             f" use 'zlib', 'lz4', 'zstd' or None")
         self.image = bytearray(b"\x00" * BEGIN)
         self.compression = compression
         self.keys = []          # raw key headers, for the keys-list record
@@ -156,10 +165,10 @@ class _Writer:
                   + len(_tstring(title)) + len(trailer))
         objlen = len(payload)
         body = payload
-        use_zlib = (self.compression == "zlib" if compress is None
-                    else compress)
-        if use_zlib and objlen > 128:
-            comp = self._compress(payload)
+        codec = (self.compression if compress is None
+                 else (self.compression or "zlib") if compress else None)
+        if codec and objlen > 128:
+            comp = compress_record(payload, codec)
             if len(comp) < objlen:
                 body = comp
         nbytes = keylen + len(body)
@@ -168,23 +177,6 @@ class _Writer:
         assert len(header) == keylen
         self.image += header + body
         return seek, nbytes, keylen
-
-    @staticmethod
-    def _compress(payload):
-        # Chunk below the 3-byte frame limit with headroom for zlib's
-        # worst-case expansion (~5 bytes per 16 KiB block + 6), so an
-        # incompressible chunk still fits the 24-bit compressed-size
-        # field (0xFF0000 + ~5.1 KiB < 0xFFFFFF).
-        out = b""
-        chunk_max = 0xFF0000
-        for i in range(0, len(payload), chunk_max):
-            chunk = payload[i:i + chunk_max]
-            c = zlib.compress(chunk, 1)
-            assert len(c) <= 0xFFFFFF, "zlib expansion exceeded headroom"
-            out += (b"ZL" + bytes([8])
-                    + len(c).to_bytes(3, "little")
-                    + len(chunk).to_bytes(3, "little") + c)
-        return out
 
     def finish(self, fname, title, seekinfo, nbytesinfo):
         """Keys-list record, TFile/TDirectory record patch, file header."""
@@ -247,9 +239,15 @@ def _is_doubly_jagged(arr):
         return arr.ndim >= 3
     for entry in arr:
         if isinstance(entry, np.ndarray):
-            return entry.ndim >= 2 or entry.dtype == object
+            if entry.ndim >= 2 or entry.dtype == object:
+                return True
+            if entry.size:        # non-empty 1-D array: singly jagged
+                return False
+            continue              # empty: ambiguous, look further
         if isinstance(entry, (list, tuple)):
-            return len(entry) > 0 and np.ndim(entry[0]) >= 1
+            if len(entry) > 0:
+                return np.ndim(entry[0]) >= 1
+            continue              # empty list: ambiguous, look further
         return False
     return False
 
@@ -310,6 +308,9 @@ def write_tree(path, treename, branches, title="", compression="zlib",
     arrays for jagged data; list of per-entry LISTS of arrays — or 2-D
     arrays — for raw-ATLAS ``vector<vector<T>>`` data) as a TTree in a
     new ROOT file.
+
+    ``compression``: 'zlib' (default), 'lz4' (XXH64-checksummed LZ4
+    blocks), 'zstd' (requires the ``zstandard`` package) or None.
 
     ``stl_memberwise`` streams STL entries with the member-wise version
     flag (round-trip coverage for that layout).  Names in
@@ -631,27 +632,10 @@ class _Cursor:
         return at - self.origin + K_MAP_OFFSET
 
 
-def _decompress(body, objlen):
+def _decompress(body, objlen, context=""):
     if len(body) == objlen:
         return body
-    out = b""
-    pos = 0
-    while pos < len(body) and len(out) < objlen:
-        algo = body[pos:pos + 2]
-        csize = int.from_bytes(body[pos + 3:pos + 6], "little")
-        chunk = body[pos + 9:pos + 9 + csize]
-        if algo == b"ZL":
-            out += zlib.decompress(chunk)
-        elif algo == b"XZ":
-            import lzma
-            out += lzma.decompress(chunk)
-        elif algo == b"L4":
-            raise NotImplementedError("lz4 baskets are out of scope; "
-                                      "re-compress with zlib")
-        else:
-            raise ValueError(f"unknown compression tag {algo!r}")
-        pos += 9 + csize
-    return out
+    return decompress_record(body, objlen, context)
 
 
 class _Key:
@@ -661,8 +645,16 @@ class _Key:
     @classmethod
     def parse(cls, buf, pos):
         k = cls()
+        if pos + 18 > len(buf):
+            raise TruncatedFileError(
+                f"file ends inside a TKey header at offset {pos} "
+                f"(file/buffer length {len(buf)})")
         (k.nbytes, version, k.objlen, _, k.keylen,
          k.cycle) = struct.unpack_from(">ihIIhh", buf, pos)
+        if k.nbytes <= 0 or k.keylen <= 0:
+            raise CorruptRecordError(
+                f"TKey at offset {pos} has impossible sizes "
+                f"(nbytes={k.nbytes}, keylen={k.keylen})")
         p = pos + 18
         if version > 1000:
             k.seek = struct.unpack_from(">q", buf, p)[0]
@@ -677,8 +669,15 @@ class _Key:
         return k
 
     def payload(self, buf):
+        if self.seek + self.nbytes > len(buf):
+            raise TruncatedFileError(
+                f"{self.classname} record {self.name!r} promises bytes "
+                f"[{self.seek}, {self.seek + self.nbytes}) but the file has "
+                f"only {len(buf)} (truncated file?)")
         body = buf[self.seek + self.keylen:self.seek + self.nbytes]
-        return _decompress(body, self.objlen)
+        return _decompress(body, self.objlen,
+                           f"{self.classname} record {self.name!r} at "
+                           f"offset {self.seek}")
 
 
 class Leaf:
@@ -964,7 +963,12 @@ class RootFile:
         except (ValueError, OSError):  # empty or unmappable file
             self.buf = self._file.read()
         if self.buf[:4] != MAGIC:
-            raise ValueError(f"{path}: not a ROOT file (bad magic)")
+            raise RootIOError(f"{path}: not a ROOT file (bad magic "
+                              f"{bytes(self.buf[:4])!r}, expected b'root')")
+        if len(self.buf) < 64:
+            raise TruncatedFileError(
+                f"{path}: only {len(self.buf)} bytes — shorter than the "
+                f"ROOT file header")
         version = struct.unpack_from(">i", self.buf, 4)[0]
         big = version > 1000000
         if big:
@@ -974,6 +978,10 @@ class RootFile:
             begin, end, _, _, _, nbytesname = struct.unpack_from(
                 ">iiiiii", self.buf, 8)
         p = begin + nbytesname
+        if p + 30 > len(self.buf):
+            raise TruncatedFileError(
+                f"{path}: file ends before the TDirectory record at "
+                f"offset {p}")
         dver = struct.unpack_from(">h", self.buf, p)[0]
         p += 2 + 8
         if dver > 1000:

@@ -1,0 +1,185 @@
+"""Independent validation of etl/rootio (VERDICT r2 #1).
+
+Two directions, neither using rootio for both sides:
+
+* rootio READS files it could never have written: golden fixtures
+  hand-assembled from the public format spec by
+  ``tests/rootio_spec_fixture.py`` in the large-file layout (64-bit
+  seeks, TKey v1004) that the writer cannot produce, across all codecs,
+  plus a frozen byte-for-byte fixture checked into ``tests/fixtures/``
+  so the builder and reader cannot co-drift.
+* rootio-WRITTEN files are validated by an independent spec walker
+  (record tiling, key self-references, directory linkage, compression
+  frame accounting) and their branch data re-extracted straight from
+  TBasket records without the Tree machinery.
+
+Matches the capability of ref tools/root_utils.py:16-52 (uproot reads
+arbitrary ATLAS ntuples; the interop test in test_etl.py still runs
+whenever uproot is importable).
+"""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from atlasvae.etl import rootio
+
+from rootio_spec_fixture import (build_bigfile_fixture, fixture_arrays,
+                                 walk_records, extract_flat_branch,
+                                 extract_jagged_branch)
+
+FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def _assert_matches(tree, data):
+    np.testing.assert_array_equal(np.asarray(tree.array("pt")), data["pt"])
+    np.testing.assert_array_equal(np.asarray(tree.array("event")),
+                                  data["event"])
+    np.testing.assert_array_equal(np.asarray(tree.array("n_trk")),
+                                  data["n_trk"])
+    trk = tree.array("trk_pt")
+    assert len(trk) == len(data["trk_pt"])
+    for got, want in zip(trk, data["trk_pt"]):
+        np.testing.assert_array_equal(got, want)
+    cl = tree.array("cl")
+    assert len(cl) == len(data["cl"])
+    for got, want in zip(cl, data["cl"]):
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g, w)
+
+
+@pytest.mark.parametrize("codec", [None, "zlib", "lz4", "zstd"])
+def test_reader_decodes_handassembled_bigfile(tmp_path, codec):
+    """rootio reads a spec-assembled large-format file it never wrote."""
+    path = str(tmp_path / f"golden_{codec}.root")
+    data = build_bigfile_fixture(path, codec=codec)
+    t = rootio.read_tree(path, "nominal")
+    assert t.num_entries == len(data["pt"])
+    assert set(t.keys()) == {"pt", "event", "n_trk", "trk_pt", "cl"}
+    _assert_matches(t, data)
+
+
+def test_reader_decodes_frozen_fixture():
+    """The checked-in golden bytes (never regenerated at test time) must
+    decode; guards against reader/builder co-drift."""
+    path = os.path.join(FIXTURE_DIR, "golden_bigfile_zlib.root")
+    expect = np.load(os.path.join(FIXTURE_DIR, "golden_bigfile_zlib.npz"),
+                     allow_pickle=True)
+    t = rootio.read_tree(path, "nominal")
+    data = {
+        "pt": expect["pt"], "event": expect["event"], "n_trk": expect["n_trk"],
+        "trk_pt": list(expect["trk_pt"]), "cl": [list(e) for e in expect["cl"]],
+    }
+    _assert_matches(t, data)
+
+
+def test_frozen_fixture_bytes_are_what_the_builder_builds(tmp_path):
+    """If the builder changes, the frozen fixture must be regenerated
+    consciously (it is the contract, not a cache)."""
+    # same basename: the file name is embedded in the record bytes
+    path = str(tmp_path / "golden_bigfile_zlib.root")
+    build_bigfile_fixture(path, codec="zlib")
+    frozen = open(os.path.join(FIXTURE_DIR,
+                               "golden_bigfile_zlib.root"), "rb").read()
+    rebuilt = open(path, "rb").read()
+    assert rebuilt == frozen, (
+        "rootio_spec_fixture.build_bigfile_fixture output changed; "
+        "regenerate tests/fixtures/golden_bigfile_zlib.* deliberately")
+
+
+@pytest.mark.parametrize("codec", [None, "zlib", "lz4", "zstd"])
+def test_writer_output_validates_against_spec_walker(tmp_path, codec, rng):
+    """Independent container-level validation of rootio-written files:
+    record tiling, key self-reference, directory/keys-list linkage, and
+    compression frame accounting — no rootio reader involved."""
+    n = 3000
+    branches = {
+        "pt": rng.uniform(20, 2000, n).astype(np.float32),
+        "event": np.arange(n, dtype=np.int64),
+        "trk": [rng.normal(size=c).astype(np.float32)
+                for c in rng.integers(0, 5, n)],
+    }
+    path = str(tmp_path / "written.root")
+    rootio.write_tree(path, "nominal", branches, compression=codec,
+                      basket_entries=1024)
+    records, listed = walk_records(path)
+    classes = [r["classname"] for r in records]
+    assert "TTree" in classes and classes.count("TBasket") >= 9
+    assert any(lk["classname"] == "TTree" for lk in listed)
+
+    got_pt = extract_flat_branch(path, "pt", ">f4")
+    np.testing.assert_array_equal(got_pt, branches["pt"].astype(">f4"))
+    got_ev = extract_flat_branch(path, "event", ">i8")
+    np.testing.assert_array_equal(got_ev, branches["event"].astype(">i8"))
+    got_trk = extract_jagged_branch(path, "trk", ">f4")
+    assert len(got_trk) == n
+    for got, want in zip(got_trk, branches["trk"]):
+        np.testing.assert_array_equal(got, want.astype(">f4"))
+
+
+def test_writer_reads_back_all_codecs(tmp_path, rng):
+    """Full writer->reader round trip under every codec (incl. the
+    pure-Python lz4 path when the lz4 package is absent)."""
+    n = 5000
+    branches = {"x": rng.normal(size=n).astype(np.float32),
+                "vv": [[rng.normal(size=int(m)).astype(np.float32)
+                        for m in rng.integers(0, 3, int(j))]
+                       for j in rng.integers(0, 3, n)]}
+    for codec in (None, "zlib", "lz4", "zstd"):
+        path = str(tmp_path / f"rt_{codec}.root")
+        rootio.write_tree(path, "t", branches, compression=codec)
+        t = rootio.read_tree(path, "t")
+        np.testing.assert_array_equal(np.asarray(t.array("x")),
+                                      branches["x"])
+        vv = t.array("vv")
+        for got, want in zip(vv, branches["vv"]):
+            assert len(got) == len(want)
+            for g, w in zip(got, want):
+                np.testing.assert_array_equal(g, w)
+
+
+def test_lz4_frame_layout_and_checksum(tmp_path, rng):
+    """The L4 frame must carry a big-endian XXH64 of the block (what
+    real ROOT verifies); checked against the independent xxhash
+    package, not rootcodec."""
+    xxhash = pytest.importorskip("xxhash")
+    from atlasvae.etl.rootcodec import compress_record
+    payload = rng.integers(0, 256, 4096).astype(np.uint8).tobytes()
+    frame = compress_record(payload, "lz4")
+    assert frame[:2] == b"L4"
+    csize = int.from_bytes(frame[3:6], "little")
+    usize = int.from_bytes(frame[6:9], "little")
+    assert usize == len(payload)
+    chunk = frame[9:9 + csize]
+    stored = struct.unpack(">Q", chunk[:8])[0]
+    assert stored == xxhash.xxh64(chunk[8:]).intdigest()
+
+
+def test_pure_python_xxh64_matches_independent_oracle(rng):
+    xxhash = pytest.importorskip("xxhash")
+    from atlasvae.etl.rootcodec import _xxh64_py
+    for n in (0, 1, 3, 4, 7, 8, 17, 31, 32, 33, 63, 64, 200, 5000):
+        d = rng.integers(0, 256, n).astype(np.uint8).tobytes()
+        for seed in (0, 987654321):
+            assert _xxh64_py(d, seed) == xxhash.xxh64(d, seed=seed).intdigest()
+
+
+def test_pure_python_lz4_block_decodes_real_lz4_output(rng):
+    """When the real lz4 package exists, its compressed blocks (with
+    matches, not just literals) must decode via the pure-Python block
+    decoder; otherwise cross-check compressor->decompressor on
+    repetitive data through the xxhash-verified record path."""
+    from atlasvae.etl.rootcodec import (lz4_block_decompress,
+                                        lz4_block_compress_literal)
+    data = (b"abcdefgh" * 500 + rng.integers(0, 256, 333)
+            .astype(np.uint8).tobytes()) * 3
+    try:
+        import lz4.block as lb
+        block = lb.compress(data, store_size=False)
+        assert len(block) < len(data)  # real matches present
+    except ImportError:
+        block = lz4_block_compress_literal(data)
+    assert lz4_block_decompress(block, len(data)) == data

