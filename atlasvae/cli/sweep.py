@@ -4,13 +4,21 @@ Replaces the reference's Slurm-array grid mapping (ref
 OE-VAE/utils.py:597-600 ``grid_search`` + OE-VAE/sbatch.sh array jobs,
 SURVEY.md S2.6 "job-level parallelism"): the grid is the same
 itertools.product over named value lists; execution is a local
-sequential loop (one accelerator) or an index lookup compatible with
-any array scheduler via ``--task_id``.
+sequential loop (one accelerator), an index lookup compatible with any
+array scheduler via ``--task_id``, or — the TPU-native path — a
+**vmapped ensemble** (``--vmap ON``, entry vae): grid axes over traced
+scalars (beta/lamb/margin/lr/seed) train as ONE device program with
+data prep shared, exploiting the measured tile-padding floor
+(docs/PERF.md: every canonical dense layer occupies one 128-lane MXU
+tile, so G configs cost ~1x).  Axes that change shapes or graphs
+(FC_layers, OE_type, ...) still form sequential groups.
 
 Usage:
   python -m atlasvae.cli.sweep --entry vae --grid beta=0,1,10 lamb=1,10 \
       -- --n_epochs 5 --synthetic 20000 ...
   python -m atlasvae.cli.sweep --entry vae --grid beta=0,1 --task_id 3 -- ...
+  python -m atlasvae.cli.sweep --entry vae --vmap ON \
+      --grid beta=0.5,2,8 lamb=1,5 -- --n_epochs 10 ...
 """
 
 import itertools
@@ -49,6 +57,10 @@ def main(argv=None):
                         help="name=v1,v2,... tokens")
     parser.add_argument("--task_id", default=-1, type=int,
                         help=">=0: run only this grid index (array-job mode)")
+    parser.add_argument("--vmap", default="OFF",
+                        help="ON: train vmappable grid axes as one device "
+                             "program (entry vae; shape/graph axes remain "
+                             "sequential groups)")
     parser.add_argument("--output_dir", default="outputs/sweep")
     args = parser.parse_args(argv)
 
@@ -57,6 +69,10 @@ def main(argv=None):
     grid = _parse_grid(args.grid)
     names = list(grid)
     mapping = grid_search(**grid)
+
+    if args.vmap.upper() == "ON" and args.entry == "vae" and args.task_id < 0:
+        return _run_vmapped(vae, grid, names, passthrough, args.output_dir)
+
     indices = [args.task_id] if args.task_id >= 0 else sorted(mapping)
     for idx in indices:
         values = mapping[idx]
@@ -69,6 +85,34 @@ def main(argv=None):
         run_args += ["--output_dir", f"{args.output_dir}/{tag}"]
         print(f"\n===== SWEEP {idx}: {tag} =====")
         entry(run_args)
+    return 0
+
+
+def _run_vmapped(vae, grid, names, passthrough, output_dir):
+    """Group the grid: vmappable axes -> one ensemble program per
+    sequential group; output dirs match the sequential sweep's naming."""
+    vm_names = [n for n in names if n in vae.VMAPPABLE]
+    seq_names = [n for n in names if n not in vae.VMAPPABLE]
+    if not vm_names:
+        raise SystemExit(f"--vmap ON but no grid axis is vmappable "
+                         f"({vae.VMAPPABLE}); drop --vmap")
+    seq_rows = (list(itertools.product(*[grid[n] for n in seq_names]))
+                if seq_names else [()])
+    vm_rows = list(itertools.product(*[grid[n] for n in vm_names]))
+    for seq_values in seq_rows:
+        run_args = list(passthrough)
+        for name, value in zip(seq_names, seq_values):
+            run_args += [f"--{name}", str(value)]
+        dirs = []
+        for row in vm_rows:
+            values = dict(zip(seq_names, seq_values))
+            values.update(zip(vm_names, row))
+            tag = "_".join(f"{n}{values[n]}" for n in names)
+            dirs.append(f"{output_dir}/{tag}")
+        label = ", ".join(f"{n}={v}" for n, v in zip(seq_names, seq_values))
+        print(f"\n===== VMAPPED SWEEP GROUP ({label or 'single group'}): "
+              f"{len(vm_rows)} configs in one program =====")
+        vae.run_ensemble(run_args, vm_names, vm_rows, dirs)
     return 0
 
 

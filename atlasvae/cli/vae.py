@@ -3,9 +3,12 @@
 Mirrors the reference CLI surface (ref OE-VAE/vae.py:15-49: same flag
 names, same 'ON'/'OFF' string booleans, same path wiring at :58-66) on
 top of the TPU-native stack.  Additions: ``--synthetic N`` generates
-registry datasets when the production HDF5 files are absent, and
+registry datasets when the production HDF5 files are absent,
 ``--n_devices`` selects the data-parallel mesh size (the reference is
-single-GPU here, ref SURVEY.md S2.6).
+single-GPU here, ref SURVEY.md S2.6), and :func:`run_ensemble` trains a
+whole same-shape hyper-parameter grid as ONE vmapped device program
+(driven by cli/sweep.py --vmap, replacing the reference's Slurm array
+fan-out, ref OE-VAE/utils.py:597-600).
 """
 
 import os
@@ -34,6 +37,7 @@ def build_parser():
     parser.add_argument("--beta", default=0, type=float)
     parser.add_argument("--lamb", default=0, type=float)
     parser.add_argument("--margin", default=1, type=float)
+    parser.add_argument("--seed", default=0, type=int)
     parser.add_argument("--n_iter", default=1, type=int)
     parser.add_argument("--OE_type", default="KLD")
     parser.add_argument("--weight_type", default="X-S")
@@ -70,23 +74,12 @@ def build_parser():
     return parser
 
 
-def main(argv=None):
-    import jax
-    import h5py
-    from ..utils.logging import args_banner
-    from ..data import (get_file, load_data, make_sample, BatchGenerator,
-                        fit_scaler, apply_scaler, ensure_synthetic_registry,
-                        HLV_LIST)
-    from ..data.loader import filtering
-    from ..data.scalers import Scaler
-    from ..models import VAEConfig, init_vae, vae_apply
-    from ..train import train_model, load_weights
-    from ..train.loop import features
-    from ..parallel import data_parallel_mesh
-    from ..eval import plot_results
-    from ..plotting.history import plot_history
+def _on(v):
+    return v.upper() == "ON" if isinstance(v, str) else bool(v)
 
-    args = build_parser().parse_args(argv)
+
+def _wire_paths(args):
+    """Path wiring + int coercion (ref OE-VAE/vae.py:58-66)."""
     for key in ["n_train", "n_valid", "n_OoD", "n_sig", "batch_size"]:
         setattr(args, key, int(getattr(args, key)))
     if args.const_scaler_out == "":
@@ -99,98 +92,99 @@ def main(argv=None):
         setattr(args, key, out_root + "/" + getattr(args, key))
     args.output_dir = out_root + "/plots"
     Path(args.output_dir).mkdir(parents=True, exist_ok=True)
+    return out_root
+
+
+def _select_samples(args):
+    """Sample selection + cuts (ref OE-VAE/vae.py:70-84)."""
+    import h5py
+    from ..data import get_file, ensure_synthetic_registry, HLV_LIST
 
     if args.synthetic:
         ensure_synthetic_registry(n_events=int(args.synthetic),
                                   n_const_max=max(args.n_const, 20))
-
-    # Sample selection (ref OE-VAE/vae.py:70-84)
-    bkg_data, ood_data, sig_data = args.bkg_data, args.OoD_data, args.sig_data
     hlv_list = list(HLV_LIST)
-    on = lambda v: v.upper() == "ON" if isinstance(v, str) else bool(v)
-    input_dim = (args.n_dims * args.n_const) * on(args.constituents) + \
-        len(hlv_list) * on(args.HLVs)
-    with h5py.File(get_file(bkg_data), "r") as f:
+    input_dim = (args.n_dims * args.n_const) * _on(args.constituents) + \
+        len(hlv_list) * _on(args.HLVs)
+    with h5py.File(get_file(args.bkg_data), "r") as f:
         sample_size = len(next(iter(f.values())))
-    args.n_train = [0, min(args.n_train, max(sample_size - int(1e6), sample_size // 2))]
-    args.n_valid = [max(args.n_train[-1], sample_size - args.n_valid), sample_size]
+    args.n_train = [0, min(args.n_train,
+                           max(sample_size - int(1e6), sample_size // 2))]
+    args.n_valid = [max(args.n_train[-1], sample_size - args.n_valid),
+                    sample_size]
     gen_cuts = ['(sample["m"] >= 30)']
     train_cuts = gen_cuts + ['(sample["pt"] <= 5000)']
     valid_cuts = gen_cuts + ['(sample["pt"] <= 5000)']
-    print("\nPROGRAM ARGUMENTS:\n" + args_banner(args))
+    return hlv_list, input_dim, train_cuts, valid_cuts
 
-    n_devices = args.n_devices or len(jax.devices())
-    mesh = data_parallel_mesh(n_devices) if n_devices > 1 else None
-    config = VAEConfig(fc_layers=tuple(args.FC_layers), input_dim=input_dim)
-    params = init_vae(jax.random.PRNGKey(0), config)
-    const_scaler = hlv_scaler = None
-    if args.model_in != out_root + "/" and os.path.isfile(args.model_in):
-        print("\nLoading pre-trained weights from: " + args.model_in)
-        params = load_weights(args.model_in, params)
-    if args.const_scaler_type and os.path.isfile(args.const_scaler_in):
-        const_scaler = Scaler.load(args.const_scaler_in)
-    if args.HLV_scaler_type and os.path.isfile(args.HLV_scaler_in):
-        hlv_scaler = Scaler.load(args.HLV_scaler_in)
 
-    if args.n_epochs > 0:
-        if (args.const_scaler_type and const_scaler is None) or \
-           (args.HLV_scaler_type and hlv_scaler is None):
-            print("\nLOADING QCD TRAINING SAMPLE (scaler fit)")
-            # honor --memGB for the one-off scaler-fit load too (the
-            # reference hardcodes its 30 GB budget here,
-            # ref OE-AAE/train.py:113)
-            n_jets = min(args.n_train[1],
-                         int(1e9 * args.memGB / args.n_const / args.n_dims / 4))
-            train_sample = load_data(bkg_data, n_jets, train_cuts, args.n_const,
-                                     args.n_dims, args.constituents, args.HLVs,
-                                     hlv_list)
-            if on(args.constituents) and const_scaler is None and args.const_scaler_type:
-                const_scaler = fit_scaler(train_sample["constituents"], args.n_dims,
-                                          args.const_scaler_out, args.const_scaler_type)
-            if on(args.HLVs) and hlv_scaler is None and args.HLV_scaler_type:
-                hlv_scaler = fit_scaler(train_sample["HLVs"], args.n_dims,
-                                        args.HLV_scaler_out, args.HLV_scaler_type)
-        print("\nLOADING OUTLIER SAMPLE")
-        ood_sample = load_data(ood_data, args.n_OoD, train_cuts, args.n_const,
-                               args.n_dims, args.constituents, args.HLVs, hlv_list)
-        if "constituents" in ood_sample:
-            ood_sample["constituents"] = apply_scaler(
-                ood_sample["constituents"], args.n_dims, const_scaler, "OoD")
-        if "HLVs" in ood_sample:
-            ood_sample["HLVs"] = apply_scaler(ood_sample["HLVs"], args.n_dims,
-                                              hlv_scaler, "OoD")
-        bin_sizes = {"m": 20, "pt": 40} \
-            if args.weight_type.split("_")[0] in ("flat", "OoD") else {"m": 10, "pt": 20}
-        train_gen = BatchGenerator(bkg_data, ood_data, args.n_const, args.n_dims,
-                                   args.n_train, ood_sample, args.weight_type,
-                                   train_cuts, args.constituents, args.HLVs,
-                                   hlv_list, bin_sizes, hlv_scaler, const_scaler,
-                                   is_train=True, mem_gb=args.memGB,
-                                   output_dir=args.output_dir)
-        valid_gen = BatchGenerator(bkg_data, ood_data, args.n_const, args.n_dims,
-                                   args.n_valid, ood_sample, args.weight_type,
-                                   train_cuts, args.constituents, args.HLVs,
-                                   hlv_list, bin_sizes, hlv_scaler, const_scaler,
-                                   mem_gb=args.memGB)
-        state_file = out_root + "/" + args.state_file if args.state_file else None
-        params, _ = train_model(params, train_gen, valid_gen, args.OE_type,
-                                args.n_epochs, args.batch_size, args.beta,
-                                args.lamb, args.margin, args.lr, args.hist_file,
-                                args.model_in, args.model_out, mesh=mesh,
-                                state_file=state_file)
-        if os.path.isfile(args.model_out):
-            params = load_weights(args.model_out, params)
-    if not on(args.plotting) and not on(args.apply_cuts):
-        return 0
+def _make_generators(args, hlv_list, train_cuts, const_scaler, hlv_scaler):
+    """Scaler fit + OoD load + train/valid BatchGenerators
+    (ref OE-VAE/vae.py:112-138)."""
+    from ..data import (load_data, BatchGenerator, fit_scaler, apply_scaler)
 
-    # Validation predictions (ref OE-VAE/vae.py:145-167)
+    if (args.const_scaler_type and const_scaler is None) or \
+       (args.HLV_scaler_type and hlv_scaler is None):
+        print("\nLOADING QCD TRAINING SAMPLE (scaler fit)")
+        # honor --memGB for the one-off scaler-fit load too (the
+        # reference hardcodes its 30 GB budget here,
+        # ref OE-AAE/train.py:113)
+        n_jets = min(args.n_train[1],
+                     int(1e9 * args.memGB / args.n_const / args.n_dims / 4))
+        train_sample = load_data(args.bkg_data, n_jets, train_cuts,
+                                 args.n_const, args.n_dims, args.constituents,
+                                 args.HLVs, hlv_list)
+        if _on(args.constituents) and const_scaler is None and args.const_scaler_type:
+            const_scaler = fit_scaler(train_sample["constituents"], args.n_dims,
+                                      args.const_scaler_out,
+                                      args.const_scaler_type)
+        if _on(args.HLVs) and hlv_scaler is None and args.HLV_scaler_type:
+            hlv_scaler = fit_scaler(train_sample["HLVs"], args.n_dims,
+                                    args.HLV_scaler_out, args.HLV_scaler_type)
+    print("\nLOADING OUTLIER SAMPLE")
+    ood_sample = load_data(args.OoD_data, args.n_OoD, train_cuts, args.n_const,
+                           args.n_dims, args.constituents, args.HLVs, hlv_list)
+    if "constituents" in ood_sample:
+        ood_sample["constituents"] = apply_scaler(
+            ood_sample["constituents"], args.n_dims, const_scaler, "OoD")
+    if "HLVs" in ood_sample:
+        ood_sample["HLVs"] = apply_scaler(ood_sample["HLVs"], args.n_dims,
+                                          hlv_scaler, "OoD")
+    bin_sizes = {"m": 20, "pt": 40} \
+        if args.weight_type.split("_")[0] in ("flat", "OoD") else {"m": 10, "pt": 20}
+    train_gen = BatchGenerator(args.bkg_data, args.OoD_data, args.n_const,
+                               args.n_dims, args.n_train, ood_sample,
+                               args.weight_type, train_cuts, args.constituents,
+                               args.HLVs, hlv_list, bin_sizes, hlv_scaler,
+                               const_scaler, is_train=True, mem_gb=args.memGB,
+                               output_dir=args.output_dir)
+    valid_gen = BatchGenerator(args.bkg_data, args.OoD_data, args.n_const,
+                               args.n_dims, args.n_valid, ood_sample,
+                               args.weight_type, train_cuts, args.constituents,
+                               args.HLVs, hlv_list, bin_sizes, hlv_scaler,
+                               const_scaler, mem_gb=args.memGB)
+    return train_gen, valid_gen, const_scaler, hlv_scaler
+
+
+def _evaluate(args, params, const_scaler, hlv_scaler, hlv_list, valid_cuts):
+    """Validation predictions + plotting suite (ref OE-VAE/vae.py:145-176)."""
+    import jax
+    import jax.numpy as jnp
+    from ..data import make_sample, apply_scaler
+    from ..data.loader import filtering
+    from ..models import vae_apply
+    from ..train.loop import features
+    from ..eval import plot_results
+    from ..plotting.history import plot_history
+
     print("\n+" + 36 * "-" + "+\n+--- VALIDATION SAMPLE EVALUATION ---+\n+"
           + 36 * "-" + "+\n")
-    valid_sample = make_sample(bkg_data, sig_data, args.n_valid, args.n_sig,
-                               valid_cuts, args.n_const, args.n_dims,
-                               args.constituents, args.HLVs, hlv_list)
+    valid_sample = make_sample(args.bkg_data, args.sig_data, args.n_valid,
+                               args.n_sig, valid_cuts, args.n_const,
+                               args.n_dims, args.constituents, args.HLVs,
+                               hlv_list)
     y_true = np.where(valid_sample["JZW"] == -1, 0, 1)
-    if "Geneva" in sig_data:  # Delphes weight adjustment (ref vae.py:151)
+    if "Geneva" in args.sig_data:  # Delphes weight adjustment (ref vae.py:151)
         valid_sample["weights"][y_true == 0] /= 1e3
     if "constituents" in valid_sample:
         valid_sample["constituents"] = apply_scaler(
@@ -200,7 +194,6 @@ def main(argv=None):
                                             hlv_scaler)
     x_true = features(valid_sample)
 
-    import jax.numpy as jnp
     predict = jax.jit(lambda p, x, k: vae_apply(p, x, k)[0])
     if args.n_iter > 1:
         print("\nEvaluating with", args.n_iter, "iterations:")
@@ -215,15 +208,141 @@ def main(argv=None):
     y_true, x_true, x_pred, valid_sample = filtering(y_true, x_true, x_pred,
                                                      valid_sample)
 
-    if on(args.plotting):
+    if _on(args.plotting):
         metric_list = ["Latent", "MAE", "KLD", "JSD"]
         loss_metric = "MAE"
         if os.path.isfile(args.hist_file):
             plot_history(args.hist_file, args.output_dir)
         plot_results(y_true, x_true, x_pred, valid_sample, args.n_dims, params,
-                     metric_list, loss_metric, sig_data, args.output_dir,
+                     metric_list, loss_metric, args.sig_data, args.output_dir,
                      args.apply_cuts, args.normal_losses, args.decorrelation,
                      npe=args.npe)
+
+
+def main(argv=None):
+    import jax
+    from ..utils.logging import args_banner
+    from ..data.scalers import Scaler
+    from ..models import VAEConfig, init_vae
+    from ..train import train_model, load_weights
+    from ..parallel import data_parallel_mesh
+
+    args = build_parser().parse_args(argv)
+    out_root = _wire_paths(args)
+    hlv_list, input_dim, train_cuts, valid_cuts = _select_samples(args)
+    print("\nPROGRAM ARGUMENTS:\n" + args_banner(args))
+
+    n_devices = args.n_devices or len(jax.devices())
+    mesh = data_parallel_mesh(n_devices) if n_devices > 1 else None
+    config = VAEConfig(fc_layers=tuple(args.FC_layers), input_dim=input_dim)
+    # --seed drives both the weight init and the reparam noise stream, so
+    # a sequential `--seed` sweep and an ensemble seed lane are identical
+    params = init_vae(jax.random.PRNGKey(args.seed), config)
+    const_scaler = hlv_scaler = None
+    if args.model_in != out_root + "/" and os.path.isfile(args.model_in):
+        print("\nLoading pre-trained weights from: " + args.model_in)
+        params = load_weights(args.model_in, params)
+    if args.const_scaler_type and os.path.isfile(args.const_scaler_in):
+        const_scaler = Scaler.load(args.const_scaler_in)
+    if args.HLV_scaler_type and os.path.isfile(args.HLV_scaler_in):
+        hlv_scaler = Scaler.load(args.HLV_scaler_in)
+
+    if args.n_epochs > 0:
+        train_gen, valid_gen, const_scaler, hlv_scaler = _make_generators(
+            args, hlv_list, train_cuts, const_scaler, hlv_scaler)
+        state_file = out_root + "/" + args.state_file if args.state_file else None
+        params, _ = train_model(params, train_gen, valid_gen, args.OE_type,
+                                args.n_epochs, args.batch_size, args.beta,
+                                args.lamb, args.margin, args.lr, args.hist_file,
+                                args.model_in, args.model_out, mesh=mesh,
+                                seed=args.seed, state_file=state_file)
+        if os.path.isfile(args.model_out):
+            params = load_weights(args.model_out, params)
+    if not _on(args.plotting) and not _on(args.apply_cuts):
+        return 0
+    _evaluate(args, params, const_scaler, hlv_scaler, hlv_list, valid_cuts)
+    return 0
+
+
+# grid axes that share one compiled program (traced scalars / RNG keys;
+# anything shape- or graph-changing must stay a sequential group)
+VMAPPABLE = ("beta", "lamb", "margin", "lr", "seed")
+_VM_COERCE = {"beta": float, "lamb": float, "margin": float, "lr": float,
+              "seed": int}
+
+
+def run_ensemble(passthrough, names, value_rows, output_dirs):
+    """Train a same-shape hyper-parameter grid as one vmapped program.
+
+    ``passthrough``: the shared CLI argv; ``names``: grid axis names
+    (subset of VMAPPABLE); ``value_rows``: one tuple per config;
+    ``output_dirs``: per-config output roots (weights + history +
+    plots land there exactly as a sequential sweep's would).
+    Data preparation (scaler fit, OoD load, pairing, reweighting) runs
+    ONCE and is shared across configs.
+    """
+    import jax
+    from ..utils.logging import args_banner
+    from ..models import VAEConfig, init_vae
+    from ..train import load_weights
+    from ..train.ensemble import train_ensemble, stack_trees
+    from ..data.scalers import Scaler
+
+    assert set(names) <= set(VMAPPABLE), names
+    parser = build_parser()
+    configs = []
+    for row, out_dir in zip(value_rows, output_dirs):
+        args = parser.parse_args(list(passthrough))
+        for name, value in zip(names, row):
+            setattr(args, name, _VM_COERCE[name](value))
+        args.output_dir = out_dir
+        configs.append(args)
+
+    # shared data prep uses config 0's args (identical across configs
+    # for everything non-vmappable by construction)
+    lead = configs[0]
+    if lead.n_devices not in (0, 1):
+        print("NOTE: ensemble training maps configs onto the chip's spare "
+              "MXU lanes; --n_devices is ignored (shard the config axis "
+              "across chips by splitting the grid instead)")
+    out_root = _wire_paths(lead)
+    for args in configs[1:]:
+        _wire_paths(args)
+        args.n_train, args.n_valid = lead.n_train, lead.n_valid
+    hlv_list, input_dim, train_cuts, valid_cuts = _select_samples(lead)
+    print("\nPROGRAM ARGUMENTS (ensemble lead):\n" + args_banner(lead))
+    const_scaler = hlv_scaler = None
+    if lead.const_scaler_type and os.path.isfile(lead.const_scaler_in):
+        const_scaler = Scaler.load(lead.const_scaler_in)
+    if lead.HLV_scaler_type and os.path.isfile(lead.HLV_scaler_in):
+        hlv_scaler = Scaler.load(lead.HLV_scaler_in)
+
+    config = VAEConfig(fc_layers=tuple(lead.FC_layers), input_dim=input_dim)
+    stacked = stack_trees([init_vae(jax.random.PRNGKey(a.seed), config)
+                           for a in configs])
+
+    if lead.n_epochs > 0:
+        train_gen, valid_gen, const_scaler, hlv_scaler = _make_generators(
+            lead, hlv_list, train_cuts, const_scaler, hlv_scaler)
+        hyper = tuple(np.array([getattr(a, k) for a in configs], np.float32)
+                      for k in ("beta", "lamb", "margin"))
+        stacked, _ = train_ensemble(
+            stacked, hyper, train_gen, valid_gen, lead.OE_type,
+            lead.n_epochs, lead.batch_size,
+            lr=np.array([a.lr for a in configs], np.float32),
+            hist_files=[a.hist_file for a in configs],
+            model_outs=[a.model_out for a in configs],
+            seeds=[a.seed for a in configs])
+
+    from ..train.ensemble import tree_slice
+    for g, args in enumerate(configs):
+        params = tree_slice(stacked, g)
+        if os.path.isfile(args.model_out):
+            params = load_weights(args.model_out, params)
+        if _on(args.plotting) or _on(args.apply_cuts):
+            print(f"\n===== ENSEMBLE EVAL {g}: {args.output_dir} =====")
+            _evaluate(args, params, const_scaler, hlv_scaler, hlv_list,
+                      valid_cuts)
     return 0
 
 

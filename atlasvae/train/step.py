@@ -42,7 +42,7 @@ def make_optimizer(lr=1.0):
 
 def make_vae_step_fns(optimizer, oe_type="KLD", beta=0.0, lamb=0.0, margin=0.0,
                       activation="relu", mesh=None, data_axis="data",
-                      impl="xla"):
+                      impl="xla", hyper_traced=False, jit=True):
     """Build (train_on_load, valid_losses) jitted functions.
 
     Inputs are shaped (n_batches, batch, features) with a (n_batches,
@@ -51,6 +51,14 @@ def make_vae_step_fns(optimizer, oe_type="KLD", beta=0.0, lamb=0.0, margin=0.0,
     sharded over ``data_axis`` and gradients/metrics reduced with psum
     over ICI (replacing MirroredStrategy's NCCL all-reduce,
     ref jet-ID/models.py:72).
+
+    ``hyper_traced=True`` returns functions taking (beta, lamb, margin)
+    as a traced tuple argument after ``lr`` — the building block for
+    vmapped ensemble/sweep training (train/ensemble.py), where G
+    hyper-parameter configurations train as one device program.  With
+    the default False, the constructor's beta/lamb/margin are baked in
+    as constants (identical graphs to previous rounds).  ``jit=False``
+    returns the raw traceable functions (for vmap composition).
     """
 
     def _global_noise(params, key, local_batch):
@@ -68,10 +76,12 @@ def make_vae_step_fns(optimizer, oe_type="KLD", beta=0.0, lamb=0.0, margin=0.0,
             noise_ood = jax.lax.dynamic_slice_in_dim(noise_ood, start, local_batch)
         return noise_bkg, noise_ood
 
-    def batch_losses(params, key, noise, bkg_x, ood_x, bkg_w, ood_w, valid):
+    def batch_losses(params, hyper, key, noise, bkg_x, ood_x, bkg_w, ood_w,
+                     valid):
+        h_beta, h_lamb, h_margin = hyper
         mse, kld, oe, total = get_losses(params, bkg_x, ood_x, bkg_w, ood_w,
-                                         key, oe_type, beta, lamb, margin,
-                                         activation, noise, impl)
+                                         key, oe_type, h_beta, h_lamb,
+                                         h_margin, activation, noise, impl)
         total = total * valid
         metrics = jnp.stack([jnp.sum(mse * valid), jnp.sum(kld * valid),
                              jnp.sum(oe * valid), jnp.sum(total), jnp.sum(valid)])
@@ -79,15 +89,15 @@ def make_vae_step_fns(optimizer, oe_type="KLD", beta=0.0, lamb=0.0, margin=0.0,
 
     grad_fn = jax.grad(batch_losses, has_aux=True)
 
-    def _train_on_load(params, opt_state, lr, key, bkg_x, ood_x, bkg_w, ood_w,
-                       valid):
+    def _train_on_load_h(params, opt_state, lr, hyper, key, bkg_x, ood_x,
+                         bkg_w, ood_w, valid):
         in_dp = mesh is not None
 
         def step(carry, batch):
             params, opt_state, key = carry
             key, sub = jax.random.split(key)
             noise = _global_noise(params, sub, batch[0].shape[0])
-            grads, metrics = grad_fn(params, sub, noise, *batch)
+            grads, metrics = grad_fn(params, hyper, sub, noise, *batch)
             if in_dp:
                 grads = jax.lax.psum(grads, data_axis)
                 metrics = jax.lax.psum(metrics, data_axis)
@@ -101,17 +111,15 @@ def make_vae_step_fns(optimizer, oe_type="KLD", beta=0.0, lamb=0.0, margin=0.0,
             step, (params, opt_state, key), (bkg_x, ood_x, bkg_w, ood_w, valid))
         return params, opt_state, metrics
 
-    def _valid_losses(params, key, bkg_x, ood_x, bkg_w, ood_w, valid):
+    def _valid_losses_h(params, hyper, key, bkg_x, ood_x, bkg_w, ood_w, valid):
         in_dp = mesh is not None
 
         def step(key, batch):
             key, sub = jax.random.split(key)
             noise = _global_noise(params, sub, batch[0].shape[0])
-            bkg_x, ood_x, bkg_w, ood_w, valid = batch
-            _, _, _, total = get_losses(params, bkg_x, ood_x, bkg_w, ood_w,
-                                        sub, oe_type, beta, lamb, margin,
-                                        activation, noise, impl)
-            m = jnp.stack([jnp.sum(total * valid), jnp.sum(valid)])
+            _, m = batch_losses(params, hyper, sub, noise, *batch)
+            # (sum total, sum valid) — keep historical metric layout
+            m = jnp.stack([m[3], m[4]])
             if in_dp:
                 m = jax.lax.psum(m, data_axis)
             return key, m
@@ -119,8 +127,26 @@ def make_vae_step_fns(optimizer, oe_type="KLD", beta=0.0, lamb=0.0, margin=0.0,
         _, metrics = jax.lax.scan(step, key, (bkg_x, ood_x, bkg_w, ood_w, valid))
         return metrics
 
+    if hyper_traced:
+        _train_on_load, _valid_losses = _train_on_load_h, _valid_losses_h
+    else:
+        hyper_const = (beta, lamb, margin)
+
+        def _train_on_load(params, opt_state, lr, key, *batches):
+            return _train_on_load_h(params, opt_state, lr, hyper_const, key,
+                                    *batches)
+
+        def _valid_losses(params, key, *batches):
+            return _valid_losses_h(params, hyper_const, key, *batches)
+
     if mesh is None:
+        if not jit:
+            return _train_on_load, _valid_losses
         return jax.jit(_train_on_load), jax.jit(_valid_losses)
+    if hyper_traced:
+        raise NotImplementedError(
+            "hyper_traced + data-parallel mesh: shard the config axis "
+            "instead (see train/ensemble.py), configs need no collectives")
 
     from jax.sharding import PartitionSpec as P
     from jax import shard_map

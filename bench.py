@@ -19,11 +19,24 @@ driver-visible, VERDICT r1 #6):
   100-cut local-sigma scan + one npe=1000 global pseudo-experiment scan
   (ref OE-VAE/plots.py:262-291 workload).
 
-vs_baseline: the reference publishes no numbers (BASELINE.md); the
-denominator is a provisional estimate of its eager-TF single-GPU
-throughput at the same config (~1e6 jets/s, per-batch Python dispatch,
-ref OE-VAE/models.py:177-200).  Empirical same-hardware head-to-head:
-11.7-11.9x on CPU (benchmarks/bench_reference_cpu.py, BASELINE.md).
+* ``sweep_vmap8_jets_per_sec`` — aggregate throughput of 8 VAE
+  hyper-parameter configs trained as ONE vmapped program
+  (train/ensemble.py; replaces the reference's Slurm-array grid,
+  ref OE-VAE/utils.py:597-600) and ``sweep_vmap8_speedup_vs_seq`` =
+  aggregate / single-config rate (8.0 would mean 8 configs for the
+  price of one).
+
+Two baseline ratios are emitted (VERDICT r2 #6):
+* ``vs_baseline`` (= ``vs_baseline_est``): denominator is a provisional
+  ESTIMATE of the reference's eager-TF single-GPU throughput at the
+  same config (~1e6 jets/s, per-batch Python dispatch,
+  ref OE-VAE/models.py:177-200) — the reference publishes no numbers
+  (BASELINE.md).
+* ``vs_reference_cpu_measured``: denominator is the MEASURED throughput
+  of the reference's own train_model executed on this machine's CPU at
+  identical config/data (23.1-23.4k jets/s; midpoint 23.25k;
+  benchmarks/bench_reference_cpu.py, BASELINE.md) — a defensible
+  same-code anchor, though on different silicon than the TPU numerator.
 """
 
 import json
@@ -38,6 +51,7 @@ import numpy as np
 os.environ.setdefault("ATLASVAE_PRNG", "rbg")
 
 REFERENCE_EAGER_JETS_PER_SEC = 1.0e6  # provisional, see module docstring
+REFERENCE_CPU_MEASURED_JETS_PER_SEC = 23.25e3  # measured, BASELINE.md:44
 
 
 def _log(msg):
@@ -102,6 +116,45 @@ def bench_vae(jax, jnp):
     infer_jps = n / _timed(lambda: fused_mlp_apply(stack, xb),
                            lambda out: np.asarray(out[-1:]), reps=5)
     return train_jps, infer_jps
+
+
+def bench_sweep(jax, train_jps):
+    """8 hyper-parameter configs as one vmapped program vs sequential."""
+    from atlasvae.models import VAEConfig, init_vae
+    from atlasvae.train.ensemble import (make_vae_ensemble_step_fns,
+                                         init_ensemble_opt_state, stack_trees)
+    from atlasvae.train.step import make_optimizer, batch_load
+
+    G = 8
+    config = VAEConfig(fc_layers=(80, 40, 20, 10), input_dim=12)
+    stacked = stack_trees([init_vae(jax.random.PRNGKey(s), config)
+                           for s in range(G)])
+    optimizer = make_optimizer()
+    opt_state = init_ensemble_opt_state(optimizer, stacked)
+    train, _ = make_vae_ensemble_step_fns(optimizer, "MAE")
+
+    batch_size, n_batches = 10_000, 300
+    n = batch_size * n_batches
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(n, 12)).astype(np.float32)
+    w = np.ones(n, np.float32)
+    batches = jax.device_put(batch_load(x, x + 0.5, w, w, batch_size))
+    hyper = tuple(rng.uniform(0.5, 5.0, G).astype(np.float32)
+                  for _ in range(3))
+    lrs = np.full(G, 1e-3, np.float32)
+    keys = np.stack([np.asarray(jax.random.PRNGKey(s)) for s in range(G)])
+
+    state = {"p": stacked, "o": opt_state}
+
+    def step():
+        p, o, m = train(state["p"], state["o"], lrs, hyper, keys, *batches)
+        state["p"], state["o"] = p, o
+        return m
+
+    _log("compiling vmapped 8-config sweep step...")
+    np.asarray(step())
+    sweep_jps = G * n / _timed(step, lambda m: np.asarray(m), reps=3)
+    return sweep_jps, sweep_jps / train_jps
 
 
 def bench_aae(jax):
@@ -205,6 +258,7 @@ def main():
 
     backend = jax.default_backend()
     train_jps, infer_jps = bench_vae(jax, jnp)
+    sweep_jps, sweep_speedup = bench_sweep(jax, train_jps)
     aae_jps = bench_aae(jax)
     jetid_jps = bench_jetid(jax)
     bump_warm = bench_bump(jax)
@@ -214,7 +268,12 @@ def main():
         "value": round(train_jps, 1),
         "unit": "jets/s",
         "vs_baseline": round(train_jps / REFERENCE_EAGER_JETS_PER_SEC, 3),
+        "vs_baseline_est": round(train_jps / REFERENCE_EAGER_JETS_PER_SEC, 3),
+        "vs_reference_cpu_measured": round(
+            train_jps / REFERENCE_CPU_MEASURED_JETS_PER_SEC, 1),
         "infer_encode_jets_per_sec": round(infer_jps, 1),
+        "sweep_vmap8_jets_per_sec": round(sweep_jps, 1),
+        "sweep_vmap8_speedup_vs_seq": round(sweep_speedup, 2),
         "aae_cycle_jets_per_sec": round(aae_jps, 1),
         "jetid_train_jets_per_sec": round(jetid_jps, 1),
         "bump_scan_warm_s": round(bump_warm, 3),
