@@ -24,6 +24,12 @@ def build_parser():
     parser.add_argument("--n_epochs", default=100, type=int)
     parser.add_argument("--n_classes", default=2, type=int)
     parser.add_argument("--n_folds", default=1, type=int)
+    parser.add_argument("--vmap_folds", default="OFF",
+                        help="ON: train all k folds as ONE vmapped device "
+                             "program instead of sequentially (the "
+                             "reference runs one fold per Slurm task; the "
+                             "canonical model is tile-padding-bound so k "
+                             "folds cost ~1x, docs/PERF.md)")
     parser.add_argument("--n_devices", default=0, type=int)   # was n_gpus
     parser.add_argument("--NN_type", default="FCN")
     parser.add_argument("--FCN_neurons", default=[200, 200], type=int, nargs="+")
@@ -74,6 +80,27 @@ def build_parser():
                              "resumes bit-exactly")
     parser.add_argument("--output_dir", default="outputs")
     parser.add_argument("--plotting", default="ON")
+    parser.add_argument("--n_eval", default=0, type=float,
+                        help="generator mode: per-epoch validation slice "
+                             "size (0 = the whole validation range), "
+                             "ref jet-ID/classifier.py:18,113-114,261")
+    parser.add_argument("--eta_region", default="0.0-2.5",
+                        help="named |eta| window composed into valid_cuts "
+                             "on results re-evaluation "
+                             "(ref jet-ID/classifier.py:48,121-126)")
+    parser.add_argument("--sep_bkg", default="OFF",
+                        help="ON: report class-0-vs-each-background results "
+                             "separately in addition to the merged "
+                             "background (ref jet-ID/utils.py:628-638)")
+    parser.add_argument("--runDiffPlots", default=0, type=int,
+                        help="accepted for command-line parity; a dead flag "
+                             "in the reference too (threaded into "
+                             "valid_results but never consumed, ref "
+                             "jet-ID/classifier.py:58, utils.py:628-638)")
+    parser.add_argument("--correlations", default="OFF",
+                        help="accepted for command-line parity; defined but "
+                             "never read by the reference "
+                             "(ref jet-ID/classifier.py:60)")
     parser.add_argument("--feature_removal", default="OFF")
     parser.add_argument("--mixed_precision", default="OFF",
                         help="bfloat16 compute / float32 master weights "
@@ -86,6 +113,58 @@ def build_parser():
     return parser
 
 
+ETA_REGIONS = ("0.0-1.3", "1.3-1.6", "1.6-2.5")
+
+
+def _eta_cuts(args, sample):
+    """Compose the named |eta| window into valid_cuts on results
+    re-evaluation, exactly as ref jet-ID/classifier.py:121-126."""
+    if args.eta_region not in ETA_REGIONS:
+        return args.valid_cuts
+    eta_1, eta_2 = args.eta_region.split("-")
+    key = "eta" if "eta" in sample else "rljet_eta"
+    cuts = (f'(abs(sample["{key}"]) >= {eta_1}) & '
+            f'(abs(sample["{key}"]) <= {eta_2})')
+    return cuts if not args.valid_cuts else f"{cuts} & ({args.valid_cuts})"
+
+
+def _report_results(v_view, v_labels, probs, train_labels, args, out_root, on):
+    """Accuracy / AUC / background-rejection / plots, for the merged
+    background and (``--sep_bkg ON``) each background class separately
+    (ref jet-ID/utils.py:628-638 valid_results bkg_list fan-out; the
+    reference forks one print_results process per background)."""
+    from ..eval.jetid_eval import compo_matrix, discriminant
+    from ..eval.roc import auc_score
+    from ..plotting.performance import background_rejection
+
+    probs = np.asarray(probs)
+    _, accuracy = compo_matrix(v_labels, train_labels, probs)
+    print(f"\nVALIDATION SAMPLE ACCURACY: {accuracy:.2f} %")
+    bkg_list = ["bkg"]
+    if on(args.sep_bkg) and probs.shape[1] > 2:
+        bkg_list += sorted(set(range(probs.shape[1])) - {0})
+    rejections = {}
+    for bkg in bkg_list:
+        view, disc_labels, disc = discriminant(v_view, v_labels, probs,
+                                               (0,), bkg)
+        auc = auc_score(disc_labels, disc, view["weights"])
+        tag = "signal vs background" if bkg == "bkg" else f"class 0 vs {bkg}"
+        print(f"VALIDATION AUC ({tag}): {auc:.4f}")
+        rejections[bkg] = background_rejection(disc_labels, disc,
+                                               view["weights"])
+        if on(args.plotting):
+            from ..plotting.performance import roc_curves, class_distributions
+            folder = out_root if bkg == "bkg" \
+                else out_root + f"/class_0_vs_{bkg}"
+            Path(folder).mkdir(parents=True, exist_ok=True)
+            roc_curves(disc_labels, {"jet-ID": disc}, view["weights"],
+                       ["jet-ID"], folder)
+            if bkg == "bkg":
+                class_distributions(v_labels, probs, v_view["weights"],
+                                    folder)
+    return rejections
+
+
 def main(argv=None):
     import jax
     import pickle
@@ -96,11 +175,10 @@ def main(argv=None):
     from ..train.jetid_loop import train_classifier, predict_classifier
     from ..train.checkpoint import load_pytree
     from ..eval.jetid_eval import (make_labels, get_class_weight,
-                                   get_sample_weights, compo_matrix, discriminant)
-    from ..eval.roc import auc_score
+                                   get_sample_weights, compo_matrix)
 
     args = build_parser().parse_args(argv)
-    for key in ["n_train", "n_valid", "batch_size"]:
+    for key in ["n_train", "n_valid", "n_eval", "batch_size"]:
         setattr(args, key, int(getattr(args, key)))
     out_root = args.output_dir
     Path(out_root).mkdir(parents=True, exist_ok=True)
@@ -117,24 +195,14 @@ def main(argv=None):
         print("\nLOADING VALIDATION RESULTS FROM", path)
         with open(path, "rb") as f:
             v_view, v_labels, probs = pickle.load(f)
+        args.valid_cuts = _eta_cuts(args, v_view)  # ref classifier.py:121-126
         if args.valid_cuts:
             from ..utils.expr import evaluate_cut
             keep = evaluate_cut(args.valid_cuts, v_view)
             v_view = {k: np.asarray(v)[keep] for k, v in v_view.items()}
             v_labels, probs = v_labels[keep], probs[keep]
             print(f"valid_cuts kept {len(v_labels)} jets")
-        _, accuracy = compo_matrix(v_labels, (), probs)
-        print(f"\nVALIDATION SAMPLE ACCURACY: {accuracy:.2f} %")
-        _, disc_labels, disc = discriminant(v_view, v_labels, probs)
-        auc = auc_score(disc_labels, disc, v_view["weights"])
-        print(f"VALIDATION AUC (signal vs background): {auc:.4f}")
-        from ..plotting.performance import background_rejection
-        background_rejection(v_labels, probs, v_view["weights"])
-        if on(args.plotting):
-            from ..plotting.performance import roc_curves, class_distributions
-            roc_curves(disc_labels, {"jet-ID": disc}, v_view["weights"],
-                       ["jet-ID"], out_root)
-            class_distributions(v_labels, probs, v_view["weights"], out_root)
+        _report_results(v_view, v_labels, probs, (), args, out_root, on)
         return 0
     n_devices = args.n_devices or 1
     batch_size = n_devices * args.batch_size  # ref classifier.py:137-138
@@ -305,22 +373,50 @@ def main(argv=None):
         # (ref jet-ID/utils.py:532-566 cross_valid; the reference runs
         # one fold per Slurm task, here folds run sequentially)
         from ..eval.jetid_eval import cross_valid
+        from ..train.checkpoint import save_pytree
         event_number = np.arange(n)
-        for fold in range(1, args.n_folds + 1):
-            mask = event_number % args.n_folds != fold - 1
-            t_idx, v_idx = np.where(mask)[0], np.where(~mask)[0]
-            fold_params = init_jetid(jax.random.PRNGKey(fold), config)
-            fold_params, _ = train_classifier(
-                fold_params, config, inputs_for(t_idx), labels[t_idx],
-                inputs_for(v_idx), labels[v_idx], args.n_epochs, batch_size,
-                args.lr, args.patience, class_weight, None,
-                out_root + f"/model_{fold}.npz", verbose=False)
-            # ensure the fold checkpoint exists even when no epoch
-            # improved (or --n_epochs 0): cross_valid loads these files
-            from ..train.checkpoint import save_pytree
-            if not os.path.isfile(out_root + f"/model_{fold}.npz"):
-                save_pytree(out_root + f"/model_{fold}.npz", fold_params)
-            print(f"fold {fold}/{args.n_folds} trained")
+        fold_splits = [(np.where(event_number % args.n_folds != fold - 1)[0],
+                        np.where(event_number % args.n_folds == fold - 1)[0])
+                       for fold in range(1, args.n_folds + 1)]
+
+        def _fold_weights(idx):
+            if class_weight is None:
+                return np.ones(len(idx), np.float32)
+            return np.asarray([class_weight[int(l)] for l in labels[idx]],
+                              np.float32)
+
+        if on(args.vmap_folds):
+            # all folds in one vmapped program (train/jetid_loop.py)
+            from ..train.jetid_loop import train_kfold_vmapped
+            fold_loads = [(inputs_for(t), labels[t], _fold_weights(t))
+                          for t, _ in fold_splits]
+            fold_valids = [(inputs_for(v), labels[v],
+                            np.ones(len(v), np.float32))
+                           for _, v in fold_splits]
+            fold_params = [init_jetid(jax.random.PRNGKey(fold), config)
+                           for fold in range(1, args.n_folds + 1)]
+            model_outs = [out_root + f"/model_{fold}.npz"
+                          for fold in range(1, args.n_folds + 1)]
+            best, _ = train_kfold_vmapped(
+                fold_params, config, fold_loads, fold_valids, args.n_epochs,
+                batch_size, args.lr, args.patience, model_outs)
+            for fold, p in enumerate(best, start=1):
+                if not os.path.isfile(out_root + f"/model_{fold}.npz"):
+                    save_pytree(out_root + f"/model_{fold}.npz", p)
+            print(f"{args.n_folds} folds trained in one vmapped program")
+        else:
+            for fold, (t_idx, v_idx) in enumerate(fold_splits, start=1):
+                fold_params = init_jetid(jax.random.PRNGKey(fold), config)
+                fold_params, _ = train_classifier(
+                    fold_params, config, inputs_for(t_idx), labels[t_idx],
+                    inputs_for(v_idx), labels[v_idx], args.n_epochs,
+                    batch_size, args.lr, args.patience, class_weight, None,
+                    out_root + f"/model_{fold}.npz", verbose=False)
+                # ensure the fold checkpoint exists even when no epoch
+                # improved (or --n_epochs 0): cross_valid loads these files
+                if not os.path.isfile(out_root + f"/model_{fold}.npz"):
+                    save_pytree(out_root + f"/model_{fold}.npz", fold_params)
+                print(f"fold {fold}/{args.n_folds} trained")
         cv_sample = {"eventNumber": event_number}
         for key in ("HLVs", "constituents"):
             if key in sample and (scalars if key == "HLVs" else const_dim):
@@ -390,9 +486,17 @@ def main(argv=None):
                 yield inputs, ch_labels, w
 
         state_file = out_root + "/" + args.state_file if args.state_file else None
+        # --n_eval: per-epoch validation on the first n_eval rows of the
+        # valid range only (the reference's eval_gen slice,
+        # ref classifier.py:113-114,261); final results still use the
+        # full validation sample
+        eval_idx = valid_idx[:args.n_eval] if args.n_eval else valid_idx
+        if args.n_eval:
+            print(f"Per-epoch validation on {len(eval_idx)} of "
+                  f"{len(valid_idx)} validation jets (--n_eval)")
         params, history = train_classifier_streaming(
-            params, config, load_iter, inputs_for(valid_idx),
-            labels[valid_idx], args.n_epochs, batch_size, args.lr,
+            params, config, load_iter, inputs_for(eval_idx),
+            labels[eval_idx], args.n_epochs, batch_size, args.lr,
             args.patience, model_out, state_file=state_file)
     elif args.n_epochs > 0:
         state_file = out_root + "/" + args.state_file if args.state_file else None
@@ -427,20 +531,10 @@ def main(argv=None):
     v_labels = labels[valid_idx]
     v_view = {k: np.asarray(v)[valid_idx] for k, v in sample.items()
               if np.ndim(v) >= 1}
-    matrix, accuracy = compo_matrix(v_labels, labels[train_idx], probs)
-    print(f"\nVALIDATION SAMPLE ACCURACY: {accuracy:.2f} %")
-    _, disc_labels, disc = discriminant(v_view, v_labels, probs)
-    auc = auc_score(disc_labels, disc, v_view["weights"])
-    print(f"VALIDATION AUC (signal vs background): {auc:.4f}")
-    from ..plotting.performance import background_rejection
-    background_rejection(v_labels, probs, v_view["weights"])
+    _report_results(v_view, v_labels, probs, labels[train_idx], args,
+                    out_root, on)
     with open(out_root + "/" + args.results_out, "wb") as f:
         pickle.dump((v_view, v_labels, probs), f)
-    if on(args.plotting):
-        from ..plotting.performance import roc_curves, class_distributions
-        roc_curves(disc_labels, {"jet-ID": disc}, v_view["weights"],
-                   ["jet-ID"], out_root)
-        class_distributions(v_labels, probs, v_view["weights"], out_root)
     return 0
 
 

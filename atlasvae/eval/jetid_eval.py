@@ -193,8 +193,10 @@ def cross_valid(valid_sample, valid_labels, config, output_dir, n_folds,
     undefined ``valid_sprobs`` is fixed to the accumulated probs)."""
     from ..train.checkpoint import load_pytree
     from ..data.scalers import apply_scaler
-    n_classes = int(max(valid_labels)) + 1
-    valid_probs = np.full(valid_labels.shape + (n_classes,), -1.0)
+    # class count comes from the model config, NOT the labels present —
+    # a small validation slice can lack a class entirely and must still
+    # merge against the model's full probability width
+    valid_probs = np.full(valid_labels.shape + (config.n_classes,), -1.0)
     event_number = np.asarray(valid_sample["eventNumber"])
     for fold in range(1, n_folds + 1):
         mask = event_number % n_folds == fold - 1

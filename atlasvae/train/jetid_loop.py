@@ -32,7 +32,7 @@ def _ce_loss(probs, labels, weights):
     return jnp.sum(ce * weights) / jnp.maximum(jnp.sum(weights), 1e-30)
 
 
-def make_jetid_step_fns(optimizer, config):
+def make_jetid_step_fns(optimizer, config, jit=True):
     # kernel L2 term, included in train AND eval loss exactly as Keras
     # adds regularization losses to both fit and evaluate
     # (ref jet-ID/models.py:10 kernel_regularizer=l2(args.l2))
@@ -49,7 +49,6 @@ def make_jetid_step_fns(optimizer, config):
 
     grad_fn = jax.grad(batch_loss, has_aux=True)
 
-    @jax.jit
     def train_epoch(params, opt_state, lr, key, inputs, labels, weights):
         def step(carry, batch):
             params, opt_state, key = carry
@@ -65,7 +64,6 @@ def make_jetid_step_fns(optimizer, config):
             step, (params, opt_state, key), (inputs, labels, weights))
         return params, opt_state, metrics
 
-    @jax.jit
     def eval_epoch(params, inputs, labels, weights):
         def step(_, batch):
             inputs, labels, w = batch
@@ -76,7 +74,123 @@ def make_jetid_step_fns(optimizer, config):
         _, metrics = jax.lax.scan(step, None, (inputs, labels, weights))
         return metrics
 
-    return train_epoch, eval_epoch
+    if not jit:
+        return train_epoch, eval_epoch
+    return jax.jit(train_epoch), jax.jit(eval_epoch)
+
+
+def make_jetid_fold_step_fns(optimizer, config):
+    """(train_epoch, eval_epoch) vmapped over a leading FOLD axis —
+    params, optimizer state, lr, key AND the data all carry the fold
+    axis (each fold trains on its own complement), so k-fold
+    cross-validation (ref jet-ID/utils.py:532-566; one Slurm task per
+    fold in the reference) runs as ONE device program on the
+    tile-padding headroom the canonical model leaves free
+    (docs/PERF.md)."""
+    raw_train, raw_eval = make_jetid_step_fns(optimizer, config, jit=False)
+    train = jax.vmap(raw_train, in_axes=(0, 0, 0, 0, 0, 0, 0))
+    evalf = jax.vmap(raw_eval, in_axes=(0, 0, 0, 0))
+    return jax.jit(train), jax.jit(evalf)
+
+
+def train_kfold_vmapped(params_list, config, fold_loads, fold_valids,
+                        epochs=100, batch_size=5000, lr=1e-3, patience=10,
+                        model_outs=None, seed=0, verbose=True,
+                        min_delta=1e-6):
+    """Train all k folds simultaneously as one vmapped program.
+
+    ``fold_loads`` / ``fold_valids``: per-fold (inputs, labels, weights)
+    tuples.  Folds are padded with zero-weight rows to a common batch
+    grid (zero weight rows contribute nothing to loss, gradient or
+    metrics).  Per-fold Keras-callback semantics mirror
+    ``train_classifier_streaming`` (best-val checkpoint, plateau lr/2
+    after 5, early stop restoring best); a stopped fold freezes
+    bit-exactly via lr=0.  Returns (best params per fold, histories).
+    """
+    from .ensemble import stack_trees, tree_slice, init_ensemble_opt_state
+    k = len(fold_loads)
+    optimizer = make_optimizer()
+
+    def pack_common(loads):
+        """_pack each fold to the max padded length, stack along fold."""
+        sizes = [len(l[1]) for l in loads]
+        n_max = max(sizes)
+        packed = []
+        for inputs, labels, weights in loads:
+            n = len(labels)
+            pad = n_max - n
+            if pad:
+                inputs = {key: np.concatenate(
+                    [np.asarray(v),
+                     np.zeros((pad,) + np.asarray(v).shape[1:],
+                              np.asarray(v).dtype)]) for key, v in inputs.items()}
+                labels = np.concatenate([labels, np.zeros(pad, np.int32)])
+                weights = np.concatenate(
+                    [np.asarray(weights, np.float32), np.zeros(pad, np.float32)])
+            packed.append(_pack(inputs, labels, weights,
+                                min(batch_size, n_max)))
+        return stack_trees(packed)
+
+    batches = device_put_load(pack_common(fold_loads))
+    v_batches = device_put_load(pack_common(fold_valids))
+    train_epoch, eval_epoch = make_jetid_fold_step_fns(optimizer, config)
+
+    params = stack_trees([jax.tree.map(np.asarray, p) for p in params_list])
+    opt_state = init_ensemble_opt_state(optimizer, params)
+    lrs = np.full(k, float(lr), np.float32)
+    # every fold draws the SAME dropout-noise stream, matching k
+    # sequential train_classifier(seed=seed) calls exactly
+    keys = np.stack([np.asarray(jax.random.PRNGKey(seed))] * k)
+    best_val = np.full(k, np.inf)
+    best_params = [tree_slice(params, f) for f in range(k)]
+    lr_wait = np.zeros(k, np.int64)
+    stop_wait = np.zeros(k, np.int64)
+    stopped = np.zeros(k, bool)
+    histories = [{"loss": [], "val_loss": [], "accuracy": []}
+                 for _ in range(k)]
+
+    split2 = jax.jit(jax.vmap(lambda kk: tuple(jax.random.split(kk))))
+    for epoch in range(epochs):
+        start = time.time()
+        keys, subs = (np.asarray(a) for a in split2(keys))
+        params, opt_state, metrics = train_epoch(params, opt_state, lrs,
+                                                 subs, *batches)
+        m = np.asarray(metrics)                       # (k, n_batches, 2)
+        vm = np.asarray(eval_epoch(params, *v_batches))
+        val_loss = vm[:, :, 0].sum(axis=1) / vm[:, :, 1].sum(axis=1)
+        if not np.isfinite(m).all():                  # TerminateOnNaN
+            print("NaN loss encountered — terminating k-fold training")
+            break
+        for f in range(k):
+            if stopped[f]:
+                continue
+            histories[f]["loss"].append(float(m[f, :, 0].mean()))
+            histories[f]["accuracy"].append(float(m[f, :, 1].mean()))
+            histories[f]["val_loss"].append(float(val_loss[f]))
+            if val_loss[f] < best_val[f] - min_delta:
+                best_val[f] = val_loss[f]
+                best_params[f] = tree_slice(params, f)
+                lr_wait[f] = stop_wait[f] = 0
+                if model_outs:
+                    save_pytree(model_outs[f], best_params[f])
+            else:
+                lr_wait[f] += 1
+                stop_wait[f] += 1
+                if lr_wait[f] >= 5:                   # ReduceLROnPlateau
+                    lrs[f] *= 0.5
+                    lr_wait[f] = 0
+            if stop_wait[f] >= patience:              # EarlyStopping
+                stopped[f] = True
+                lrs[f] = 0.0                          # bit-exact freeze
+        if verbose:
+            ticker = "  ".join(
+                f"fold{f}: val={val_loss[f]:.4f}"
+                + (" [stopped]" if stopped[f] else "") for f in range(k))
+            print(f"Epoch {epoch + 1}/{epochs} [x{k} folds]: {ticker} "
+                  f"({time.time() - start:.1f}s)")
+        if stopped.all():
+            break
+    return best_params, histories
 
 
 def _pack(inputs, labels, weights, batch_size):

@@ -124,3 +124,38 @@ def test_etl_cli_convert_and_merge(tmp_path, rng):
     assert main(["--merging", "ON", "--n_constituents", "7",
                  "--input_path", out, "--output_path", out]) == 0
     assert os.path.isfile(f"{out}/merging/merging.h5")
+
+
+def test_jetid_cli_sep_bkg_and_eta_region(out_dir, capsys):
+    """--sep_bkg per-background results + --eta_region composed valid
+    cuts on results re-evaluation (ref jet-ID/classifier.py:121-126,
+    utils.py:628-638); --runDiffPlots/--correlations accepted (dead
+    flags in the reference too)."""
+    from atlasvae.cli.jetid import main
+    out = str(out_dir / "jetid_sep")
+    # 3 classes so sep_bkg has individual backgrounds to split out
+    main(TINY + ["--n_classes", "3", "--n_epochs", "2", "--sep_bkg", "ON",
+                 "--runDiffPlots", "1", "--correlations", "ON",
+                 "--output_dir", out])
+    text = capsys.readouterr().out
+    assert "class 0 vs 1" in text and "class 0 vs 2" in text
+    assert "signal vs background" in text
+
+    # re-evaluation from saved results with a named eta window
+    main(["--results_in", "valid_results.pkl", "--eta_region", "0.0-1.3",
+          "--n_classes", "3", "--sep_bkg", "ON", "--plotting", "OFF",
+          "--output_dir", out])
+    text = capsys.readouterr().out
+    assert "valid_cuts kept" in text
+    assert "class 0 vs 2" in text
+
+
+def test_jetid_cli_n_eval_generator(out_dir, capsys):
+    """--n_eval restricts the per-epoch validation slice in generator
+    mode (ref jet-ID/classifier.py:113-114,261)."""
+    from atlasvae.cli.jetid import main
+    out = str(out_dir / "jetid_neval")
+    main(TINY + ["--generator", "ON", "--n_eval", "150", "--n_epochs", "2",
+                 "--output_dir", out])
+    text = capsys.readouterr().out
+    assert "Per-epoch validation on 150 of" in text
