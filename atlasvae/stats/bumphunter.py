@@ -724,6 +724,78 @@ def _batched_bump_sigma_jit(keys, data_hists, bkg_hists, widths, scan_steps,
     return jax.vmap(one)(keys, data_hists, bkg_hists)
 
 
+@functools.partial(jax.jit, static_argnames=("widths", "scan_steps", "npe",
+                                             "mode", "mesh", "axis"))
+def _bump_sigma_sharded_jit(keys, data_hist, bkg_hist, widths, scan_steps,
+                            npe, mode, mesh, axis):
+    nbins = data_hist.shape[0]
+
+    def scan_block(keys_block, data_hist, bkg_hist):
+        """t-statistics for one block of pseudo-experiments + the data."""
+        pseudo = jax.vmap(
+            lambda k: jax.random.poisson(k, bkg_hist, shape=(nbins,))
+        )(keys_block).astype(jnp.float32)
+        hists = jnp.concatenate([data_hist[None, :], pseudo])
+        non0 = bkg_hist > 0
+        idx = jnp.arange(nbins)
+        hinf = jnp.min(jnp.where(non0, idx, nbins))
+        hsup = jnp.max(jnp.where(non0, idx, -1)) + 1
+        min_logp, _, _, _, _ = scan_histograms(hists, bkg_hist, widths,
+                                               scan_steps, hinf, hsup, mode)
+        t = -min_logp
+        return t[0], jnp.sum(t[1:] >= t[0]), min_logp[0]
+
+    if mesh is None:
+        t_data, s, data_logp = scan_block(keys, data_hist, bkg_hist)
+    else:
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        def body(keys_local, data_hist, bkg_hist):
+            t_data, s_local, data_logp = scan_block(keys_local, data_hist,
+                                                    bkg_hist)
+            return t_data, jax.lax.psum(s_local, axis), data_logp
+
+        t_data, s, data_logp = shard_map(
+            body, mesh=mesh, in_specs=(P(axis), P(), P()),
+            out_specs=(P(), P(), P()), check_vma=False)(
+                keys, data_hist, bkg_hist)
+    global_logp = jnp.log(jnp.maximum(s, 1.0) / npe)
+    return (sigma_from_log_pval(data_logp), sigma_from_log_pval(global_logp),
+            t_data)
+
+
+def bump_sigma_sharded(data_hist, bkg_hist, widths, scan_steps, npe=1000,
+                       mode="excess", seed=0, mesh=None, axis="data"):
+    """Global BumpHunter scan with the pseudo-experiment axis sharded
+    over a device mesh.
+
+    The reference parallelizes its npe=1000 pseudo-experiment scans with
+    a ThreadPoolExecutor inside one process
+    (ref OE-VAE/BumpHunter/bumphunter_1dim.py:1108-1149 ``nworker``);
+    here the same workload scales across chips: each device scans its
+    shard of the pseudo-experiments and the exceedance COUNT is the only
+    collective (an integer psum over ICI), so the sharded result equals
+    the single-device result exactly — pseudo-data are drawn from
+    per-experiment fold keys, making each experiment's draw independent
+    of which device computes it (asserted in tests and exercised by the
+    driver's multichip dryrun).
+
+    Returns (local_sigma, global_sigma, t_data) scalars.
+    """
+    npe = int(npe)
+    if mesh is not None:
+        n_shard = mesh.shape[axis]
+        if npe % n_shard:
+            raise ValueError(f"npe={npe} must divide the '{axis}' mesh "
+                             f"axis size {n_shard}")
+    keys = jax.random.split(_threefry_key(seed), npe)
+    return _bump_sigma_sharded_jit(keys, jnp.asarray(data_hist, jnp.float32),
+                                   jnp.asarray(bkg_hist, jnp.float32),
+                                   tuple(widths), tuple(scan_steps), npe,
+                                   mode, mesh, axis)
+
+
 def batched_bump_sigma(data_hists, bkg_hists, widths, scan_steps, npe=1000,
                        mode="excess", seed=0):
     """Run independent BumpHunter scans for many (data, bkg) histogram

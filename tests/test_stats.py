@@ -4,6 +4,7 @@ implementation, global p-value behavior, extreme-significance regime."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from scipy.special import gammainc, gammaincc
 from scipy.stats import norm
 
@@ -155,6 +156,36 @@ def test_batched_bump_sigma(rng):
         data, bkgs, widths=(2, 3, 4), scan_steps=(1, 1, 1), npe=200))
     assert loc[2] > loc[1] > loc[0]
     assert np.isfinite(loc).all()
+
+
+def test_bump_sigma_sharded_matches_single_device(rng):
+    """The npe-sharded global scan (integer-psum exceedance count over
+    an 8-device mesh) must equal the single-device scan exactly — the
+    multi-chip replacement for the reference's nworker thread pool
+    (ref OE-VAE/BumpHunter/bumphunter_1dim.py:1108-1149)."""
+    import jax
+    from jax.sharding import Mesh
+    from atlasvae.stats.bumphunter import bump_sigma_sharded
+
+    edges = np.linspace(0, 400, 41)
+    bkg_m = rng.exponential(80, 50_000) + 20
+    bkg_hist = np.histogram(bkg_m, bins=edges)[0].astype(float)
+    sig_hist = np.histogram(rng.normal(250, 10, 1500),
+                            bins=edges)[0].astype(float)
+    data = bkg_hist + sig_hist
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    kw = dict(widths=(2, 3, 4), scan_steps=(1, 1, 1), npe=160, seed=5)
+    loc1, glob1, t1 = map(np.asarray,
+                          bump_sigma_sharded(data, bkg_hist, **kw))
+    locN, globN, tN = map(np.asarray,
+                          bump_sigma_sharded(data, bkg_hist, mesh=mesh, **kw))
+    np.testing.assert_array_equal(t1, tN)
+    np.testing.assert_array_equal(glob1, globN)
+    np.testing.assert_array_equal(loc1, locN)
+    assert loc1 > 1.0 and np.isfinite(glob1)
+    with pytest.raises(ValueError, match="must divide"):
+        bump_sigma_sharded(data, bkg_hist, widths=(2,), scan_steps=(1,),
+                           npe=161, mesh=mesh)
 
 
 def test_save_load_state_roundtrip():
