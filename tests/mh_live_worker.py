@@ -17,22 +17,25 @@ import os
 import sys
 
 PID, PORT = int(sys.argv[1]), sys.argv[2]
-os.environ.pop("XLA_FLAGS", None)  # parent pytest pins 8 host devices; we want 4
+NPROCS = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+LOCAL_DEVICES = 8 // NPROCS
+os.environ.pop("XLA_FLAGS", None)  # parent pytest pins 8 host devices
 os.environ["ATLASVAE_PLATFORM"] = "cpu"
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
 
-jax.config.update("jax_num_cpu_devices", 4)
+jax.config.update("jax_num_cpu_devices", LOCAL_DEVICES)
 
 from atlasvae.models import VAEConfig, init_vae
 from atlasvae.parallel.multihost import global_mesh, host_shard_range, initialize
 from atlasvae.train.step import batch_load, make_optimizer, make_vae_step_fns
 
-assert initialize(f"127.0.0.1:{PORT}", num_processes=2, process_id=PID) is True
-assert jax.process_count() == 2 and jax.process_index() == PID
-assert jax.device_count() == 8 and len(jax.local_devices()) == 4
+assert initialize(f"127.0.0.1:{PORT}", num_processes=NPROCS,
+                  process_id=PID) is True
+assert jax.process_count() == NPROCS and jax.process_index() == PID
+assert jax.device_count() == 8 and len(jax.local_devices()) == LOCAL_DEVICES
 
 # deterministic identical inputs on both processes
 cfg = VAEConfig(fc_layers=(16, 8), input_dim=6)
@@ -62,7 +65,8 @@ dp_step, _ = make_vae_step_fns(opt, "KLD", 1.0, 1.0, 1.0, mesh=mesh)
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 lo, hi = host_shard_range(batches[0].shape[1])  # rows of each batch
-assert (lo, hi) == (32 * PID, 32 * (PID + 1)), (lo, hi)
+rows = 64 // NPROCS
+assert (lo, hi) == (rows * PID, rows * (PID + 1)), (lo, hi)
 
 
 def to_global(b):

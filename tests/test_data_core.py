@@ -289,3 +289,102 @@ def test_registry_synthetic_fallback(tmp_path, monkeypatch):
     with h5py.File(tmp_path / "synthetic_QCD-Geneva.h5", "w") as f:
         f.create_dataset("m", data=np.arange(3.0))
     assert registry.get_file("QCD-Geneva").endswith("synthetic_QCD-Geneva.h5")
+
+
+# ---------------------------------------------------------------------------
+# Cuts-DSL / loader negative paths + property sweep (VERDICT r2 #8):
+# the reference eval()'s arbitrary strings and crashes on malformed input
+# (ref OE-VAE/utils.py:171-173); the DSL must error cleanly, NAMING the
+# offending token, and never execute anything.
+# ---------------------------------------------------------------------------
+
+def _dsl_sample(rng, n=500, with_nan=False):
+    s = {"m": rng.uniform(0, 300, n), "pt": rng.uniform(100, 4000, n),
+         "weights": rng.uniform(0.1, 2.0, n)}
+    if with_nan:
+        s["m"][::7] = np.nan
+        s["pt"][::11] = np.inf
+    return s
+
+
+@pytest.mark.parametrize("expr,token", [
+    ('sample["m"] >>= 3', "cannot parse"),           # syntax error
+    ('sample["m"] @ sample["pt"]', "MatMult"),       # disallowed operator
+    ('sample["nope"] > 1', "'nope'"),                # unknown key, named
+    ('sample[0] > 1', "string literals"),            # non-string key
+    ('other["m"] > 1', "sample[...]"),               # foreign name
+    ('sample', "subscript"),                         # bare dict
+    ('sample["m"].sum() > 1', "calls"),              # attribute/method call
+    ('min(sample["m"]) > 1', "calls"),               # non-whitelisted fn
+    ('__import__("os").system("true")', "calls"),    # injection
+    ('lambda: 1', "not allowed"),                    # lambda node
+    ('[x for x in sample]', "not allowed"),          # comprehension
+    ('sample["m"] if True else 0', "not allowed"),   # ternary
+    ('f"{sample}"', "not allowed"),                  # f-string
+])
+def test_cut_dsl_names_offending_token(expr, token, rng):
+    from atlasvae.utils.expr import evaluate_cut, CutError
+    with pytest.raises(CutError) as err:
+        evaluate_cut(expr, _dsl_sample(rng))
+    assert token.lower() in str(err.value).lower(), (
+        f"error for {expr!r} should name {token!r}: {err.value}")
+
+
+def test_sample_cuts_warns_and_skips_bad_cut(rng, capsys):
+    """A malformed cut must not kill the load: it is skipped with a
+    WARNING naming the cut, the valid cuts still apply."""
+    from atlasvae.data.loader import sample_cuts
+    s = _dsl_sample(rng)
+    out = sample_cuts(s, ['(sample["m"] >= 150)', 'os.system("true")'])
+    captured = capsys.readouterr().out
+    assert "WARNING: invalid cut" in captured and "os.system" in captured
+    assert (out["m"] >= 150).all() and len(out["m"]) < len(s["m"])
+
+
+def test_cut_dsl_nan_branches_select_false(rng):
+    """NaN/inf-laden branches: comparisons are False for NaN rows (numpy
+    semantics), no crash — downstream filtering handles the rest."""
+    from atlasvae.utils.expr import evaluate_cut
+    s = _dsl_sample(rng, with_nan=True)
+    with np.errstate(invalid="ignore"):
+        mask = evaluate_cut('(sample["m"] >= 0)', s)
+    assert mask.dtype == bool and not mask[::7].any()
+    with np.errstate(invalid="ignore"):
+        both = evaluate_cut('(sample["m"] >= 0) & (sample["pt"] <= 5000)', s)
+    assert not both[::11].any()
+
+
+def test_cut_dsl_property_sweep_vs_python_eval(rng):
+    """Property test: on randomly generated SAFE expressions the DSL must
+    agree exactly with Python eval over the same sample dict."""
+    from atlasvae.utils.expr import evaluate_cut
+    s = _dsl_sample(rng)
+    keys = ["m", "pt", "weights"]
+    ops = ["<", "<=", ">", ">=", "==", "!="]
+    funcs = ["abs", "sqrt", "log", ""]
+    for trial in range(60):
+        k1, k2 = rng.choice(keys, 2)
+        op1, op2 = rng.choice(ops, 2)
+        f = rng.choice(funcs)
+        c1, c2 = rng.uniform(0, 300, 2).round(2)
+        arith = rng.choice(["", " * 2", " + 10", " / 3"])
+        term1 = f'{f}(sample["{k1}"]{arith})' if f else f'(sample["{k1}"]{arith})'
+        expr = f'({term1} {op1} {c1})'
+        if trial % 2:
+            joiner = rng.choice(["&", "|"])
+            expr += f' {joiner} (sample["{k2}"] {op2} {c2})'
+        with np.errstate(invalid="ignore", divide="ignore"):
+            got = evaluate_cut(expr, s)
+            want = np.asarray(eval(expr, {"sample": s, "abs": np.abs,
+                                          "sqrt": np.sqrt, "log": np.log}),
+                              dtype=bool)
+        np.testing.assert_array_equal(got, want, err_msg=expr)
+
+
+def test_loader_empty_after_cuts_keeps_schema(synth_dir):
+    """A cut that removes everything must return a structurally intact
+    zero-row sample, not crash downstream."""
+    from atlasvae.data import load_data
+    s = load_data("QCD-Geneva", 500, cuts=['(sample["m"] >= 1e12)'])
+    assert len(s["m"]) == 0 and len(s["weights"]) == 0
+    assert set(s) >= {"m", "pt", "weights"}

@@ -29,19 +29,26 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def test_two_process_dp_step_matches_single_device():
+import pytest
+
+
+@pytest.mark.parametrize("n_procs", [2, 4])
+def test_multi_process_dp_step_matches_single_device(n_procs):
+    """2 procs x 4 devices and 4 procs x 2 devices (VERDICT r2 #9: shake
+    out process-count-dependent assumptions in host_shard_range / mesh
+    construction while it is cheap on the CPU backend)."""
     port = _free_port()
     env = dict(os.environ)
-    env.pop("XLA_FLAGS", None)  # workers set their own 4-device topology
+    env.pop("XLA_FLAGS", None)  # workers set their own local topology
     env["ATLASVAE_PLATFORM"] = "cpu"
-    procs = [subprocess.Popen([sys.executable, WORKER, str(pid), str(port)],
-                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                              text=True, env=env)
-             for pid in (0, 1)]
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, str(pid), str(port), str(n_procs)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for pid in range(n_procs)]
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=300)
             outs.append(out)
     finally:
         for p in procs:
@@ -49,6 +56,8 @@ def test_two_process_dp_step_matches_single_device():
                 p.kill()
                 p.wait()
     for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        assert p.returncode == 0, f"worker {pid}/{n_procs} failed:\n{out}"
         assert f"PARITY-OK proc={pid}" in out, out
-    assert "shard=[0,32)" in outs[0] and "shard=[32,64)" in outs[1]
+    rows = 64 // n_procs
+    for pid in range(n_procs):
+        assert f"shard=[{rows * pid},{rows * (pid + 1)})" in outs[pid]
