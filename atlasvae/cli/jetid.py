@@ -27,9 +27,10 @@ def build_parser():
     parser.add_argument("--vmap_folds", default="OFF",
                         help="ON: train all k folds as ONE vmapped device "
                              "program instead of sequentially (the "
-                             "reference runs one fold per Slurm task; the "
-                             "canonical model is tile-padding-bound so k "
-                             "folds cost ~1x, docs/PERF.md)")
+                             "reference runs one fold per Slurm task); "
+                             "pays XLA compile and per-call dispatch once "
+                             "instead of k times — MXU FLOPs still scale "
+                             "with k (see train/ensemble.py docstring)")
     parser.add_argument("--n_devices", default=0, type=int)   # was n_gpus
     parser.add_argument("--NN_type", default="FCN")
     parser.add_argument("--FCN_neurons", default=[200, 200], type=int, nargs="+")

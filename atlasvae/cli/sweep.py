@@ -8,9 +8,10 @@ sequential loop (one accelerator), an index lookup compatible with any
 array scheduler via ``--task_id``, or — the TPU-native path — a
 **vmapped ensemble** (``--vmap ON``, entry vae): grid axes over traced
 scalars (beta/lamb/margin/lr/seed) train as ONE device program with
-data prep shared, exploiting the measured tile-padding floor
-(docs/PERF.md: every canonical dense layer occupies one 128-lane MXU
-tile, so G configs cost ~1x).  Axes that change shapes or graphs
+data prep, transfer, and XLA compilation paid once instead of G times
+(measured: 1.24x aggregate step speedup on top of that — the step is
+MXU-bound so padded FLOPs still scale with G; bench.py sweep_vmap8,
+train/ensemble.py docstring).  Axes that change shapes or graphs
 (FC_layers, OE_type, ...) still form sequential groups.
 
 Usage:

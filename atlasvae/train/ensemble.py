@@ -3,12 +3,17 @@
 The reference distributes its hyper-parameter grid as Slurm array jobs —
 one full process (and GPU allocation) per configuration
 (ref OE-VAE/utils.py:597-600 ``grid_search``, OE-VAE/sbatch.sh:13-16).
-On TPU the measured structural floor makes that wasteful: every dense
-layer of the canonical model has K,N <= 128, so each matmul occupies a
-single 128-lane MXU tile regardless of true width (docs/PERF.md) — the
-chip is tile-padding-bound, and G same-shape configurations can train
-simultaneously for approximately the price of one by mapping the config
-axis onto the padding that is already being burned.
+On TPU, G same-shape configurations instead train simultaneously as one
+vmapped program.  Measured reality (bench.py ``sweep_vmap8``): the
+canonical step is MXU-bound and the batched dot_general's padded FLOPs
+scale linearly with G (each config's K,N <= 128 weight blocks pad to
+their own 128-lane tiles — configs cannot share a tile), so the
+aggregate speedup over G sequential runs is **1.24x** wall time, not
+~G.  The structural wins are operational and still decisive at sweep
+scale: ONE XLA compile instead of G (20-40 s each through the axon
+tunnel), data prep/transfer (pairing, reweighting, scaling,
+host->device at ~60 MB/s) paid once instead of G times, and one process
+instead of a Slurm array.
 
 Mechanics: ``beta``/``lamb``/``margin``/``lr`` are traced scalars and
 the PRNG key is per-config (train/step.py ``hyper_traced=True``), so

@@ -84,9 +84,9 @@ def make_jetid_fold_step_fns(optimizer, config):
     params, optimizer state, lr, key AND the data all carry the fold
     axis (each fold trains on its own complement), so k-fold
     cross-validation (ref jet-ID/utils.py:532-566; one Slurm task per
-    fold in the reference) runs as ONE device program on the
-    tile-padding headroom the canonical model leaves free
-    (docs/PERF.md)."""
+    fold in the reference) runs as ONE device program: one XLA compile
+    and one dispatch stream instead of k (MXU FLOPs still scale with k
+    — see train/ensemble.py docstring for the measured trade)."""
     raw_train, raw_eval = make_jetid_step_fns(optimizer, config, jit=False)
     train = jax.vmap(raw_train, in_axes=(0, 0, 0, 0, 0, 0, 0))
     evalf = jax.vmap(raw_eval, in_axes=(0, 0, 0, 0))
