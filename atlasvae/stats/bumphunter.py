@@ -787,8 +787,8 @@ def bump_sigma_sharded(data_hist, bkg_hist, widths, scan_steps, npe=1000,
     if mesh is not None:
         n_shard = mesh.shape[axis]
         if npe % n_shard:
-            raise ValueError(f"npe={npe} must divide the '{axis}' mesh "
-                             f"axis size {n_shard}")
+            raise ValueError(f"npe={npe} must be a multiple of the "
+                             f"'{axis}' mesh axis size {n_shard}")
     keys = jax.random.split(_threefry_key(seed), npe)
     return _bump_sigma_sharded_jit(keys, jnp.asarray(data_hist, jnp.float32),
                                    jnp.asarray(bkg_hist, jnp.float32),

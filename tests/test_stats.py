@@ -183,7 +183,7 @@ def test_bump_sigma_sharded_matches_single_device(rng):
     np.testing.assert_array_equal(glob1, globN)
     np.testing.assert_array_equal(loc1, locN)
     assert loc1 > 1.0 and np.isfinite(glob1)
-    with pytest.raises(ValueError, match="must divide"):
+    with pytest.raises(ValueError, match="must be a multiple"):
         bump_sigma_sharded(data, bkg_hist, widths=(2,), scan_steps=(1,),
                            npe=161, mesh=mesh)
 
