@@ -301,10 +301,16 @@ def run_ensemble(passthrough, names, value_rows, output_dirs):
     # shared data prep uses config 0's args (identical across configs
     # for everything non-vmappable by construction)
     lead = configs[0]
+    mesh = None
     if lead.n_devices not in (0, 1):
-        print("NOTE: ensemble training maps configs onto the chip's spare "
-              "MXU lanes; --n_devices is ignored (shard the config axis "
-              "across chips by splitting the grid instead)")
+        from ..parallel.mesh import config_mesh
+        if len(configs) % lead.n_devices == 0:
+            mesh = config_mesh(lead.n_devices)
+            print(f"Sharding the {len(configs)}-config axis over "
+                  f"{lead.n_devices} devices (zero-collective sweep)")
+        else:
+            print(f"NOTE: {len(configs)} configs not divisible by "
+                  f"--n_devices {lead.n_devices}; training on one device")
     out_root = _wire_paths(lead)
     for args in configs[1:]:
         _wire_paths(args)
@@ -332,7 +338,7 @@ def run_ensemble(passthrough, names, value_rows, output_dirs):
             lr=np.array([a.lr for a in configs], np.float32),
             hist_files=[a.hist_file for a in configs],
             model_outs=[a.model_out for a in configs],
-            seeds=[a.seed for a in configs])
+            seeds=[a.seed for a in configs], mesh=mesh)
 
     from ..train.ensemble import tree_slice
     for g, args in enumerate(configs):

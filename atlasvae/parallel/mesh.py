@@ -37,6 +37,25 @@ def data_parallel_mesh(n_devices=None):
     return make_mesh((("data", len(devices)),), devices)
 
 
+def config_mesh(n_devices=None):
+    """1-D mesh whose axis shards a *config* (ensemble/sweep/fold) axis:
+    each device trains its slice of the configurations with ZERO
+    collectives (the multi-chip form of the reference's Slurm job array,
+    ref OE-VAE/sbatch.sh:13-16 — communication-free by construction)."""
+    devices = jax.devices()[:n_devices] if n_devices else jax.devices()
+    return make_mesh((("config", len(devices)),), devices)
+
+
+def shard_leading(mesh, tree, axis="config"):
+    """Commit a stacked pytree with its leading dimension sharded over
+    ``axis`` (every leaf carries the stacked axis 0, see
+    train/ensemble.py stack_trees)."""
+    def put(x):
+        spec = [axis] + [None] * (np.ndim(x) - 1)
+        return jax.device_put(np.asarray(x), NamedSharding(mesh, P(*spec)))
+    return jax.tree.map(put, tree)
+
+
 def replicate(mesh, tree):
     """Replicate a pytree (params/opt state) across the mesh."""
     sharding = NamedSharding(mesh, P())

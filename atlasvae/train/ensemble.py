@@ -91,7 +91,8 @@ _split_keys = jax.jit(_split_keys)
 def train_ensemble(params_stack, hyper, train_sample, valid_sample,
                    oe_type="KLD", n_epochs=1, batch_size=5000, lr=1e-3,
                    hist_files=None, model_outs=None, seeds=None,
-                   activation="relu", valid_batch_size=int(1e6)):
+                   activation="relu", valid_batch_size=int(1e6),
+                   mesh=None, config_axis="config"):
     """Train G VAE configurations as one vmapped device program.
 
     ``params_stack``: pytree with leading config axis G (``stack_trees``
@@ -100,6 +101,13 @@ def train_ensemble(params_stack, hyper, train_sample, valid_sample,
     ``lr``: scalar or (G,) initial learning rates.
     ``seeds``: (G,) RNG seeds (default ``range(G)``), reproducing each
     sequential run's key sequence lane-for-lane.
+    ``mesh``: optional 1-D device mesh (``parallel.config_mesh``) whose
+    ``config_axis`` shards the config axis: each device trains G/n of
+    the configurations with ZERO collectives (data is replicated, every
+    batched op partitions cleanly along its config dimension) — the
+    multi-chip form of the reference's communication-free Slurm array.
+    G must be a multiple of the mesh axis size; per-config results are
+    unchanged (asserted vs the unsharded program in tests).
 
     Returns (params_stack, histories) — histories is a list of G dicts
     with the same keys/semantics as ``train_model``'s.
@@ -117,6 +125,17 @@ def train_ensemble(params_stack, hyper, train_sample, valid_sample,
 
     train_on_load, valid_losses = make_vae_ensemble_step_fns(
         optimizer, oe_type, activation)
+
+    if mesh is not None:
+        from ..parallel.mesh import shard_leading
+        n_shard = mesh.shape[config_axis]
+        if n_cfg % n_shard:
+            raise ValueError(
+                f"n_configs={n_cfg} must be a multiple of the "
+                f"'{config_axis}' mesh axis size {n_shard}")
+        params_stack = shard_leading(mesh, params_stack, config_axis)
+        opt_state = shard_leading(mesh, opt_state, config_axis)
+        keys = shard_leading(mesh, keys, config_axis)
 
     histories = []
     for g in range(n_cfg):
@@ -141,7 +160,8 @@ def train_ensemble(params_stack, hyper, train_sample, valid_sample,
                 (bkg_sample, ood_sample), (batch_size, 1),
                 lambda: batch_load(features(bkg_sample), features(ood_sample),
                                    bkg_sample["weights"],
-                                   ood_sample["weights"], batch_size, 1))
+                                   ood_sample["weights"], batch_size, 1),
+                mesh=mesh, data_axis=None)
             keys, subs = _split_keys(keys)
             params_stack, opt_state, metrics = train_on_load(
                 params_stack, opt_state, lrs, hyper, subs, *batches)
@@ -155,7 +175,8 @@ def train_ensemble(params_stack, hyper, train_sample, valid_sample,
                 (bkg_sample, ood_sample), (vbs, 1),
                 lambda: batch_load(features(bkg_sample), features(ood_sample),
                                    bkg_sample["weights"],
-                                   ood_sample["weights"], vbs, 1))
+                                   ood_sample["weights"], vbs, 1),
+                mesh=mesh, data_axis=None)
             keys, subs = _split_keys(keys)
             vmetrics = np.asarray(valid_losses(params_stack, hyper, subs,
                                                *batches))

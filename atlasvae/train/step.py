@@ -227,7 +227,10 @@ def device_put_load(batches, mesh=None, data_axis="data"):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         def put(b):
-            spec = P(*((None, data_axis) + (None,) * (b.ndim - 2)))
+            # data_axis=None -> replicate (config-sharded ensemble mode:
+            # every device sees the full load, train/ensemble.py)
+            spec = P() if data_axis is None else \
+                P(*((None, data_axis) + (None,) * (b.ndim - 2)))
             return jax.device_put(b, NamedSharding(mesh, spec))
 
         out = jax.tree.map(put, batches)

@@ -193,3 +193,42 @@ def test_kfold_vmapped_matches_sequential(tmp_path):
         _, vm_labels, vm_probs = pickle.load(f)
     np.testing.assert_array_equal(seq_labels, vm_labels)
     np.testing.assert_allclose(vm_probs, seq_probs, rtol=2e-3, atol=2e-4)
+
+
+def test_config_sharded_ensemble_matches_unsharded():
+    """G=8 configs sharded over an 8-device 'config' mesh (zero
+    collectives — each device trains one config, data replicated) must
+    reproduce the unsharded vmapped program's histories and weights."""
+    from atlasvae.parallel.mesh import config_mesh
+    from atlasvae.train.ensemble import train_ensemble
+
+    rng = np.random.default_rng(7)
+    train_s, valid_s = _toy_samples(rng)
+    cfg = VAEConfig(fc_layers=(16, 8), input_dim=12)
+    G = 8
+    hyper = tuple(np.linspace(0.5, 4.0, G).astype(np.float32)
+                  for _ in range(3))
+    lrs = np.full(G, 1e-3, np.float32)
+
+    def run(mesh):
+        stacked = stack_trees([init_vae(jax.random.PRNGKey(s), cfg)
+                               for s in range(G)])
+        return train_ensemble(stacked, hyper, train_s, valid_s, "MAE",
+                              n_epochs=3, batch_size=200, lr=lrs,
+                              mesh=mesh)
+
+    p1, h1 = run(None)
+    pN, hN = run(config_mesh(8))
+    for g in range(G):
+        for k in h1[g]:
+            np.testing.assert_allclose(hN[g][k], h1[g][k], rtol=1e-6,
+                                       err_msg=f"config {g} metric {k}")
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(pN)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-6,
+                                   atol=1e-7)
+    with pytest.raises(ValueError, match="must be a multiple"):
+        run_bad = stack_trees([init_vae(jax.random.PRNGKey(s), cfg)
+                               for s in range(6)])
+        train_ensemble(run_bad, tuple(h[:6] for h in hyper), train_s,
+                       valid_s, "MAE", n_epochs=1, batch_size=200,
+                       lr=lrs[:6], mesh=config_mesh(8))
