@@ -338,7 +338,9 @@ def run_ensemble(passthrough, names, value_rows, output_dirs):
             lr=np.array([a.lr for a in configs], np.float32),
             hist_files=[a.hist_file for a in configs],
             model_outs=[a.model_out for a in configs],
-            seeds=[a.seed for a in configs], mesh=mesh)
+            seeds=[a.seed for a in configs], mesh=mesh,
+            state_file=(out_root + "/" + lead.state_file
+                        if lead.state_file else None))
 
     from ..train.ensemble import tree_slice
     for g, args in enumerate(configs):

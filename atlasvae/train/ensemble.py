@@ -33,6 +33,7 @@ terminated config keeps its lane but freezes bit-exactly via lr=0
 (updates are scaled by the traced lr).
 """
 
+import os
 import time
 
 import jax
@@ -92,7 +93,7 @@ def train_ensemble(params_stack, hyper, train_sample, valid_sample,
                    oe_type="KLD", n_epochs=1, batch_size=5000, lr=1e-3,
                    hist_files=None, model_outs=None, seeds=None,
                    activation="relu", valid_batch_size=int(1e6),
-                   mesh=None, config_axis="config"):
+                   mesh=None, config_axis="config", state_file=None):
     """Train G VAE configurations as one vmapped device program.
 
     ``params_stack``: pytree with leading config axis G (``stack_trees``
@@ -146,6 +147,43 @@ def train_ensemble(params_stack, hyper, train_sample, valid_sample,
             h["OE"] = []
         h.update({"Train loss": [], "Valid loss": []})
         histories.append(h)
+
+    if state_file and os.path.isfile(state_file):
+        # full ensemble train state: every lane resumes bit-for-bit
+        # (params, Adam moments, per-config lr/plateau-count/stopped
+        # flags, RNG keys), matching train_model's state_file semantics
+        from .checkpoint import load_pytree, load_history
+        state = load_pytree(state_file, {
+            "params": params_stack, "opt": opt_state, "lrs": lrs,
+            "counts": counts, "stopped": np.zeros(n_cfg, np.int32),
+            "keys": np.asarray(keys)})
+        params_stack, opt_state = state["params"], state["opt"]
+        lrs = np.asarray(state["lrs"], np.float32)
+        counts = np.asarray(state["counts"], np.int64)
+        stopped = np.asarray(state["stopped"], bool)
+        keys = np.asarray(state["keys"])
+        if mesh is not None:
+            from ..parallel.mesh import shard_leading
+            params_stack = shard_leading(mesh, params_stack, config_axis)
+            opt_state = shard_leading(mesh, opt_state, config_axis)
+            keys = shard_leading(mesh, keys, config_axis)
+        if hist_files:
+            for g in range(n_cfg):
+                if os.path.isfile(hist_files[g]):
+                    histories[g] = load_history(hist_files[g])
+        print(f"Resuming ensemble train state from {state_file} "
+              f"({int(stopped.sum())}/{n_cfg} configs already stopped)")
+        if stopped.all():
+            print("All configs already terminated by the plateau schedule "
+                  "— not resuming past it")
+            return params_stack, histories
+
+    def _save_state():
+        from .checkpoint import save_pytree
+        save_pytree(state_file, {
+            "params": params_stack, "opt": opt_state, "lrs": lrs,
+            "counts": counts, "stopped": stopped.astype(np.int32),
+            "keys": np.asarray(keys)})
 
     load_cache = LoadCache()
     print(f"STARTING ENSEMBLE TRAINING ({n_cfg} configs, "
@@ -214,6 +252,8 @@ def train_ensemble(params_stack, hyper, train_sample, valid_sample,
             + (" [stopped]" if stopped[g] else "")
             for g in range(n_cfg))
         print(f"{ticker}  ({time.time() - start_time:.1f}s)")
+        if state_file:
+            _save_state()
         if stopped.all():
             print("All configs terminated by the plateau schedule")
             break

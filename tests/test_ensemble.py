@@ -232,3 +232,39 @@ def test_config_sharded_ensemble_matches_unsharded():
         train_ensemble(run_bad, tuple(h[:6] for h in hyper), train_s,
                        valid_s, "MAE", n_epochs=1, batch_size=200,
                        lr=lrs[:6], mesh=config_mesh(8))
+
+
+def test_ensemble_state_resume_bit_exact(tmp_path):
+    """Kill-and-resume: train 2+3 epochs with a state_file vs 5 straight
+    epochs — params, lrs, and histories must match bit-for-bit (the
+    ensemble analog of train_model's full-state resume)."""
+    from atlasvae.train.ensemble import train_ensemble
+
+    rng = np.random.default_rng(3)
+    train_s, valid_s = _toy_samples(rng)
+    cfg = VAEConfig(fc_layers=(16, 8), input_dim=12)
+    G = 3
+    hyper = tuple(np.linspace(0.5, 2.0, G).astype(np.float32)
+                  for _ in range(3))
+    hist_files = [str(tmp_path / f"h{g}.pkl") for g in range(G)]
+
+    def fresh():
+        return stack_trees([init_vae(jax.random.PRNGKey(s), cfg)
+                            for s in range(G)])
+
+    p_ref, h_ref = train_ensemble(fresh(), hyper, train_s, valid_s, "MAE",
+                                  n_epochs=5, batch_size=200)
+
+    state = str(tmp_path / "ens_state.npz")
+    train_ensemble(fresh(), hyper, train_s, valid_s, "MAE", n_epochs=2,
+                   batch_size=200, state_file=state, hist_files=hist_files)
+    p_res, h_res = train_ensemble(fresh(), hyper, train_s, valid_s, "MAE",
+                                  n_epochs=3, batch_size=200,
+                                  state_file=state, hist_files=hist_files)
+
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_res)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for g in range(G):
+        for k in h_ref[g]:
+            np.testing.assert_array_equal(h_res[g][k], h_ref[g][k],
+                                          err_msg=f"config {g} metric {k}")
