@@ -519,7 +519,7 @@ def main(argv=None):
             inputs_for(valid_idx), labels[valid_idx], names,
             init_fn=lambda i: init_jetid(jax.random.PRNGKey(i), config),
             epochs=max(2, args.n_epochs // 4), batch_size=batch_size,
-            lr=args.lr)
+            lr=args.lr, vmapped=on(args.vmap_folds))
         print("\nFEATURE-ABLATION RANKING (accuracy drop when removed):")
         for name, drop in sorted(drops.items(), key=lambda kv: -kv[1]):
             print(f"  {name:20s} {100 * drop:+.2f} %")

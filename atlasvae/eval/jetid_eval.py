@@ -265,11 +265,45 @@ def multi_cuts(labels, probs, step=0.2, multi=True):
     return results[results[:, 0].argsort()[::-1]]
 
 
+def _blank_column(d, i):
+    """Copy of an inputs dict with 2-D scalar column ``i`` zeroed."""
+    arrs = {k: np.array(v, np.float32, copy=True) for k, v in dict(d).items()}
+    for k in arrs:
+        if arrs[k].ndim == 2 and arrs[k].shape[1] > i:
+            arrs[k][:, i] = 0.0
+    return arrs
+
+
 def feature_removal(config, inputs, labels, valid_inputs, valid_labels,
-                    features, init_fn, epochs=10, batch_size=500, lr=1e-3):
+                    features, init_fn, epochs=10, batch_size=500, lr=1e-3,
+                    vmapped=False):
     """Feature-ablation ranking: retrain without each feature and compare
-    validation accuracy (ref jet-ID/utils.py:644-674).  Scalars-only.
-    Returns {feature: accuracy_drop}."""
+    validation accuracy (ref jet-ID/utils.py:644-674; the reference runs
+    one Slurm task per removed feature).  Scalars-only.
+    Returns {feature: accuracy_drop}.
+
+    ``vmapped=True`` trains all F+1 lanes (baseline + one per removed
+    feature) as ONE vmapped device program — same model shape, per-lane
+    blanked data — one XLA compile instead of F+1 (each sequential
+    ``train_classifier`` call rebuilds its jit wrappers and recompiles
+    through the remote tunnel)."""
+    if vmapped:
+        from ..train.jetid_loop import train_kfold_vmapped
+        ones_t = np.ones(len(labels), np.float32)
+        ones_v = np.ones(len(valid_labels), np.float32)
+        lanes = [dict(inputs)] + [_blank_column(inputs, i)
+                                  for i in range(len(features))]
+        v_lanes = [dict(valid_inputs)] + [_blank_column(valid_inputs, i)
+                                          for i in range(len(features))]
+        best, _ = train_kfold_vmapped(
+            [init_fn(i) for i in range(len(lanes))], config,
+            [(lane, labels, ones_t) for lane in lanes],
+            [(lane, valid_labels, ones_v) for lane in v_lanes],
+            epochs, batch_size, lr, verbose=False)
+        accs = [valid_accuracy(valid_labels,
+                               predict_classifier(p, config, v))
+                for p, v in zip(best, v_lanes)]
+        return {f: accs[0] - accs[1 + i] for i, f in enumerate(features)}
     base_params, _ = train_classifier(init_fn(0), config, inputs, labels,
                                       valid_inputs, valid_labels, epochs,
                                       batch_size, lr, verbose=False)
@@ -277,13 +311,7 @@ def feature_removal(config, inputs, labels, valid_inputs, valid_labels,
     base_acc = valid_accuracy(valid_labels, base_probs)
     drops = {}
     for i, feature in enumerate(features):
-        def blank(d):
-            d = dict(d)
-            arrs = {k: np.array(v, np.float32, copy=True) for k, v in d.items()}
-            for k in arrs:
-                if arrs[k].ndim == 2 and arrs[k].shape[1] > i:
-                    arrs[k][:, i] = 0.0
-            return arrs
+        blank = lambda d: _blank_column(d, i)
         params, _ = train_classifier(init_fn(i + 1), config, blank(inputs), labels,
                                      blank(valid_inputs), valid_labels, epochs,
                                      batch_size, lr, verbose=False)

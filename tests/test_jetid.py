@@ -240,3 +240,28 @@ def test_classifier_state_resume_bit_exact(tmp_path):
     assert h22["val_loss"] == h4["val_loss"][2:]
     for a, b in zip(jax.tree.leaves(p4), jax.tree.leaves(p22)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_feature_removal_vmapped_matches_sequential():
+    """Vmapped feature-ablation (all F+1 lanes in one program) must
+    reproduce the sequential ranking: the informative feature's removal
+    hurts most, and per-feature accuracy drops agree."""
+    from atlasvae.eval.jetid_eval import feature_removal
+    rng = np.random.default_rng(5)
+    n, dim = 1200, 4
+    # feature 2 carries (almost) all the signal; others are noise
+    y = rng.integers(0, 2, n)
+    x = rng.normal(0, 1, (n, dim)).astype(np.float32)
+    x[:, 2] += (2.5 * (1 - 2 * y)).astype(np.float32)
+    cfg = JetIDConfig(n_classes=2, scalars=("s",), scalar_dims=(dim,),
+                      nn_type="FCN", fcn_neurons=(16,), dropout=0.0)
+    names = [f"f{i}" for i in range(dim)]
+    kw = dict(epochs=6, batch_size=200, lr=3e-3)
+    common = (cfg, {"s": x[:900]}, y[:900], {"s": x[900:]}, y[900:], names)
+    init = lambda i: init_jetid(jax.random.PRNGKey(i), cfg)
+    seq = feature_removal(*common, init_fn=init, **kw)
+    vm = feature_removal(*common, init_fn=init, vmapped=True, **kw)
+    assert max(vm, key=vm.get) == max(seq, key=seq.get) == "f2"
+    assert vm["f2"] > 0.2
+    for f in names:
+        assert abs(vm[f] - seq[f]) < 0.05, (f, vm[f], seq[f])
