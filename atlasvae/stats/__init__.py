@@ -1,6 +1,8 @@
-from .bumphunter import (BumpHunter1D, scan_histograms, batched_bump_sigma,
-                         batched_local_sigma)
+from .bumphunter import (BumpHunter1D, BumpHunterInterface, scan_histograms,
+                         batched_bump_sigma, batched_local_sigma,
+                         bump_sigma_sharded)
 from .fit import fit_gaussian, gaussian
 
-__all__ = ["BumpHunter1D", "scan_histograms", "batched_bump_sigma",
-           "batched_local_sigma", "fit_gaussian", "gaussian"]
+__all__ = ["BumpHunter1D", "BumpHunterInterface", "scan_histograms",
+           "batched_bump_sigma", "batched_local_sigma", "bump_sigma_sharded",
+           "fit_gaussian", "gaussian"]

@@ -25,6 +25,7 @@ fraction of pseudo t >= t_data with the 0-case lower limit
 (ref :402-407).
 """
 
+import abc
 import functools
 
 import jax
@@ -32,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.gammainc import log_gammainc_lower, log_gammainc_upper, sigma_from_log_pval
+from .deprecation import deprecated, warn_legacy_arg
 
 
 # --------------------------------------------------------------- core scan
@@ -171,7 +173,19 @@ class BumpHunter1D:
                  nworker=4, sigma_limit=5, str_min=0.5, str_step=0.25,
                  str_scale="lin", signal_exp=None, flip_sig=True,
                  npe_inject=100, seed=None, use_sideband=False,
-                 sideband_width=None):
+                 sideband_width=None, Nworker=None, useSideBand=None,
+                 Npe=None):
+        # Legacy kwarg spellings, remapped with a FutureWarning
+        # (ref :149-151 decorators + :290-295 inline remap).
+        if useSideBand is not None:
+            warn_legacy_arg("BumpHunter1D", "useSideBand", "use_sideband")
+            use_sideband = useSideBand
+        if Nworker is not None:
+            warn_legacy_arg("BumpHunter1D", "Nworker", "nworker")
+            nworker = Nworker
+        if Npe is not None:
+            warn_legacy_arg("BumpHunter1D", "Npe", "npe")
+            npe = Npe
         self.rang = rang
         self.mode = mode
         self.width_min = width_min
@@ -459,6 +473,8 @@ class BumpHunter1D:
         else:
             bins = self.bins if is_hist or not np.isscalar(self.bins) else \
                 np.histogram_bin_edges(data, bins=self.bins, range=self.rang)
+            if np.isscalar(bins):  # is_hist scan with no edges: bin coords
+                bins = np.arange(int(bins) + 1)
             bmin = bins[self.min_loc_ar[0]]
             bmax = bins[self.min_loc_ar[0] + self.min_width_ar[0]]
         loc_sigma = float(sigma_from_log_pval(self.log_Pval_ar[0]))
@@ -480,9 +496,12 @@ class BumpHunter1D:
         return loc_sigma
 
     def plot_bump(self, data, bkg, is_hist=False, use_sideband=None, label="",
-                  filename=None, make_histo=False):
+                  filename=None, make_histo=False, useSideBand=None):
         """Per-bin signed significances + optional bump plot; returns
         (bin_sigma, (Bmin, Bmax)) (ref :1646-1860)."""
+        if useSideBand is not None:  # ref :1645 + :1696-1697
+            warn_legacy_arg("plot_bump", "useSideBand", "use_sideband")
+            use_sideband = useSideBand
         data_hist, bkg_hist = self._histogram(data, bkg, is_hist)
         bins = self.bins
         bmin = bins[self.min_loc_ar[0]]
@@ -660,6 +679,118 @@ class BumpHunter1D:
                 draw(True, log_name)
         else:
             draw(False, filename)
+
+    # -------------------------------------------- legacy API (deprecated)
+    # The reference keeps its pre-rename pyBumpHunter surface alive via
+    # warn-once FutureWarning shims (ref :724-727, :777-780, :914-917,
+    # :1228-1231, :1506-1509, :1640-1643, :1862-1865, :1916-1919,
+    # :2013-2016, :2130-2257); scripts written against old versions call
+    # these, so the rebuild carries the identical alias set.
+
+    @deprecated("Use `reset` instead.")
+    def Reset(self, *args, **kwargs):
+        return self.reset(*args, **kwargs)
+
+    @deprecated("Use `save_state` instead.")
+    def SaveState(self, *args, **kwargs):
+        return self.save_state(*args, **kwargs)
+
+    @deprecated("Use `load_state` instead.")
+    def LoadState(self, *args, **kwargs):
+        return self.load_state(*args, **kwargs)
+
+    @deprecated("Use `bump_scan` instead.")
+    def BumpScan(self, *args, **kwargs):
+        return self.bump_scan(*args, **kwargs)
+
+    @deprecated("Use `signal_inject` instead.")
+    def SignalInject(self, *args, **kwargs):
+        return self.signal_inject(*args, **kwargs)
+
+    @deprecated("Use `plot_tomography` instead.")
+    def GetTomography(self, *args, **kwargs):
+        return self.plot_tomography(*args, **kwargs)
+
+    @deprecated("Use `plot_bump` instead.")
+    def PlotBump(self, *args, **kwargs):
+        return self.plot_bump(*args, **kwargs)
+
+    @deprecated("Use `plot_stat` instead.")
+    def PlotBHstat(self, *args, **kwargs):
+        return self.plot_stat(*args, **kwargs)
+
+    @deprecated("Use `plot_inject` instead.")
+    def PlotInject(self, *args, **kwargs):
+        return self.plot_inject(*args, **kwargs)
+
+    @deprecated("Use `bump_info` instead.")
+    def print_bump_info(self):
+        """Local bump info in bin coordinates (ref :2130-2167).  The
+        reference's multi-channel branch prints per-channel p-values and
+        their product; significances come from the log-p state so p
+        underflow never saturates them (ref :2149 #DG uses -norm.ppf)."""
+        print("BUMP WINDOW")
+        print(f"   loc = {self.min_loc_ar[0]}")
+        print(f"   width = {self.min_width_ar[0]}")
+        min_p = self.min_Pval_ar[0]
+        if np.ndim(min_p) == 0:
+            print(f"   local p-value = {float(min_p):.5g}")
+            print(f"   -ln(loc p-value) = {float(self.t_ar[0]):.5f}")
+            sigma = float(sigma_from_log_pval(self.log_Pval_ar[0]))
+        else:
+            per_ch = "  ".join(f"{float(p):.5g}" for p in min_p)
+            print(f"   local p-value (per channel) = [ {per_ch}  ]")
+            print(f"   local p-value (combined) = {float(np.prod(min_p)):.5g}")
+            print(f"   -ln(loc p-value) (combined) = {float(self.t_ar[0]):.5f}")
+            sigma = float(sigma_from_log_pval(np.sum(self.log_Pval_ar[0])))
+        print(f"   local significance = {sigma:.5f}")
+        print("")
+
+    @deprecated("Use `print_bump_info` instead.")
+    def PrintBumpInfo(self, *args, **kwargs):
+        return self.print_bump_info(*args, **kwargs)
+
+    @deprecated("Use `bump_info` instead.")
+    def print_bump_true(self, data, bkg, is_hist=False):
+        """Global bump info in real (axis) scale (ref :2174-2251) —
+        delegates to bump_info, which prints the same real-scale window
+        plus the global p-value/significance lines."""
+        return self.bump_info(data, is_hist=is_hist, verbose=True)
+
+    @deprecated("Use `print_bump_true` instead.")
+    def PrintBumpTrue(self, *args, **kwargs):
+        return self.print_bump_true(*args, **kwargs)
+
+
+class BumpHunterInterface(metaclass=abc.ABCMeta):
+    """Abstract base for BumpHunter-style scanners (ref :2260-2353) —
+    part of the module's importable surface; user code subclasses it to
+    plug custom scanners into scripts typed against the reference."""
+
+    @abc.abstractmethod
+    def reset(self):
+        """Reset all inner result state."""
+
+    @abc.abstractmethod
+    def save_state(self):
+        """Return a dict snapshot of all parameters and results."""
+
+    @abc.abstractmethod
+    def load_state(self, state):
+        """Restore parameters/results from a save_state dict."""
+
+    @abc.abstractmethod
+    def bump_scan(self, data, bkg, is_hist, do_pseudo):
+        """Run the BumpHunter algorithm (arXiv:1101.0390)."""
+
+    @abc.abstractmethod
+    def signal_inject(self, sig, bkg, is_hist):
+        """Signal-injection sensitivity scan."""
+
+
+# BumpHunter1D satisfies the interface structurally; register it so
+# isinstance checks written against the ABC accept it.
+BumpHunterInterface.register(BumpHunter1D)
 
 
 # --------------------------------------------------- batched cut scanning

@@ -294,3 +294,46 @@ def test_plot_inject_saves_figure(tmp_path, rng):
     import os
     assert os.path.getsize(out) > 1000
     assert len(bh.str_ar) == len(bh.sigma_ar)
+
+
+def test_legacy_api_aliases(rng):
+    """The reference keeps the pre-rename pyBumpHunter surface alive via
+    FutureWarning shims (ref bumphunter_1dim.py:149-151, :724-727,
+    :1228-1231, :2130-2257): CamelCase methods and Npe/Nworker/useSideBand
+    kwargs must work, warn once, and hit the canonical implementations."""
+    with pytest.warns(FutureWarning, match="Npe.*deprecated"):
+        bh = BumpHunter1D(Npe=80, Nworker=2, useSideBand=False,
+                          width_min=2, width_max=4, bins=30, seed=0)
+    assert bh.npe == 80 and bh.nworker == 2 and bh.use_sideband is False
+
+    nbins = 30
+    ref = rng.uniform(60, 150, nbins).astype(np.float32)
+    hist = np.asarray(rng.poisson(ref), np.float32)
+    hist[12:15] += 80
+    with pytest.warns(FutureWarning, match="BumpScan.*deprecated"):
+        bh.BumpScan(hist, ref, is_hist=True)
+    canonical = BumpHunter1D(npe=80, width_min=2, width_max=4, bins=30, seed=0)
+    canonical.bump_scan(hist, ref, is_hist=True)
+    assert bh.min_loc_ar[0] == canonical.min_loc_ar[0]
+    assert bh.min_width_ar[0] == canonical.min_width_ar[0]
+    np.testing.assert_allclose(bh.t_ar, canonical.t_ar)
+
+    with pytest.warns(FutureWarning, match="SaveState.*deprecated"):
+        state = bh.SaveState()
+    bh2 = BumpHunter1D()
+    with pytest.warns(FutureWarning, match="LoadState.*deprecated"):
+        bh2.LoadState(state)
+    assert bh2.min_loc_ar[0] == bh.min_loc_ar[0]
+    with pytest.warns(FutureWarning, match="Reset.*deprecated"):
+        bh2.Reset()
+    assert bh2.min_Pval_ar == []
+
+    with pytest.warns(FutureWarning, match="print_bump_info.*deprecated"):
+        bh.print_bump_info()
+    with pytest.warns(FutureWarning, match="print_bump_true.*deprecated"):
+        sigma = bh.print_bump_true(hist, ref, is_hist=True)
+    assert sigma > 3.0
+
+    # One isinstance surface for code typed against the reference ABC.
+    from atlasvae.stats import BumpHunterInterface
+    assert isinstance(bh, BumpHunterInterface)
