@@ -103,7 +103,11 @@ def main(argv=None):
     hlv_scaler = const_scaler = None
     if args.model_in != out_root + "/" and os.path.isfile(args.model_in):
         print("\nLoading pre-trained weights from: " + args.model_in)
-        params = load_pytree(args.model_in, params)
+        if args.model_in.endswith(".h5"):  # reference-trained Keras file
+            from ..train.keras_import import load_keras_aae
+            params = load_keras_aae(args.model_in, params)
+        else:
+            params = load_pytree(args.model_in, params)
     if args.HLV_scaler_type and os.path.isfile(args.HLV_scaler_in):
         hlv_scaler = Scaler.load(args.HLV_scaler_in)
     if args.const_scaler_type and os.path.isfile(args.const_scaler_in):

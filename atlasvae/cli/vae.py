@@ -241,7 +241,11 @@ def main(argv=None):
     const_scaler = hlv_scaler = None
     if args.model_in != out_root + "/" and os.path.isfile(args.model_in):
         print("\nLoading pre-trained weights from: " + args.model_in)
-        params = load_weights(args.model_in, params)
+        if args.model_in.endswith(".h5"):  # reference-trained Keras file
+            from ..train.keras_import import load_keras_vae
+            params = load_keras_vae(args.model_in, params)
+        else:
+            params = load_weights(args.model_in, params)
     if args.const_scaler_type and os.path.isfile(args.const_scaler_in):
         const_scaler = Scaler.load(args.const_scaler_in)
     if args.HLV_scaler_type and os.path.isfile(args.HLV_scaler_in):

@@ -39,8 +39,57 @@ class Scaler:
 
     @staticmethod
     def load(path):
+        """Load a scaler pickle; a fitted sklearn transformer pickled by
+        the reference (ref OE-VAE/utils.py:404 `pickle.dump(scaler, ...)`)
+        is converted in place, so ``--HLV_scaler_in=HLV_RobustScaler.pkl``
+        files from reference runs drop straight in."""
         with open(path, "rb") as f:
-            return pickle.load(f)
+            obj = pickle.load(f)
+        if isinstance(obj, Scaler):
+            return obj
+        return Scaler.from_sklearn(obj)
+
+    @staticmethod
+    def from_sklearn(obj):
+        """Convert a fitted sklearn transformer into the equivalent
+        parameter pytree (the four types the reference fits,
+        ref OE-VAE/utils.py:393-400)."""
+        name = type(obj).__name__
+        if name == "QuantileTransformer":
+            if getattr(obj, "output_distribution", None) != "normal":
+                raise ValueError(
+                    "only output_distribution='normal' QuantileTransformers "
+                    "are supported (the reference always fits 'normal', "
+                    f"got {obj.output_distribution!r})")
+            return Scaler(kind="quantile-normal",
+                          quantiles=np.asarray(obj.quantiles_, np.float32))
+        if name == "RobustScaler":
+            scale = (np.asarray(obj.scale_, np.float64)
+                     if obj.with_scaling else np.ones(len(obj.center_)))
+            center = (np.asarray(obj.center_, np.float64)
+                      if obj.with_centering else np.zeros_like(scale))
+            return Scaler(kind="robust", center=center.astype(np.float32),
+                          scale=scale.astype(np.float32))
+        if name == "PowerTransformer":
+            if getattr(obj, "method", "yeo-johnson") != "yeo-johnson":
+                raise ValueError("only method='yeo-johnson' PowerTransformers"
+                                 f" are supported, got {obj.method!r}")
+            lams = np.asarray(obj.lambdas_, np.float64)
+            if obj.standardize:
+                center = np.asarray(obj._scaler.mean_, np.float64)
+                scale = np.asarray(obj._scaler.scale_, np.float64)
+            else:
+                center, scale = np.zeros_like(lams), np.ones_like(lams)
+            return Scaler(kind="power-yj", lambdas=lams.astype(np.float32),
+                          center=center.astype(np.float32),
+                          scale=scale.astype(np.float32))
+        if name == "MaxAbsScaler":
+            return Scaler(kind="maxabs",
+                          scale=np.asarray(obj.scale_, np.float32))
+        raise TypeError(f"cannot convert {name!r} to an atlasvae Scaler; "
+                        "supported: QuantileTransformer(normal), "
+                        "RobustScaler, PowerTransformer(yeo-johnson), "
+                        "MaxAbsScaler")
 
 
 # ---------------------------------------------------------------- fitting

@@ -388,3 +388,47 @@ def test_loader_empty_after_cuts_keeps_schema(synth_dir):
     s = load_data("QCD-Geneva", 500, cuts=['(sample["m"] >= 1e12)'])
     assert len(s["m"]) == 0 and len(s["weights"]) == 0
     assert set(s) >= {"m", "pt", "weights"}
+
+
+def test_scaler_load_converts_reference_sklearn_pickles(rng, tmp_path):
+    """Reference runs leave pickled *sklearn* transformers on disk
+    (ref OE-VAE/utils.py:404); --*_scaler_in must accept them.  Each of
+    the four types the reference fits (ref :393-400) is pickled exactly
+    as the reference does, loaded via Scaler.load, and its transform
+    checked against sklearn's own."""
+    import pickle
+    from sklearn import preprocessing
+    from atlasvae.data.scalers import Scaler, apply_scaler
+
+    x = rng.normal(2.0, 3.0, (4000, 5)).astype(np.float64)
+    x[:, 3] = np.abs(x[:, 3])  # keep one strictly-positive column
+    fits = {
+        "QuantileTransformer": preprocessing.QuantileTransformer(
+            output_distribution="normal", n_quantiles=1000, random_state=0),
+        "PowerTransformer": preprocessing.PowerTransformer(),
+        "RobustScaler": preprocessing.RobustScaler(),
+        "MaxAbsScaler": preprocessing.MaxAbsScaler(),
+    }
+    for name, sk in fits.items():
+        sk.fit(x)
+        path = tmp_path / f"HLV_{name}.pkl"
+        with open(path, "wb") as f:
+            pickle.dump(sk, f)
+        scaler = Scaler.load(path)
+        ours = np.asarray(apply_scaler(x.astype(np.float32), 3, scaler,
+                                       verbose=False))
+        theirs = sk.transform(x)
+        # interior agreement; quantile tails saturate at clipped +-5.2 sigma
+        # in both (sklearn BOUNDS_THRESHOLD vs our p-clip), compare the bulk
+        if name == "QuantileTransformer":
+            mask = np.abs(theirs) < 4.0
+            assert mask.mean() > 0.95
+            np.testing.assert_allclose(ours[mask], theirs[mask], atol=0.05)
+        else:
+            np.testing.assert_allclose(ours, theirs, rtol=2e-3, atol=2e-3)
+
+    with pytest.raises(TypeError, match="cannot convert"):
+        Scaler.from_sklearn(preprocessing.StandardScaler().fit(x))
+    with pytest.raises(ValueError, match="output_distribution"):
+        Scaler.from_sklearn(
+            preprocessing.QuantileTransformer(n_quantiles=100).fit(x))
