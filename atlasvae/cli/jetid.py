@@ -507,7 +507,11 @@ def main(argv=None):
             batch_size, args.lr, args.patience, class_weight, sample_weight,
             model_out, state_file=state_file)
     elif args.model_in and os.path.isfile(out_root + "/" + args.model_in):
-        params = load_pytree(out_root + "/" + args.model_in, params)
+        if args.model_in.endswith(".h5"):  # reference-trained Keras file
+            from ..train.keras_import import load_keras_jetid
+            params = load_keras_jetid(out_root + "/" + args.model_in, params)
+        else:
+            params = load_pytree(out_root + "/" + args.model_in, params)
 
     if on(args.feature_removal) and scalars:
         # feature-ablation ranking over the HLV columns

@@ -163,6 +163,73 @@ def _load_component(pairs, component, template, path):
     return {"hidden": hidden, "out": _assign(template["out"], k, b, p)}
 
 
+def load_keras_jetid(path, template):
+    """Map a jet-ID ``model.h5`` (the flat functional graph of
+    ref jet-ID/models.py:9-66) onto an ``init_jetid`` pytree.
+
+    Dense layers are created in a fixed order — constituents branch,
+    scalars branch, trunk FCN, softmax head (ref :40-66) — so they are
+    assigned by Keras auto-name suffix order with shape validation.
+    Conv towers are matched by their *kernel-shape signature* (the
+    per-shape tower loop iterates a Python ``set``, ref :15, so tower
+    order in the file is not reproducible); two towers with identical
+    signatures cannot be told apart and raise."""
+    pairs = _dense_pairs(read_keras_weights(path))
+    dense = sorted(((p, k, b) for p, (k, b) in pairs.items() if k.ndim == 2),
+                   key=lambda t: _suffix_index(t[0]))
+    convs = sorted(((p, k, b) for p, (k, b) in pairs.items() if k.ndim > 2),
+                   key=lambda t: _suffix_index(t[0]))
+    out = {}
+
+    if "towers" in template:
+        remaining = list(convs)
+        out["towers"] = {}
+        for tower_name, t_convs in template["towers"].items():
+            want = [tuple(c["w"].shape) for c in t_convs]
+            starts = [i for i in range(len(remaining) - len(want) + 1)
+                      if [tuple(k.shape)
+                          for _, k, _ in remaining[i:i + len(want)]] == want]
+            if not starts:
+                raise ValueError(
+                    f"{path}: no conv run matches tower {tower_name!r} "
+                    f"(expected kernel shapes {want})")
+            if len(starts) > 1:
+                raise ValueError(
+                    f"{path}: conv towers with identical kernel signatures "
+                    f"({tower_name!r}) cannot be matched by weights alone — "
+                    "use the .npz pytree checkpoint format instead")
+            i = starts[0]
+            run, remaining = (remaining[i:i + len(want)],
+                              remaining[:i] + remaining[i + len(want):])
+            out["towers"][tower_name] = [
+                _assign(t_convs[j], k, b, p) for j, (p, k, b) in enumerate(run)]
+        if remaining:
+            raise ValueError(f"{path}: {len(remaining)} conv layers in file "
+                             "not matched by any tower in the model config")
+    elif convs:
+        raise ValueError(f"{path}: file contains conv layers but the model "
+                         "config has no CNN towers (check --NN_type)")
+
+    stacks = []
+    for comp in ("constituents", "scalars", "head"):
+        if comp in template:
+            stacks.append((comp, list(template[comp])))
+    stacks.append(("out", [template["out"]]))
+    want = sum(len(s) for _, s in stacks)
+    if len(dense) != want:
+        raise ValueError(f"{path}: {len(dense)} dense layers in file, model "
+                         f"expects {want} — check branch/FCN_neurons config")
+    i = 0
+    for comp, layers in stacks:
+        mapped = []
+        for layer in layers:
+            p, k, b = dense[i]
+            mapped.append(_assign(layer, k, b, p))
+            i += 1
+        out[comp] = mapped if comp != "out" else mapped[0]
+    return out
+
+
 def load_keras_aae(path, template):
     """Map an OE-AAE ``model.h5`` / ``AAE.h5`` onto an ``init_aae``
     pytree.  Accepts the combined AAE file (ENCODER + DECODER +

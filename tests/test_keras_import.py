@@ -233,3 +233,91 @@ def test_keras_import_shape_mismatch_errors(tmp_path):
     template = init_vae(jax.random.PRNGKey(0), config)
     with pytest.raises(ValueError, match="shape mismatch"):
         load_keras_vae(path, template)
+
+
+def test_real_keras_jetid_cnn_import(tmp_path):
+    """Reference jet-ID functional graph (one conv tower + scalars branch
+    + trunk + softmax head, ref jet-ID/models.py:9-66) built in the
+    installed tf.keras, saved, imported, and checked by forward parity."""
+    tf = pytest.importorskip("tensorflow")
+    from tensorflow.keras import layers, models
+    from atlasvae.models.jetid import JetIDConfig, init_jetid, jetid_apply
+
+    h, w, sdim = 13, 11, 16
+    img_in = layers.Input(shape=(h, w), name="image")
+    sc_in = layers.Input(shape=(sdim,), name="scalars")
+    x = layers.Reshape((h, w, 1))(img_in)
+    for _ in range(2):
+        x = layers.Conv2D(8, (3, 3))(x)
+        x = layers.MaxPooling2D((2, 2), padding="same")(x)
+        x = layers.LeakyReLU(negative_slope=0.0)(x)
+    tower = layers.Flatten()(x)
+    s = layers.Dense(16)(layers.Flatten()(sc_in))
+    s = layers.LeakyReLU(negative_slope=0.0)(s)
+    cat = layers.concatenate([tower, s])
+    t = layers.Dense(32)(cat)
+    t = layers.LeakyReLU(negative_slope=0.0)(t)
+    out = layers.Dense(2, activation="softmax")(t)
+    model = models.Model(inputs=[img_in, sc_in], outputs=out)
+
+    rng = np.random.default_rng(4)
+    xi = rng.normal(size=(8, h, w)).astype(np.float32)
+    xs = rng.normal(size=(8, sdim)).astype(np.float32)
+    ref_out = np.asarray(model([xi, xs]))
+    path = str(tmp_path / "model.weights.h5")
+    model.save_weights(path)
+
+    config = JetIDConfig(n_classes=2, scalars=("scalars",), scalar_dims=(sdim,),
+                         images=("image",), image_shapes=((h, w),),
+                         nn_type="CNN", fcn_neurons=(32,), branch_neurons=(16,),
+                         cnn_maps=(8, 8), cnn_kernels=((3, 3), (3, 3)),
+                         cnn_pools=((2, 2), (2, 2)), dropout=0.0)
+    import jax
+    from atlasvae.train.keras_import import load_keras_jetid
+    template = init_jetid(jax.random.PRNGKey(0), config)
+    params = load_keras_jetid(path, template)
+    ours = np.asarray(jetid_apply(params, config, {"image": xi, "scalars": xs},
+                                  train=False))
+    np.testing.assert_allclose(ours, ref_out, rtol=1e-5, atol=1e-5)
+
+
+def test_keras2_legacy_jetid_fcn_file(tmp_path):
+    """FCN-type file (no convs): dense creation order is scalars branch,
+    trunk, head (ref jet-ID/models.py:40-66)."""
+    import jax
+    from atlasvae.models.jetid import JetIDConfig, init_jetid
+    from atlasvae.train.keras_import import load_keras_jetid
+    rng = np.random.default_rng(5)
+    s0 = _dense(rng, 10, 6)
+    t0, t1 = _dense(rng, 6, 8), _dense(rng, 8, 8)
+    o = _dense(rng, 8, 3)
+
+    def wpair(prefix, wb):
+        return [(f"{prefix}/kernel:0", wb[0]), (f"{prefix}/bias:0", wb[1])]
+
+    path = str(tmp_path / "model.h5")
+    _write_keras2_file(path, {
+        "dense": wpair("dense", s0), "dense_1": wpair("dense_1", t0),
+        "dense_2": wpair("dense_2", t1), "dense_3": wpair("dense_3", o),
+    })
+    config = JetIDConfig(n_classes=3, scalars=("scalars",), scalar_dims=(10,),
+                         nn_type="FCN", fcn_neurons=(6, 8, 8)[1:],
+                         branch_neurons=(6,))
+    template = init_jetid(jax.random.PRNGKey(0), config)
+    params = load_keras_jetid(path, template)
+    np.testing.assert_array_equal(params["scalars"][0]["w"], s0[0])
+    np.testing.assert_array_equal(params["head"][0]["w"], t0[0])
+    np.testing.assert_array_equal(params["head"][1]["b"], t1[1])
+    np.testing.assert_array_equal(params["out"]["w"], o[0])
+
+    # file with conv layers but FCN config must refuse
+    bad = str(tmp_path / "bad.h5")
+    conv_k = rng.normal(size=(3, 3, 1, 4)).astype(np.float32)
+    conv_b = rng.normal(size=(4,)).astype(np.float32)
+    _write_keras2_file(bad, {
+        "conv2d": [("conv2d/kernel:0", conv_k), ("conv2d/bias:0", conv_b)],
+        "dense": wpair("dense", s0), "dense_1": wpair("dense_1", t0),
+        "dense_2": wpair("dense_2", t1), "dense_3": wpair("dense_3", o),
+    })
+    with pytest.raises(ValueError, match="conv layers"):
+        load_keras_jetid(bad, template)
