@@ -17,7 +17,13 @@ def build_parser():
                                  "UFO-ttbar", "BSM"])
     parser.add_argument("--n_constituents", default="unknown")
     parser.add_argument("--merging", default="OFF")
-    parser.add_argument("--tag", default=0, type=int)
+    # list-valued as in the reference (ref tools/root2h5.py:15 nargs='+');
+    # only the first tag selects the DSID block (ref :100 args.tag[0])
+    parser.add_argument("--tag", "--names-list", nargs="+", default=[0])
+    # uproot array-library knob (ref :14, root2h5.sh:12-13); accepted for
+    # drop-in command lines, irrelevant here (reading is vectorized
+    # regardless of backend)
+    parser.add_argument("--library", default="np", choices=["np", "ak"])
     parser.add_argument("--input_path", default=".")
     parser.add_argument("--output_path", default=".")
     parser.add_argument("--tree", default="nominal")
@@ -40,7 +46,7 @@ def main(argv=None):
         print("Merged into:", out)
         return 0
     out = convert(args.input_path, args.output_path, args.sample_type,
-                  n_const, args.tag, tree=args.tree,
+                  n_const, int(args.tag[0]), tree=args.tree,
                   extra_branches=args.extra_branches)
     print("Converted to:", out)
     return 0

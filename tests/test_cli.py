@@ -116,7 +116,10 @@ def test_etl_cli_convert_and_merge(tmp_path, rng):
     rootio.write_tree(str(d / "part._000001.root"), "nominal", data)
 
     out = str(tmp_path / "out")
-    assert main(["--sample_type", "topo-dijet", "--tag", "1",
+    # --tag is list-valued (only tag[0] selects the DSID, ref :100) and
+    # --library is accepted as in root2h5.sh:12-13
+    assert main(["--sample_type", "topo-dijet", "--tag", "1", "5",
+                 "--library", "ak",
                  "--input_path", str(tmp_path / "in"), "--output_path", out,
                  "--extra_branches", "NPV"]) == 0
     with h5py.File(f"{out}/topo-dijet_361024.h5") as f:
