@@ -133,6 +133,17 @@ def main():
     if args.transfer_dtype:
         os.environ["ATLASVAE_TRANSFER_DTYPE"] = args.transfer_dtype
 
+    # the soak is host-prep-bound on this 1-core VM: gate the number on
+    # host memory health so a degraded hypervisor (fresh-page faults at
+    # ~10-35 MB/s, see hostmem_probe.py) cannot masquerade as a
+    # framework regression
+    from hostmem_probe import probe
+    mem_health = probe()
+    print(f"host memory: fresh {mem_health['fresh_mb_s']} MB/s, "
+          f"warm {mem_health['warm_mb_s']} MB/s"
+          + ("  [DEGRADED — numbers will measure the hypervisor, "
+             "not the framework]" if mem_health["degraded"] else ""))
+
     import jax
     from atlasvae.data import registry
     from atlasvae.data.loader import load_data
@@ -214,6 +225,8 @@ def main():
         "transfer_dtype": args.transfer_dtype or "float32",
         "input_dim": input_dim,
         "backend": jax.default_backend(),
+        "hostmem_fresh_mb_s": mem_health["fresh_mb_s"],
+        "hostmem_degraded": mem_health["degraded"],
     }
     print(json.dumps(result))
     return 0
