@@ -106,7 +106,11 @@ def _read_tstring(buf, pos):
     if n == 255:
         n = struct.unpack_from(">I", buf, pos)[0]
         pos += 4
-    return buf[pos:pos + n].decode(), pos + n
+    try:
+        return buf[pos:pos + n].decode(), pos + n
+    except UnicodeDecodeError as e:
+        raise CorruptRecordError(
+            f"TString at offset {pos} is not valid UTF-8 ({e})") from e
 
 
 def _bc(body):
@@ -613,14 +617,25 @@ class _Cursor:
         return s
 
     def cstring(self):
-        end = self.buf.index(b"\x00", self.pos)
-        s = self.buf[self.pos:end].decode()
+        end = self.buf.find(b"\x00", self.pos)
+        if end < 0:
+            raise CorruptRecordError(
+                f"unterminated C string at offset {self.map_pos(self.pos)}")
+        try:
+            s = self.buf[self.pos:end].decode()
+        except UnicodeDecodeError as e:
+            raise CorruptRecordError(
+                f"C string at offset {self.map_pos(self.pos)} is not valid "
+                f"UTF-8 ({e})") from e
         self.pos = end + 1
         return s
 
     def bytecount(self):
         bc = self.field(">I")
-        assert bc & K_BYTE_COUNT_MASK, "expected byte-count framing"
+        if not bc & K_BYTE_COUNT_MASK:
+            raise CorruptRecordError(
+                f"expected byte-count framing at offset "
+                f"{self.map_pos(self.pos - 4)}, got 0x{bc:08x}")
         return (bc & ~K_BYTE_COUNT_MASK), self.pos
 
     def versioned(self):
@@ -877,8 +892,23 @@ class Tree:
         leaf-list or vector<T>), or list of per-entry lists of arrays
         (vector<vector<T>>)."""
         br = self.branches[name]
-        if br.element_class is not None:
-            return self._stl_array(br)
+        # Basket payloads are untrusted bytes: corrupted trailer fields
+        # (fLast, fNevBuf, element counts) surface from numpy/struct as
+        # bare ValueError/struct.error — convert them to the named
+        # RootIOError family at this boundary.
+        try:
+            if br.element_class is not None:
+                return self._stl_array(br)
+            return self._leaf_array(br)
+        except RootIOError:
+            raise
+        except (ValueError, struct.error, OverflowError, IndexError) as e:
+            raise CorruptRecordError(
+                f"branch {name!r}: basket decode failed on malformed data "
+                f"({type(e).__name__}: {e})") from e
+
+    def _leaf_array(self, br):
+        """Decode a flat or counter-jagged leaf-list branch."""
         leaf = br.leaves[0]
         dtype = leaf.dtype
         jagged = (leaf.leafcount is not None
@@ -890,6 +920,11 @@ class Tree:
                 struct.unpack_from(">hiiiiB", self.buf, key.trailer_pos)
             payload = key.payload(self.buf)
             border = flast - key.keylen
+            if not 0 <= border <= len(payload):
+                raise CorruptRecordError(
+                    f"branch {br.name!r}: basket at offset {seek} claims "
+                    f"data border {border} outside its {len(payload)}-byte "
+                    f"payload (corrupt fLast?)")
             datas.append(np.frombuffer(payload, dtype,
                                        border // dtype.itemsize, 0))
             if jagged and key.objlen > border:
@@ -907,7 +942,7 @@ class Tree:
         elif leaf.leafcount is not None:
             cnt = np.asarray(self.array(leaf.leafcount.name), np.int64)
         else:
-            raise ValueError(f"cannot infer entry offsets for {name}")
+            raise ValueError(f"cannot infer entry offsets for {br.name}")
         splits = np.cumsum(cnt)[:-1]
         return np.split(flat, splits)
 

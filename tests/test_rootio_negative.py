@@ -23,7 +23,10 @@ def written(tmp_path, rng):
     n = 4000
     branches = {"pt": rng.uniform(0, 100, n).astype(np.float32),
                 "trk": [rng.normal(size=c).astype(np.float32)
-                        for c in rng.integers(0, 5, n)]}
+                        for c in rng.integers(0, 5, n)],
+                "vv": [[rng.normal(size=k).astype(np.float32)
+                        for k in rng.integers(0, 3, c)]
+                       for c in rng.integers(0, 3, n)]}
     path = str(tmp_path / "ok.root")
     rootio.write_tree(path, "nominal", branches, basket_entries=1024)
     return path, branches
@@ -201,10 +204,10 @@ def test_random_flip_sweep_never_unnamed(tmp_path, written):
     buf = bytearray(open(path, "rb").read())
     r = np.random.default_rng(1)
     p = tmp_path / "flip.root"
-    for _ in range(80):
+    for _ in range(160):
         i = int(r.integers(0, len(buf)))
         orig = buf[i]
-        buf[i] ^= 0xFF
+        buf[i] ^= int(r.integers(1, 256))   # any corruption, not just ~x
         p.write_bytes(bytes(buf))
         try:
             t = rootio.read_tree(str(p), "nominal")
