@@ -58,7 +58,7 @@ def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def _timed(fn, fetch, reps=3):
+def _timed(fn, fetch, reps=9):
     """Median wall of fn(); fetch(out) must move data to host —
     block_until_ready does NOT synchronize through the axon tunnel."""
     times = []
@@ -106,7 +106,7 @@ def bench_vae(jax, jnp):
         state[0], state[1] = p, o
         return m
 
-    train_jps = n / _timed(step, lambda m: np.asarray(m), reps=5)
+    train_jps = n / _timed(step, lambda m: np.asarray(m), reps=11)
 
     # inference: deterministic encoder via the fused dense-stack kernel
     stack = (params["encoder"]["hidden"] + [params["encoder"]["mean"]])
@@ -114,7 +114,7 @@ def bench_vae(jax, jnp):
     _log("compiling fused inference kernel...")
     np.asarray(fused_mlp_apply(stack, xb)[:1])
     infer_jps = n / _timed(lambda: fused_mlp_apply(stack, xb),
-                           lambda out: np.asarray(out[-1:]), reps=5)
+                           lambda out: np.asarray(out[-1:]), reps=11)
     return train_jps, infer_jps
 
 
@@ -153,7 +153,7 @@ def bench_sweep(jax, train_jps):
 
     _log("compiling vmapped 8-config sweep step...")
     np.asarray(step())
-    sweep_jps = G * n / _timed(step, lambda m: np.asarray(m), reps=3)
+    sweep_jps = G * n / _timed(step, lambda m: np.asarray(m), reps=7)
     return sweep_jps, sweep_jps / train_jps
 
 
@@ -192,7 +192,7 @@ def bench_aae(jax):
 
     _log("compiling AAE phase epochs...")
     np.asarray(cycle())
-    return 3 * n / _timed(cycle, lambda m: np.asarray(m), reps=3)
+    return 3 * n / _timed(cycle, lambda m: np.asarray(m), reps=9)
 
 
 def bench_jetid(jax):
@@ -227,7 +227,7 @@ def bench_jetid(jax):
 
     _log("compiling jet-ID train epoch...")
     np.asarray(epoch())
-    return n / _timed(epoch, lambda m: np.asarray(m), reps=3)
+    return n / _timed(epoch, lambda m: np.asarray(m), reps=9)
 
 
 def bench_bump(jax):
@@ -245,11 +245,30 @@ def bench_bump(jax):
     np.asarray(batched_bump_sigma(data[:1], bkg[None], widths, steps, npe=1000)[1])
     local = _timed(lambda: batched_local_sigma(data, np.tile(bkg, (101, 1)),
                                                widths, steps),
-                   lambda out: np.asarray(out[0]), reps=3)
+                   lambda out: np.asarray(out[0]), reps=9)
     glob = _timed(lambda: batched_bump_sigma(data[:1], bkg[None], widths,
                                              steps, npe=1000),
-                  lambda out: np.asarray(out[1]), reps=3)
+                  lambda out: np.asarray(out[1]), reps=9)
     return local + glob
+
+
+def _host_health():
+    """Small host-memory probe (benchmarks/hostmem_probe.py) so recorded
+    numbers carry their environmental context: this VM intermittently
+    degrades to ~3-35 MB/s fresh-page faults (vs ~3 GB/s healthy), which
+    inflates every wall measured through the tunnel by ~10-20%."""
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                        "benchmarks"))
+        from hostmem_probe import probe
+        # 256 MB matches the gate's calibration: smaller probes can be
+        # satisfied from the process's freed-page pool and read healthy
+        # while fresh faults still crawl (measured: 32 MB -> 1.2 GB/s
+        # "healthy" vs 256 MB -> 10.7 MB/s degraded, same minute)
+        h = probe(mb=256)
+        return h["fresh_mb_s"], h["degraded"]
+    except Exception:
+        return None, None
 
 
 def main():
@@ -257,6 +276,7 @@ def main():
     import jax.numpy as jnp
 
     backend = jax.default_backend()
+    host_fresh_mb_s, host_degraded = _host_health()
     train_jps, infer_jps = bench_vae(jax, jnp)
     sweep_jps, sweep_speedup = bench_sweep(jax, train_jps)
     aae_jps = bench_aae(jax)
@@ -278,6 +298,8 @@ def main():
         "jetid_train_jets_per_sec": round(jetid_jps, 1),
         "bump_scan_warm_s": round(bump_warm, 3),
         "backend": backend,
+        "host_fresh_mb_s": host_fresh_mb_s,
+        "host_degraded": host_degraded,
         "config": "batch=1e4 fc=80/40/20/10 in=12 OE=MAE beta=2 lamb=5 prng=rbg",
     }))
 
