@@ -27,7 +27,13 @@ from .checkpoint import save_pytree
 
 
 def _ce_loss(probs, labels, weights):
-    p = jnp.take_along_axis(probs, labels[:, None].astype(jnp.int32), axis=1)[:, 0]
+    # one-hot mask-and-sum instead of take_along_axis: a row gather
+    # serializes on the TPU's scatter/gather unit (~50 us per 5e3-row
+    # step, measured in benchmarks/anatomy_jetid.py), while the masked
+    # reduction rides the VPU at full width; adding the (C-1) exact
+    # zeros is bit-identical in f32
+    p = jnp.sum(probs * jax.nn.one_hot(labels, probs.shape[1],
+                                       dtype=probs.dtype), axis=1)
     ce = -jnp.log(jnp.maximum(p, 1e-7))
     return jnp.sum(ce * weights) / jnp.maximum(jnp.sum(weights), 1e-30)
 
