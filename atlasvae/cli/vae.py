@@ -95,6 +95,20 @@ def _wire_paths(args):
     return out_root
 
 
+def _load_model_in(args, params, out_root):
+    """Load pre-trained weights named by --model_in into ``params``
+    (native .npz or reference-trained Keras .h5); no-op when the flag
+    was empty (ref OE-VAE/vae.py:99-101)."""
+    if args.model_in != out_root + "/" and os.path.isfile(args.model_in):
+        print("\nLoading pre-trained weights from: " + args.model_in)
+        if args.model_in.endswith(".h5"):  # reference-trained Keras file
+            from ..train.keras_import import load_keras_vae
+            return load_keras_vae(args.model_in, params)
+        from ..train import load_weights
+        return load_weights(args.model_in, params)
+    return params
+
+
 def _select_samples(args):
     """Sample selection + cuts (ref OE-VAE/vae.py:70-84)."""
     import h5py
@@ -237,15 +251,9 @@ def main(argv=None):
     config = VAEConfig(fc_layers=tuple(args.FC_layers), input_dim=input_dim)
     # --seed drives both the weight init and the reparam noise stream, so
     # a sequential `--seed` sweep and an ensemble seed lane are identical
-    params = init_vae(jax.random.PRNGKey(args.seed), config)
+    params = _load_model_in(
+        args, init_vae(jax.random.PRNGKey(args.seed), config), out_root)
     const_scaler = hlv_scaler = None
-    if args.model_in != out_root + "/" and os.path.isfile(args.model_in):
-        print("\nLoading pre-trained weights from: " + args.model_in)
-        if args.model_in.endswith(".h5"):  # reference-trained Keras file
-            from ..train.keras_import import load_keras_vae
-            params = load_keras_vae(args.model_in, params)
-        else:
-            params = load_weights(args.model_in, params)
     if args.const_scaler_type and os.path.isfile(args.const_scaler_in):
         const_scaler = Scaler.load(args.const_scaler_in)
     if args.HLV_scaler_type and os.path.isfile(args.HLV_scaler_in):
@@ -275,6 +283,34 @@ _VM_COERCE = {"beta": float, "lamb": float, "margin": float, "lr": float,
               "seed": int}
 
 
+def _grid_configs(passthrough, names, value_rows, output_dirs):
+    """Parse the shared argv into per-config args with wired paths.
+
+    Sample selection runs once on the lead config; its resolved
+    ``[start, stop]`` train/valid windows are copied to every other
+    config AFTER that resolution — copying the raw scalars would make
+    the non-lead configs re-resolve ``n_valid`` as ``(0, n)`` during
+    evaluation, i.e. evaluate on the training region (a real bug once).
+    Returns (configs, out_roots, selection) with
+    ``selection = (hlv_list, input_dim, train_cuts, valid_cuts)``.
+    """
+    assert set(names) <= set(VMAPPABLE), names
+    parser = build_parser()
+    configs = []
+    for row, out_dir in zip(value_rows, output_dirs):
+        args = parser.parse_args(list(passthrough))
+        for name, value in zip(names, row):
+            setattr(args, name, _VM_COERCE[name](value))
+        args.output_dir = out_dir
+        configs.append(args)
+    lead = configs[0]
+    out_roots = [_wire_paths(a) for a in configs]
+    selection = _select_samples(lead)
+    for args in configs[1:]:
+        args.n_train, args.n_valid = lead.n_train, lead.n_valid
+    return configs, out_roots, selection
+
+
 def run_ensemble(passthrough, names, value_rows, output_dirs):
     """Train a same-shape hyper-parameter grid as one vmapped program.
 
@@ -292,19 +328,12 @@ def run_ensemble(passthrough, names, value_rows, output_dirs):
     from ..train.ensemble import train_ensemble, stack_trees
     from ..data.scalers import Scaler
 
-    assert set(names) <= set(VMAPPABLE), names
-    parser = build_parser()
-    configs = []
-    for row, out_dir in zip(value_rows, output_dirs):
-        args = parser.parse_args(list(passthrough))
-        for name, value in zip(names, row):
-            setattr(args, name, _VM_COERCE[name](value))
-        args.output_dir = out_dir
-        configs.append(args)
-
+    configs, out_roots, (hlv_list, input_dim, train_cuts, valid_cuts) = \
+        _grid_configs(passthrough, names, value_rows, output_dirs)
     # shared data prep uses config 0's args (identical across configs
     # for everything non-vmappable by construction)
     lead = configs[0]
+    out_root = out_roots[0]
     mesh = None
     if lead.n_devices not in (0, 1):
         from ..parallel.mesh import config_mesh
@@ -315,11 +344,6 @@ def run_ensemble(passthrough, names, value_rows, output_dirs):
         else:
             print(f"NOTE: {len(configs)} configs not divisible by "
                   f"--n_devices {lead.n_devices}; training on one device")
-    out_root = _wire_paths(lead)
-    for args in configs[1:]:
-        _wire_paths(args)
-        args.n_train, args.n_valid = lead.n_train, lead.n_valid
-    hlv_list, input_dim, train_cuts, valid_cuts = _select_samples(lead)
     print("\nPROGRAM ARGUMENTS (ensemble lead):\n" + args_banner(lead))
     const_scaler = hlv_scaler = None
     if lead.const_scaler_type and os.path.isfile(lead.const_scaler_in):
@@ -328,8 +352,9 @@ def run_ensemble(passthrough, names, value_rows, output_dirs):
         hlv_scaler = Scaler.load(lead.HLV_scaler_in)
 
     config = VAEConfig(fc_layers=tuple(lead.FC_layers), input_dim=input_dim)
-    stacked = stack_trees([init_vae(jax.random.PRNGKey(a.seed), config)
-                           for a in configs])
+    stacked = stack_trees([
+        _load_model_in(a, init_vae(jax.random.PRNGKey(a.seed), config), root)
+        for a, root in zip(configs, out_roots)])
 
     if lead.n_epochs > 0:
         train_gen, valid_gen, const_scaler, hlv_scaler = _make_generators(

@@ -64,8 +64,14 @@ class Scaler:
             return Scaler(kind="quantile-normal",
                           quantiles=np.asarray(obj.quantiles_, np.float32))
         if name == "RobustScaler":
+            # sklearn leaves center_/scale_ as None when the respective
+            # option is off; with both off, n_features_in_ still sizes
+            # the (identity) parameter vectors
+            n = (len(obj.scale_) if obj.with_scaling else
+                 len(obj.center_) if obj.with_centering else
+                 int(obj.n_features_in_))
             scale = (np.asarray(obj.scale_, np.float64)
-                     if obj.with_scaling else np.ones(len(obj.center_)))
+                     if obj.with_scaling else np.ones(n))
             center = (np.asarray(obj.center_, np.float64)
                       if obj.with_centering else np.zeros_like(scale))
             return Scaler(kind="robust", center=center.astype(np.float32),

@@ -202,7 +202,15 @@ def lz4_block_compress_literal(data):
 
 # ------------------------------------------------------- record framing
 _HEADER = struct.Struct("2sB3s3s")
-_CHUNK_MAX = 0xFF0000  # keep csize (24-bit) safe incl. worst-case expansion
+# Chunk bound such that csize (24-bit) holds the WORST-case compressed
+# size for every codec.  The binding case is lz4 on incompressible
+# input: n + ceil(n/255) + 16 literal-head bytes + 8 checksum bytes
+# (native lz4.block bound; the pure-Python literals-only encoder is
+# n + ceil((n-15)/255) + 1 + 8, slightly smaller).  At 0xFE0000
+# (16,646,144) that overhead is ~65.3 kB against 131 kB of headroom;
+# the old 0xFF0000 left only 65,535 bytes — 10 short of lz4's
+# worst case, so a full incompressible chunk raised RootIOError.
+_CHUNK_MAX = 0xFE0000
 
 
 def _zstd():

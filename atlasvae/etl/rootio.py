@@ -101,11 +101,22 @@ def _tstring(s):
 
 
 def _read_tstring(buf, pos):
+    if pos >= len(buf):
+        raise TruncatedFileError(
+            f"buffer ends before a TString length byte at offset {pos}")
     n = buf[pos]
     pos += 1
     if n == 255:
+        if pos + 4 > len(buf):
+            raise TruncatedFileError(
+                f"buffer ends inside a long-form TString length at "
+                f"offset {pos}")
         n = struct.unpack_from(">I", buf, pos)[0]
         pos += 4
+    if pos + n > len(buf):
+        raise TruncatedFileError(
+            f"TString at offset {pos} promises {n} bytes, only "
+            f"{len(buf) - pos} present (truncated file?)")
     try:
         return buf[pos:pos + n].decode(), pos + n
     except UnicodeDecodeError as e:
@@ -660,7 +671,7 @@ class _Key:
     @classmethod
     def parse(cls, buf, pos):
         k = cls()
-        if pos + 18 > len(buf):
+        if pos < 0 or pos + 18 > len(buf):
             raise TruncatedFileError(
                 f"file ends inside a TKey header at offset {pos} "
                 f"(file/buffer length {len(buf)})")
@@ -671,6 +682,10 @@ class _Key:
                 f"TKey at offset {pos} has impossible sizes "
                 f"(nbytes={k.nbytes}, keylen={k.keylen})")
         p = pos + 18
+        seek_len = 16 if version > 1000 else 8
+        if p + seek_len > len(buf):
+            raise TruncatedFileError(
+                f"file ends inside the TKey seek fields at offset {p}")
         if version > 1000:
             k.seek = struct.unpack_from(">q", buf, p)[0]
             p += 16
@@ -1020,11 +1035,21 @@ class RootFile:
         dver = struct.unpack_from(">h", self.buf, p)[0]
         p += 2 + 8
         if dver > 1000:
+            # the >iiqqq fields span 32 bytes, 2 more than the p+30
+            # check above (which covers the short-form directory)
+            if p + 32 > len(self.buf):
+                raise TruncatedFileError(
+                    f"{path}: file ends inside the big-format TDirectory "
+                    f"seek fields at offset {p}")
             _, _, _, _, seekkeys = struct.unpack_from(">iiqqq", self.buf, p)
         else:
             _, _, _, _, seekkeys = struct.unpack_from(">iiiii", self.buf, p)
         keyhdr = _Key.parse(self.buf, seekkeys)
         payload = keyhdr.payload(self.buf)
+        if len(payload) < 4:
+            raise CorruptRecordError(
+                f"{path}: keys-list record decoded to {len(payload)} "
+                f"bytes, too short for its key count")
         nkeys = struct.unpack_from(">i", payload, 0)[0]
         self.keylist = []
         pos = 4

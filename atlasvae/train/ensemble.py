@@ -234,7 +234,11 @@ def train_ensemble(params_stack, hyper, train_sample, valid_sample,
             losses["Train loss"] = per_cfg[g, 3]
             losses["Valid loss"] = valid_loss[g]
             for k in histories[g]:
-                histories[g][k] = list(histories[g][k]) + [float(losses[k])]
+                # a resumed history may carry keys this run doesn't
+                # produce (e.g. 'KLD' saved with beta != 0, resumed with
+                # beta == 0) — pad with 0.0 like train/loop.py does
+                histories[g][k] = list(histories[g][k]) + [
+                    float(losses[k]) if k in losses else 0.0]
             if hist_files:
                 save_history(histories[g], hist_files[g])
             if epoch > 0 or len(histories[g]["Train loss"]) > 1:

@@ -38,7 +38,7 @@ def _ce_loss(probs, labels, weights):
     return jnp.sum(ce * weights) / jnp.maximum(jnp.sum(weights), 1e-30)
 
 
-def make_jetid_step_fns(optimizer, config, jit=True):
+def make_jetid_step_fns(optimizer, config, jit=True, masked=False):
     # kernel L2 term, included in train AND eval loss exactly as Keras
     # adds regularization losses to both fit and evaluate
     # (ref jet-ID/models.py:10 kernel_regularizer=l2(args.l2))
@@ -70,6 +70,36 @@ def make_jetid_step_fns(optimizer, config, jit=True):
             step, (params, opt_state, key), (inputs, labels, weights))
         return params, opt_state, metrics
 
+    def train_epoch_masked(params, opt_state, lr, key, inputs, labels,
+                           weights, mask):
+        """train_epoch plus a per-batch real/padding mask: a masked-out
+        batch must be a bit-exact no-op — zero-weight rows already
+        contribute nothing to the CE gradient, but the optimizer step
+        itself is not a no-op (Adam moments decay, the L2-regularizer
+        gradient is weight-independent) and the dropout key split must
+        not be consumed, or an unequal k-fold grid would diverge from k
+        sequential runs."""
+        def step(carry, batch):
+            params, opt_state, key = carry
+            *data, real = batch
+            new_key, sub = jax.random.split(key)
+            grads, metrics = grad_fn(params, tuple(data), sub)
+            grads = clip_gradients(grads)
+            updates, new_opt = optimizer.update(grads, opt_state, params)
+            updates = jax.tree.map(lambda u: u * lr, updates)
+            new_params = optax.apply_updates(params, updates)
+            keep = lambda new, old: jax.tree.map(
+                lambda a, b: jnp.where(real > 0, a, b), new, old)
+            return (keep(new_params, params), keep(new_opt, opt_state),
+                    keep(new_key, key)), metrics
+
+        (params, opt_state, _), metrics = jax.lax.scan(
+            step, (params, opt_state, key), (inputs, labels, weights, mask))
+        return params, opt_state, metrics
+
+    if masked:
+        train_epoch = train_epoch_masked
+
     def eval_epoch(params, inputs, labels, weights):
         def step(_, batch):
             inputs, labels, w = batch
@@ -93,8 +123,9 @@ def make_jetid_fold_step_fns(optimizer, config):
     fold in the reference) runs as ONE device program: one XLA compile
     and one dispatch stream instead of k (MXU FLOPs still scale with k
     — see train/ensemble.py docstring for the measured trade)."""
-    raw_train, raw_eval = make_jetid_step_fns(optimizer, config, jit=False)
-    train = jax.vmap(raw_train, in_axes=(0, 0, 0, 0, 0, 0, 0))
+    raw_train, raw_eval = make_jetid_step_fns(optimizer, config, jit=False,
+                                              masked=True)
+    train = jax.vmap(raw_train, in_axes=(0, 0, 0, 0, 0, 0, 0, 0))
     evalf = jax.vmap(raw_eval, in_axes=(0, 0, 0, 0))
     return jax.jit(train), jax.jit(evalf)
 
@@ -118,9 +149,18 @@ def train_kfold_vmapped(params_list, config, fold_loads, fold_valids,
     optimizer = make_optimizer()
 
     def pack_common(loads):
-        """_pack each fold to the max padded length, stack along fold."""
+        """_pack each fold to the max padded length, stack along fold.
+
+        Also returns each fold's count of REAL batches (those holding at
+        least one non-padding row): a smaller fold's tail batches are
+        all-padding (zero weight, ~0 loss / 0 accuracy) and must not
+        dilute its logged train metrics — partially padded batches are
+        exact already because the per-batch metrics are weighted means.
+        """
         sizes = [len(l[1]) for l in loads]
         n_max = max(sizes)
+        bs = min(batch_size, n_max)
+        n_real = [max(1, -(-n // bs)) for n in sizes]
         packed = []
         for inputs, labels, weights in loads:
             n = len(labels)
@@ -133,12 +173,19 @@ def train_kfold_vmapped(params_list, config, fold_loads, fold_valids,
                 labels = np.concatenate([labels, np.zeros(pad, np.int32)])
                 weights = np.concatenate(
                     [np.asarray(weights, np.float32), np.zeros(pad, np.float32)])
-            packed.append(_pack(inputs, labels, weights,
-                                min(batch_size, n_max)))
-        return stack_trees(packed)
+            packed.append(_pack(inputs, labels, weights, bs))
+        return stack_trees(packed), n_real
 
-    batches = device_put_load(pack_common(fold_loads))
-    v_batches = device_put_load(pack_common(fold_valids))
+    packed_loads, n_real = pack_common(fold_loads)
+    packed_valids, _ = pack_common(fold_valids)
+    batches = device_put_load(packed_loads)
+    v_batches = device_put_load(packed_valids)
+    # (k, n_batches) real-batch mask: all-padding tail batches of the
+    # smaller folds must be bit-exact no-ops (see train_epoch_masked)
+    n_batches_common = len(packed_loads[1][0])
+    batch_mask = np.zeros((k, n_batches_common), np.float32)
+    for f in range(k):
+        batch_mask[f, :n_real[f]] = 1.0
     train_epoch, eval_epoch = make_jetid_fold_step_fns(optimizer, config)
 
     params = stack_trees([jax.tree.map(np.asarray, p) for p in params_list])
@@ -160,7 +207,7 @@ def train_kfold_vmapped(params_list, config, fold_loads, fold_valids,
         start = time.time()
         keys, subs = (np.asarray(a) for a in split2(keys))
         params, opt_state, metrics = train_epoch(params, opt_state, lrs,
-                                                 subs, *batches)
+                                                 subs, *batches, batch_mask)
         m = np.asarray(metrics)                       # (k, n_batches, 2)
         vm = np.asarray(eval_epoch(params, *v_batches))
         val_loss = vm[:, :, 0].sum(axis=1) / vm[:, :, 1].sum(axis=1)
@@ -170,8 +217,9 @@ def train_kfold_vmapped(params_list, config, fold_loads, fold_valids,
         for f in range(k):
             if stopped[f]:
                 continue
-            histories[f]["loss"].append(float(m[f, :, 0].mean()))
-            histories[f]["accuracy"].append(float(m[f, :, 1].mean()))
+            histories[f]["loss"].append(float(m[f, :n_real[f], 0].mean()))
+            histories[f]["accuracy"].append(
+                float(m[f, :n_real[f], 1].mean()))
             histories[f]["val_loss"].append(float(val_loss[f]))
             if val_loss[f] < best_val[f] - min_delta:
                 best_val[f] = val_loss[f]

@@ -19,6 +19,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("ATLASVAE_PRNG", "rbg")   # match bench.py:51
 
 
+# the dispatch-latency probe is bench.py's — one copy of the
+# methodology, so a correction there propagates here
+from bench import _measure_dispatch_latency as _dispatch_latency  # noqa: E402
+
+
 def _timed(fn, reps=9):
     times = []
     for _ in range(reps):
@@ -26,22 +31,6 @@ def _timed(fn, reps=9):
         np.asarray(fn())
         times.append(time.perf_counter() - t0)
     return float(np.median(times))
-
-
-def _dispatch_latency(jax):
-    """Fixed per-call transport cost of this environment's remote tunnel
-    (~29 ms): subtracted from every wall so the numbers are chip time.
-    Cross-checked by the linear intercept of a step-count sweep
-    (docs/PERF.md 'dispatch latency')."""
-    import jax.numpy as jnp
-
-    @jax.jit
-    def triv(x):
-        return x + jnp.float32(1.0)
-
-    x = jax.device_put(np.float32(0.0))
-    np.asarray(triv(x))
-    return _timed(lambda: triv(x), reps=15)
 
 
 def main():

@@ -179,3 +179,244 @@ def test_merge_samples_empty_range_raises(tmp_path):
     with pytest.raises(ValueError, match="selects no rows"):
         merge_samples(["mf-one"], (10, 20), constituents="OFF", hlvs="OFF",
                       verbose=False)
+
+
+# ---------------------------------------------------------------- round 3
+
+def test_masked_epoch_padding_batches_are_bitexact_noop():
+    """An all-padding batch with mask=0 must leave params, optimizer
+    state AND the dropout key stream untouched: zero-weight rows already
+    zero the CE gradient, but Adam moment decay and the L2-regularizer
+    gradient are weight-independent, so without the mask the padded
+    folds of a vmapped k-fold drift from the sequential runs."""
+    import jax
+    from atlasvae.models import JetIDConfig, init_jetid
+    from atlasvae.train.jetid_loop import make_jetid_step_fns, _pack
+    from atlasvae.train.step import make_optimizer
+
+    cfg = JetIDConfig(n_classes=2, scalars=("s",), scalar_dims=(6,),
+                      nn_type="FCN", fcn_neurons=(16, 8), dropout=0.1)
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(300, 6)).astype(np.float32)
+    y = (x[:, 0] > 0).astype(np.int32)
+    w = np.ones(300, np.float32)
+    opt = make_optimizer()
+    train, _ = make_jetid_step_fns(opt, cfg, masked=True)
+    params = init_jetid(jax.random.PRNGKey(0), cfg)
+    import optax
+    opt_state = opt.init(params)
+    key = jax.random.PRNGKey(7)
+
+    def run(n_pad_batches):
+        bs = 100
+        pad = n_pad_batches * bs
+        xi = np.concatenate([x, np.zeros((pad, 6), np.float32)])
+        yi = np.concatenate([y, np.zeros(pad, np.int32)])
+        wi = np.concatenate([w, np.zeros(pad, np.float32)])
+        inputs, labels, weights = _pack({"s": xi}, yi, wi, bs)
+        mask = np.ones(3 + n_pad_batches, np.float32)
+        mask[3:] = 0.0
+        return train(params, opt_state, np.float32(1e-3), key,
+                     inputs, labels, weights, mask)
+
+    p0, o0, m0 = run(0)
+    p2, o2, m2 = run(2)
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(o0), jax.tree.leaves(o2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the real batches' metrics are identical; padded ones report ~0
+    np.testing.assert_array_equal(np.asarray(m0), np.asarray(m2)[:3])
+
+
+def test_kfold_unequal_folds_match_sequential():
+    """Folds of different sizes (the smaller one padded with whole
+    all-padding batches) must reproduce k independent sequential runs —
+    both the final weights and the logged per-epoch train metrics
+    (review r3: padding batches diluted history['loss']/['accuracy'])."""
+    import jax
+    from atlasvae.models import JetIDConfig, init_jetid
+    from atlasvae.train.jetid_loop import (train_kfold_vmapped,
+                                           train_classifier)
+
+    cfg = JetIDConfig(n_classes=2, scalars=("s",), scalar_dims=(8,),
+                      nn_type="FCN", fcn_neurons=(16,), dropout=0.0)
+    rng = np.random.default_rng(5)
+
+    def fold(n, seed):
+        r = np.random.default_rng(seed)
+        xx = r.normal(size=(n, 8)).astype(np.float32)
+        yy = (xx[:, 0] + 0.3 * r.normal(size=n) > 0).astype(np.int32)
+        return {"s": xx}, yy, np.ones(n, np.float32)
+
+    folds = [fold(400, 0), fold(150, 1)]   # batch 100: 4 vs 2 real batches
+    valids = [fold(100, 2), fold(100, 3)]
+    params = [init_jetid(jax.random.PRNGKey(f), cfg) for f in range(2)]
+    best, hists = train_kfold_vmapped(
+        params, cfg, folds, valids, epochs=4, batch_size=100, lr=1e-3,
+        seed=0, verbose=False)
+    for f in range(2):
+        seq_p, seq_h = train_classifier(
+            params[f], cfg, folds[f][0], folds[f][1],
+            valids[f][0], valids[f][1], epochs=4, batch_size=100,
+            lr=1e-3, sample_weight=folds[f][2], seed=0, verbose=False)
+        for k in ("loss", "accuracy", "val_loss"):
+            np.testing.assert_allclose(hists[f][k], seq_h[k], rtol=2e-4,
+                                       atol=1e-5, err_msg=f"fold {f} {k}")
+        for a, b in zip(jax.tree.leaves(best[f]), jax.tree.leaves(seq_p)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=1e-5)
+
+
+def test_lz4_full_chunk_compresses_within_24bit_field(rng):
+    """A full-_CHUNK_MAX incompressible chunk must frame without
+    overflowing the 24-bit csize field (review r3: 0xFF0000 left 10
+    bytes less headroom than lz4's worst case) and round-trip."""
+    from atlasvae.etl.rootcodec import (_CHUNK_MAX, compress_record,
+                                        decompress_record)
+    payload = rng.integers(0, 256, _CHUNK_MAX + 17, dtype=np.uint8).tobytes()
+    body = compress_record(payload, "lz4")
+    assert decompress_record(body, len(payload), "t") == payload
+
+
+def test_every_truncation_point_raises_named_error(tmp_path, rng):
+    """Exhaustive truncation sweep: EVERY proper prefix of a written
+    file must raise the RootIOError family on open+read — never a bare
+    struct.error/IndexError (review r3: cuts landing inside TKey seek
+    fields, TStrings, or big-directory seeks escaped the named paths)."""
+    from atlasvae.etl import rootio
+    from atlasvae.etl.rootcodec import RootIOError
+
+    n = 40
+    branches = {"pt": rng.uniform(0, 9, n).astype(np.float32),
+                "trk": [rng.normal(size=c).astype(np.float32)
+                        for c in rng.integers(0, 4, n)]}
+    path = str(tmp_path / "t.root")
+    rootio.write_tree(path, "nominal", branches, basket_entries=16)
+    data = open(path, "rb").read()
+    cut_path = str(tmp_path / "cut.root")
+    for cut in range(len(data)):
+        with open(cut_path, "wb") as f:
+            f.write(data[:cut])
+        try:
+            t = rootio.read_tree(cut_path, "nominal")
+            for k in t.keys():
+                t.array(k)
+        except RootIOError:
+            continue
+        raise AssertionError(
+            f"truncation at {cut}/{len(data)} bytes did not raise a "
+            f"RootIOError subclass")
+
+
+def test_ensemble_resume_history_with_stale_key(tmp_path):
+    """Resuming an ensemble lane whose saved history carries a key the
+    current run does not produce (e.g. 'KLD' saved with beta!=0, resumed
+    with beta==0) must pad with 0.0 like train/loop.py, not KeyError."""
+    from atlasvae.models import VAEConfig, init_vae
+    from atlasvae.train.ensemble import train_ensemble, stack_trees
+    from atlasvae.train.checkpoint import load_history
+    import jax
+
+    rng = np.random.default_rng(9)
+    train_s, valid_s = _toy_vae_samples(rng)
+    cfg = VAEConfig(fc_layers=(8, 4), input_dim=6)
+    hist_files = [str(tmp_path / f"h{g}.pkl") for g in range(2)]
+    state_file = str(tmp_path / "state.npz")
+
+    def run(beta, n_epochs):
+        stacked = stack_trees([init_vae(jax.random.PRNGKey(g), cfg)
+                               for g in range(2)])
+        hyper = (np.full(2, beta, np.float32), np.zeros(2, np.float32),
+                 np.zeros(2, np.float32))
+        return train_ensemble(stacked, hyper, train_s, valid_s, "MAE",
+                              n_epochs=n_epochs, batch_size=100, lr=1e-3,
+                              hist_files=hist_files, state_file=state_file)
+
+    run(1.0, 1)                       # epoch 1 logs a 'KLD' history key
+    run(0.0, 1)                       # resume 1 epoch: losses carry no 'KLD'
+    for hf in hist_files:
+        h = load_history(hf)
+        assert len(h["KLD"]) == 2 and h["KLD"][1] == 0.0   # padded
+        assert len(h["Train loss"]) == 2
+
+
+def _toy_vae_samples(rng, n=300, dim=6):
+    bkg = {"HLVs": rng.normal(size=(n, dim)).astype(np.float32),
+           "weights": np.ones(n, np.float32)}
+    ood = {"HLVs": rng.normal(0.5, 1.0, (n, dim)).astype(np.float32),
+           "weights": np.ones(n, np.float32)}
+    vb = {"HLVs": rng.normal(size=(n // 3, dim)).astype(np.float32),
+          "weights": np.ones(n // 3, np.float32)}
+    vo = {"HLVs": rng.normal(0.5, 1.0, (n // 3, dim)).astype(np.float32),
+          "weights": np.ones(n // 3, np.float32)}
+    return [(bkg, ood)], [(vb, vo)]
+
+
+def test_robust_scaler_identity_when_both_options_off():
+    """Scaler.from_sklearn on RobustScaler(with_centering=False,
+    with_scaling=False): sklearn leaves center_/scale_ as None; the
+    import must produce a working identity scaler (review r3:
+    len(None) TypeError)."""
+    sklearn = pytest.importorskip("sklearn")
+    from sklearn.preprocessing import RobustScaler
+    from atlasvae.data.scalers import Scaler, _transform_chunk
+
+    x = np.random.default_rng(1).normal(2.0, 3.0, (50, 4)).astype(np.float32)
+    sk = RobustScaler(with_centering=False, with_scaling=False).fit(x)
+    s = Scaler.from_sklearn(sk)
+    np.testing.assert_allclose(np.asarray(_transform_chunk(s, x)), x,
+                               rtol=1e-6)
+
+
+def test_grid_configs_share_resolved_valid_window(tmp_path):
+    """_grid_configs must copy the lead's RESOLVED [start, stop]
+    train/valid windows to every config (review r3: copying the raw
+    scalars made non-lead configs evaluate on the training region)."""
+    from atlasvae.cli.vae import _grid_configs
+
+    passthrough = ["--synthetic", "2000", "--n_train", "600",
+                   "--n_valid", "300", "--output_dir", str(tmp_path)]
+    configs, out_roots, _ = _grid_configs(
+        passthrough, ["beta"], [(0.0,), (1.0,)],
+        [str(tmp_path / "a"), str(tmp_path / "b")])
+    lead = configs[0]
+    assert isinstance(lead.n_valid, list) and len(lead.n_valid) == 2
+    assert configs[1].n_train == lead.n_train
+    assert configs[1].n_valid == lead.n_valid
+    # a resolved window: [sample_size - 300, sample_size], never (0, 300)
+    assert lead.n_valid[1] - lead.n_valid[0] == 300
+    assert lead.n_valid[0] >= lead.n_train[1]
+
+
+def test_run_ensemble_honors_model_in(tmp_path):
+    """--model_in in the sweep passthrough must seed every vmapped lane
+    with the pre-trained weights, exactly like the sequential sweep
+    (review r3: run_ensemble silently trained all configs from random
+    init)."""
+    import pickle
+    import jax
+    from atlasvae.cli.vae import main, run_ensemble
+    from atlasvae.models import VAEConfig, init_vae
+    from atlasvae.train.checkpoint import save_weights
+
+    cfg = VAEConfig(fc_layers=(8, 4), input_dim=12)
+    pre = init_vae(jax.random.PRNGKey(42), cfg)
+    weights_in = str(tmp_path / "pre.npz")
+    save_weights(pre, weights_in)
+
+    common = ["--synthetic", "2000", "--n_train", "600", "--n_valid", "300",
+              "--n_OoD", "600", "--n_sig", "300", "--batch_size", "200",
+              "--n_epochs", "1", "--FC_layers", "8", "4",
+              "--OE_type", "MAE", "--plotting", "OFF", "--n_devices", "1",
+              "--weight_type", "None", "--model_in", weights_in]
+    seq_dir = str(tmp_path / "seq")
+    main(common + ["--beta", "0.5", "--output_dir", seq_dir])
+    vm_dirs = [str(tmp_path / "vm_a"), str(tmp_path / "vm_b")]
+    run_ensemble(common, ["beta"], [(0.5,), (2.0,)], vm_dirs)
+    with open(seq_dir + "/history.pkl", "rb") as f:
+        seq_h = pickle.load(f)
+    with open(vm_dirs[0] + "/history.pkl", "rb") as f:
+        vm_h = pickle.load(f)
+    np.testing.assert_allclose(vm_h["Train loss"], seq_h["Train loss"],
+                               rtol=1e-4, atol=1e-5)
