@@ -103,11 +103,10 @@ def main(argv=None):
     hlv_scaler = const_scaler = None
     if args.model_in != out_root + "/" and os.path.isfile(args.model_in):
         print("\nLoading pre-trained weights from: " + args.model_in)
-        if args.model_in.endswith(".h5"):  # reference-trained Keras file
-            from ..train.keras_import import load_keras_aae
-            params = load_keras_aae(args.model_in, params)
-        else:
-            params = load_pytree(args.model_in, params)
+        # format sniffed by magic bytes: reference-trained / exported
+        # Keras HDF5 or native npz pytree, regardless of extension
+        from ..train.keras_import import load_params_auto
+        params = load_params_auto(args.model_in, params, "aae")
     if args.HLV_scaler_type and os.path.isfile(args.HLV_scaler_in):
         hlv_scaler = Scaler.load(args.HLV_scaler_in)
     if args.const_scaler_type and os.path.isfile(args.const_scaler_in):
@@ -153,6 +152,9 @@ def main(argv=None):
                               args.hist_file,
                               os.path.basename(args.AE_weights) if args.AE_weights else "",
                               args.lamb, args.beta, args.lr)
+        from ..train.keras_export import maybe_export_keras
+        if maybe_export_keras(params, args.model_out, "aae"):
+            print("Keras-compatible weights exported to " + args.model_out)
     if not on(args.plotting) and not on(args.apply_cuts):
         return 0
 
@@ -163,7 +165,8 @@ def main(argv=None):
         from ..plotting.history import plot_history
         plot_history(hist_path, out_root)
     if os.path.isfile(args.model_out):
-        params = load_pytree(args.model_out, params)
+        from ..train.keras_import import load_params_auto
+        params = load_params_auto(args.model_out, params, "aae")
     for sig_data in args.sig_list:
         output_dir = out_root + "/" + sig_data
         Path(output_dir).mkdir(parents=True, exist_ok=True)

@@ -507,11 +507,17 @@ def main(argv=None):
             batch_size, args.lr, args.patience, class_weight, sample_weight,
             model_out, state_file=state_file)
     elif args.model_in and os.path.isfile(out_root + "/" + args.model_in):
-        if args.model_in.endswith(".h5"):  # reference-trained Keras file
-            from ..train.keras_import import load_keras_jetid
-            params = load_keras_jetid(out_root + "/" + args.model_in, params)
-        else:
-            params = load_pytree(out_root + "/" + args.model_in, params)
+        # format sniffed by magic bytes: reference-trained / exported
+        # Keras HDF5 or native npz pytree, regardless of extension
+        from ..train.keras_import import load_params_auto
+        params = load_params_auto(out_root + "/" + args.model_in, params,
+                                  "jetid")
+    if args.n_epochs > 0 and args.n_folds <= 1:
+        # reference-style --model_out model.h5: leave a Keras-loadable
+        # file (k-fold mode writes per-fold model_<fold>.npz instead)
+        from ..train.keras_export import maybe_export_keras
+        if maybe_export_keras(params, model_out, "jetid"):
+            print("Keras-compatible weights exported to " + model_out)
 
     if on(args.feature_removal) and scalars:
         # feature-ablation ranking over the HLV columns

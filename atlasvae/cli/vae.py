@@ -95,17 +95,22 @@ def _wire_paths(args):
     return out_root
 
 
+def _maybe_export_keras(params, model_out, kind):
+    from ..train.keras_export import maybe_export_keras
+    if maybe_export_keras(params, model_out, kind):
+        print("Keras-compatible weights exported to " + model_out)
+
+
 def _load_model_in(args, params, out_root):
     """Load pre-trained weights named by --model_in into ``params``
     (native .npz or reference-trained Keras .h5); no-op when the flag
     was empty (ref OE-VAE/vae.py:99-101)."""
     if args.model_in != out_root + "/" and os.path.isfile(args.model_in):
         print("\nLoading pre-trained weights from: " + args.model_in)
-        if args.model_in.endswith(".h5"):  # reference-trained Keras file
-            from ..train.keras_import import load_keras_vae
-            return load_keras_vae(args.model_in, params)
-        from ..train import load_weights
-        return load_weights(args.model_in, params)
+        # format sniffed by magic bytes: reference-trained / exported
+        # Keras HDF5 or native npz pytree, regardless of extension
+        from ..train.keras_import import load_params_auto
+        return load_params_auto(args.model_in, params, "vae")
     return params
 
 
@@ -238,7 +243,7 @@ def main(argv=None):
     from ..utils.logging import args_banner
     from ..data.scalers import Scaler
     from ..models import VAEConfig, init_vae
-    from ..train import train_model, load_weights
+    from ..train import train_model
     from ..parallel import data_parallel_mesh
 
     args = build_parser().parse_args(argv)
@@ -269,7 +274,9 @@ def main(argv=None):
                                 args.model_in, args.model_out, mesh=mesh,
                                 seed=args.seed, state_file=state_file)
         if os.path.isfile(args.model_out):
-            params = load_weights(args.model_out, params)
+            from ..train.keras_import import load_params_auto
+            params = load_params_auto(args.model_out, params, "vae")
+            _maybe_export_keras(params, args.model_out, "vae")
     if not _on(args.plotting) and not _on(args.apply_cuts):
         return 0
     _evaluate(args, params, const_scaler, hlv_scaler, hlv_list, valid_cuts)
@@ -324,7 +331,6 @@ def run_ensemble(passthrough, names, value_rows, output_dirs):
     import jax
     from ..utils.logging import args_banner
     from ..models import VAEConfig, init_vae
-    from ..train import load_weights
     from ..train.ensemble import train_ensemble, stack_trees
     from ..data.scalers import Scaler
 
@@ -375,7 +381,9 @@ def run_ensemble(passthrough, names, value_rows, output_dirs):
     for g, args in enumerate(configs):
         params = tree_slice(stacked, g)
         if os.path.isfile(args.model_out):
-            params = load_weights(args.model_out, params)
+            from ..train.keras_import import load_params_auto
+            params = load_params_auto(args.model_out, params, "vae")
+            _maybe_export_keras(params, args.model_out, "vae")
         if _on(args.plotting) or _on(args.apply_cuts):
             print(f"\n===== ENSEMBLE EVAL {g}: {args.output_dir} =====")
             _evaluate(args, params, const_scaler, hlv_scaler, hlv_list,

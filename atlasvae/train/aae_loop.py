@@ -257,7 +257,13 @@ def train_aae(params, train_generator, n_cycles, batch_size, output_dir,
     ae_path = os.path.join(output_dir, ae_weights) if ae_weights else None
     if ae_path and os.path.isfile(ae_path):
         print("\nLoading pre-trained AE file from:", ae_path)
-        ae = load_pytree(ae_path, _subtree(params, AE_KEYS))
+        # npz subtree cache or a reference-trained / exported Keras AE
+        # file (ref aae.py:175 AE.save_weights), sniffed by magic bytes
+        from .keras_import import sniff_weights_format, load_keras_aae
+        if sniff_weights_format(ae_path) == "keras":
+            ae = _subtree(load_keras_aae(ae_path, params), AE_KEYS)
+        else:
+            ae = load_pytree(ae_path, _subtree(params, AE_KEYS))
         params = {**params, **ae}
         epoch_dict["AE"][0] = epoch_dict["AE"][1] if n_cycles > 1 else 0
 

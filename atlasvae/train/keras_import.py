@@ -75,6 +75,33 @@ def read_keras_weights(path):
         return _normalize_keras3(f)
 
 
+def sniff_weights_format(path):
+    """'keras' (HDF5 magic) vs 'npz' (zip magic) by file signature —
+    extension-independent, so a reference-style ``--model_out model.h5``
+    run can stage npz checkpoints under the .h5 name until the final
+    Keras export replaces them."""
+    with open(path, "rb") as f:
+        magic = f.read(8)
+    if magic.startswith(b"\x89HDF"):
+        return "keras"
+    if magic.startswith(b"PK"):
+        return "npz"
+    raise ValueError(f"{path}: neither a Keras HDF5 weight file nor an "
+                     "npz pytree checkpoint (unrecognized file signature)")
+
+
+def load_params_auto(path, template, kind):
+    """Load weights from either format: Keras HDF5 (reference-trained or
+    exported by :mod:`keras_export`) or native npz pytree.  ``kind``
+    selects the Keras layer-mapping convention: 'vae' | 'aae' | 'jetid'."""
+    if sniff_weights_format(path) == "keras":
+        loader = {"vae": load_keras_vae, "aae": load_keras_aae,
+                  "jetid": load_keras_jetid}[kind]
+        return loader(path, template)
+    from .checkpoint import load_pytree
+    return load_pytree(path, template)
+
+
 def _dense_pairs(named):
     """Pair each */kernel with its */bias -> {path: (kernel, bias)}."""
     pairs = {}
