@@ -511,12 +511,12 @@ def main(argv=None):
         # Keras HDF5 or native npz pytree, regardless of extension
         from ..train.keras_import import load_params_auto
         params = load_params_auto(out_root + "/" + args.model_in, params,
-                                  "jetid")
+                                  "jetid", config)
     if args.n_epochs > 0 and args.n_folds <= 1:
         # reference-style --model_out model.h5: leave a Keras-loadable
         # file (k-fold mode writes per-fold model_<fold>.npz instead)
         from ..train.keras_export import maybe_export_keras
-        if maybe_export_keras(params, model_out, "jetid"):
+        if maybe_export_keras(params, model_out, "jetid", config):
             print("Keras-compatible weights exported to " + model_out)
 
     if on(args.feature_removal) and scalars:

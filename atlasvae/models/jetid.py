@@ -153,6 +153,102 @@ def init_jetid(key, config):
     return params
 
 
+def tower_flat_width(config, shape, n_names):
+    """Flattened output width of one conv tower (the spatial math of
+    ``init_jetid`` above: VALID convs, SAME ceil pools)."""
+    maps_list, kernels, pools, rank = _shape_cnn(config, shape)
+    if rank == 2:
+        spatial, c_in = [shape[0], shape[1]], n_names
+    else:
+        spatial, c_in = [shape[0], shape[1], n_names], 1
+    for maps, kern, pool in zip(maps_list, kernels, pools):
+        for d in range(rank):
+            spatial[d] = spatial[d] - kern[d] + 1
+            if spatial[d] <= 0:
+                raise ValueError(f"conv tower for shape {shape}: kernel "
+                                 f"{kern} does not fit (dim {d})")
+            spatial[d] = -(-spatial[d] // pool[d])
+        c_in = maps
+    return math.prod(spatial) * c_in
+
+
+def concat_segments(config):
+    """Ordered ``(label, width)`` segments of the trunk concat input in
+    THIS implementation's layout (``jetid_apply`` below): shape-grouped
+    towers in first-appearance order (or per-image flattens in FCN
+    mode), then constituents, then scalars."""
+    segs = []
+    if config.images and config.nn_type == "CNN":
+        for shape, names in _shape_groups(config):
+            segs.append(("tower:" + _tower_key(shape),
+                         tower_flat_width(config, shape, len(names))))
+    elif config.images:
+        for name, shape in zip(config.images, config.image_shapes):
+            segs.append(("image:" + name, math.prod(shape)))
+    if config.constituent_dim:
+        segs.append(("constituents", config.branch_neurons[-1]))
+    if config.scalar_dims:
+        segs.append(("scalars", config.branch_neurons[-1]))
+    return segs
+
+
+def reference_concat_permutation(config):
+    """Row permutation between this implementation's trunk-concat layout
+    and the reference ``multi_CNN`` graph's (ref jet-ID/models.py:12-60).
+
+    Two layout differences exist for multi-image models:
+
+    * tower ORDER — the reference iterates ``set(shapes)``
+      (ref :12), this implementation uses first-appearance order
+      (``_shape_groups``); when they disagree, tower blocks land at
+      different concat offsets;
+    * FCN-with-images ELEMENT order — the reference stacks same-shape
+      images channel-last and flattens the (h, w, n) block (pixel-major
+      interleave, ref :16-17,38), this implementation concatenates each
+      image's own (h*w) flatten (image-major blocks).
+
+    Returns ``perm`` (numpy int array, length concat_dim) such that
+    reference concat position ``r`` holds the feature this
+    implementation puts at position ``perm[r]`` — i.e. a trunk kernel
+    exports as ``w_ref = w_ours[perm]`` and imports as
+    ``w_ours[perm] = w_ref``.  Returns None when the layouts already
+    agree.  3-D image shapes in FCN mode are rejected (the reference's
+    ``concatenate(axis=3)`` splices the middle of a 5-D block — not a
+    layout any checkpoint should round-trip through).
+    """
+    import numpy as np
+    segs = concat_segments(config)
+    starts, pos = {}, 0
+    for label, width in segs:
+        starts[label] = pos
+        pos += width
+    perm = []
+    if config.images:
+        shapes = [tuple(s) for s in config.image_shapes]
+        set_order = list(set(shapes))            # ref models.py:12 order
+        groups = dict((tuple(s), n) for s, n in _shape_groups(config))
+        for shape in set_order:
+            names = groups[shape]
+            if config.nn_type == "CNN":
+                lo = starts["tower:" + _tower_key(shape)]
+                perm.extend(range(lo, lo + tower_flat_width(
+                    config, shape, len(names))))
+            else:
+                if len(shape) != 2 and len(names) > 1:
+                    raise ValueError(
+                        "FCN mode with multiple 3-D images has no "
+                        "well-defined reference concat layout")
+                lows = [starts["image:" + n] for n in names]
+                for pixel in range(math.prod(shape)):
+                    perm.extend(lo + pixel for lo in lows)
+    for label in ("constituents", "scalars"):
+        if label in starts:
+            width = dict(segs)[label]
+            perm.extend(range(starts[label], starts[label] + width))
+    perm = np.asarray(perm, np.int64)
+    return None if np.array_equal(perm, np.arange(pos)) else perm
+
+
 _CONV_DIMS = {2: ("NHWC", "HWIO", "NHWC"), 3: ("NDHWC", "DHWIO", "NDHWC")}
 
 

@@ -68,16 +68,19 @@ def _dense_name(i):
     return "dense" if i == 0 else f"dense_{i}"
 
 
-def maybe_export_keras(params, model_out, kind):
+def maybe_export_keras(params, model_out, kind, config=None):
     """Reference-style ``--model_out model.h5`` runs must end with a
     Keras-loadable file (the reference reads its checkpoints back with
     ``model.load_weights``): when ``model_out`` names an .h5/.hdf5 path,
     replace the staged npz checkpoint with the Keras export and return
-    True.  No-op (False) for native .npz outputs."""
+    True.  No-op (False) for native .npz outputs.  ``config`` (jet-ID
+    only) enables the exact multi-image concat-layout rewrite."""
     if not model_out or not str(model_out).endswith((".h5", ".hdf5")):
         return False
-    {"vae": export_keras_vae, "aae": export_keras_aae,
-     "jetid": export_keras_jetid}[kind](params, model_out)
+    if kind == "jetid":
+        export_keras_jetid(params, model_out, config)
+    else:
+        {"vae": export_keras_vae, "aae": export_keras_aae}[kind](params, model_out)
     return True
 
 
@@ -129,30 +132,81 @@ def export_keras_aae(params, path, include_discriminator=True):
     _write_keras2(path, groups)
 
 
-def export_keras_jetid(params, path):
+def export_keras_jetid(params, path, config=None):
     """Write an ``init_jetid`` pytree as the reference jet-ID
-    ``model.h5``: one group per conv/dense layer in creation order
-    (towers, constituents branch, scalars branch, trunk, head —
-    ref jet-ID/models.py:15-66), auto-named as a fresh Keras process
-    would.  Positional load works for FCN / single-tower models;
-    multi-tower graphs should load ``by_name=True`` (see module
-    docstring).  Round-trippable through
+    ``model.h5``: one group per conv/dense layer, auto-named as a fresh
+    Keras process building ``multi_CNN`` would (ref jet-ID/models.py:15-66
+    creation order: towers, constituents branch, scalars branch, trunk,
+    softmax head) and **listed in graph-depth order** so positional
+    ``model.load_weights`` maps every layer correctly even for
+    multi-tower graphs, where Keras interleaves parallel towers by
+    depth.  ``by_name=True`` loading also works (names match the fresh
+    process).  Round-trippable through
     :func:`keras_import.load_keras_jetid`, which re-sorts by name.
-    """
-    groups = {}
-    counters = {}
 
-    def add(kind, layer):
+    Pass ``config`` (the ``JetIDConfig``) for multi-image models: the
+    trunk's first kernel is rewritten from this implementation's concat
+    layout into the reference graph's (tower set-order + FCN pixel
+    interleave) so the loaded model computes identical outputs — without
+    config the weights land on the right layers but multi-image concat
+    offsets may be permuted.
+
+    Depth bookkeeping (Keras depth = longest op path to the output;
+    layers are listed deepest-first, ties in traversal order): every
+    reference conv block is Conv > MaxPool > LeakyReLU > Dropout (4 ops),
+    branch/trunk dense groups are Dense > LeakyReLU > Dropout (3 ops),
+    then the concat and the float32 softmax head.  Tower traversal
+    follows the iteration order of ``set(shapes)`` exactly as
+    ref jet-ID/models.py:12 builds ``shape_set`` — deterministic for a
+    given Python version; a target process whose set order differs
+    surfaces as a clean shape error, not silent misassignment.
+    """
+    towers = params.get("towers", {})
+    # tower keys are "HxW[xD]" shape strings (models/jetid.py _tower_key)
+    shapes = {k: tuple(int(s) for s in k.split("x")) for k in towers}
+    set_order = list(set(shapes.values()))       # ref models.py:12 order
+    ordered = sorted(towers, key=lambda k: set_order.index(shapes[k]))
+
+    if config is not None:
+        # multi-image layouts: the trunk's first kernel rows follow OUR
+        # concat order; rewrite them into the reference graph's order
+        # (tower set-order + FCN pixel interleave — see
+        # models/jetid.py::reference_concat_permutation)
+        from ..models.jetid import reference_concat_permutation
+        perm = reference_concat_permutation(config)
+        if perm is not None:
+            trunk = (params["head"][0] if params.get("head")
+                     else params["out"])
+            permuted = {"w": _to_np(trunk["w"])[perm], "b": trunk["b"]}
+            if params.get("head"):
+                params = {**params,
+                          "head": [permuted] + list(params["head"][1:])}
+            else:
+                params = {**params, "out": permuted}
+
+    n_trunk = len(params["head"])
+    counters = {}
+    entries = []                                 # (depth, created, name, layer)
+
+    def add(kind, depth, layer):
         i = counters.get(kind, 0)
         counters[kind] = i + 1
         name = kind if i == 0 else f"{kind}_{i}"
-        groups[name] = _wpair(name, layer)
+        entries.append((depth, len(entries), name, layer))
 
-    for tower in params.get("towers", {}).values():
-        for conv in tower:
-            add("conv3d" if np.ndim(conv["w"]) == 5 else "conv2d", conv)
-    for comp in ("constituents", "scalars", "head"):
-        for layer in params.get(comp, []):
-            add("dense", layer)
-    add("dense", params["out"])
-    _write_keras2(path, groups)
+    for k in ordered:
+        n_blocks = len(towers[k])
+        for j, conv in enumerate(towers[k]):
+            kind = "conv3d" if np.ndim(conv["w"]) == 5 else "conv2d"
+            add(kind, 4 * (n_blocks - j) + 3 * n_trunk + 2, conv)
+    for comp in ("constituents", "scalars"):
+        stack = params.get(comp, [])
+        for m, layer in enumerate(stack):
+            add("dense", 3 * (len(stack) - 1 - m) + 3 * n_trunk + 4, layer)
+    for i, layer in enumerate(params["head"]):
+        add("dense", 3 * (n_trunk - i), layer)
+    add("dense", 0, params["out"])
+
+    entries.sort(key=lambda e: (-e[0], e[1]))
+    _write_keras2(path, {name: _wpair(name, layer)
+                         for _, _, name, layer in entries})

@@ -90,14 +90,16 @@ def sniff_weights_format(path):
                      "npz pytree checkpoint (unrecognized file signature)")
 
 
-def load_params_auto(path, template, kind):
+def load_params_auto(path, template, kind, config=None):
     """Load weights from either format: Keras HDF5 (reference-trained or
     exported by :mod:`keras_export`) or native npz pytree.  ``kind``
-    selects the Keras layer-mapping convention: 'vae' | 'aae' | 'jetid'."""
+    selects the Keras layer-mapping convention: 'vae' | 'aae' | 'jetid'.
+    ``config`` (jet-ID only) enables the exact multi-image concat-layout
+    rewrite of the trunk kernel (see :func:`load_keras_jetid`)."""
     if sniff_weights_format(path) == "keras":
-        loader = {"vae": load_keras_vae, "aae": load_keras_aae,
-                  "jetid": load_keras_jetid}[kind]
-        return loader(path, template)
+        if kind == "jetid":
+            return load_keras_jetid(path, template, config)
+        return {"vae": load_keras_vae, "aae": load_keras_aae}[kind](path, template)
     from .checkpoint import load_pytree
     return load_pytree(path, template)
 
@@ -190,7 +192,7 @@ def _load_component(pairs, component, template, path):
     return {"hidden": hidden, "out": _assign(template["out"], k, b, p)}
 
 
-def load_keras_jetid(path, template):
+def load_keras_jetid(path, template, config=None):
     """Map a jet-ID ``model.h5`` (the flat functional graph of
     ref jet-ID/models.py:9-66) onto an ``init_jetid`` pytree.
 
@@ -200,7 +202,16 @@ def load_keras_jetid(path, template):
     Conv towers are matched by their *kernel-shape signature* (the
     per-shape tower loop iterates a Python ``set``, ref :15, so tower
     order in the file is not reproducible); two towers with identical
-    signatures cannot be told apart and raise."""
+    signatures cannot be told apart and raise.
+
+    Pass ``config`` (the ``JetIDConfig``) for multi-image models: the
+    trunk's first kernel rows are rewritten from the reference graph's
+    concat layout (tower ``set``-order, FCN pixel interleave) into this
+    implementation's (first-appearance towers, image-major FCN blocks)
+    so the imported model computes identical outputs — see
+    :func:`atlasvae.models.jetid.reference_concat_permutation`.  Without
+    config, single-image / single-tower files (where the layouts agree)
+    still import exactly."""
     pairs = _dense_pairs(read_keras_weights(path))
     dense = sorted(((p, k, b) for p, (k, b) in pairs.items() if k.ndim == 2),
                    key=lambda t: _suffix_index(t[0]))
@@ -254,6 +265,17 @@ def load_keras_jetid(path, template):
             mapped.append(_assign(layer, k, b, p))
             i += 1
         out[comp] = mapped if comp != "out" else mapped[0]
+
+    if config is not None:
+        # reference concat row r feeds OUR concat position perm[r]:
+        # scatter the file's trunk kernel rows into our layout
+        from ..models.jetid import reference_concat_permutation
+        perm = reference_concat_permutation(config)
+        if perm is not None:
+            trunk = out["head"][0]
+            w = np.empty_like(trunk["w"])
+            w[perm] = trunk["w"]
+            out["head"][0] = {"w": w, "b": trunk["b"]}
     return out
 
 

@@ -278,3 +278,153 @@ def test_reference_jetid_loads_export(tmp_path):
     ours = np.asarray(jetid_apply(params, config, {"image": xi, "scalars": xs},
                                   train=False))
     np.testing.assert_allclose(ours, tf_out, rtol=1e-5, atol=1e-5)
+
+
+# --------------------------------------------- multi-image concat layouts
+
+def _multitower_config():
+    """Two tower shapes whose Python-``set`` iteration order differs from
+    first-appearance order (int-tuple hashes are process-independent, so
+    this is stable), plus a same-shape image pair, constituents and
+    scalars branches: exercises both the depth interleave and the
+    concat-layout permutation."""
+    from atlasvae.models.jetid import JetIDConfig
+    return JetIDConfig(
+        n_classes=2, scalars=("scalars",), scalar_dims=(16,),
+        images=("img_a", "img_b", "img_c"),
+        image_shapes=((13, 11), (13, 11), (9, 7)),
+        constituent_dim=20, nn_type="CNN", fcn_neurons=(32,),
+        branch_neurons=(16,),
+        cnn_by_shape=((((13, 11)), (8, 8), ((3, 3), (3, 3)), ((2, 2), (2, 2))),
+                      (((9, 7)), (6, 6), ((3, 3), (3, 3)), ((2, 2), (2, 2)))),
+        dropout=0.0)
+
+
+def _reference_multi_cnn(config, sample_shapes):
+    """The reference ``multi_CNN`` graph (ref jet-ID/models.py:9-66):
+    tower loop over ``set(shapes)``, same-shape inputs concatenated on
+    axis=3, Conv/MaxPool/LeakyReLU/Dropout blocks (or Flatten-only in
+    FCN mode), constituents and scalars Dense branches, trunk + softmax."""
+    from tensorflow.keras import layers, models
+    from atlasvae.models.jetid import _shape_cnn
+
+    input_dict = {name: layers.Input(shape=shape, name=name)
+                  for name, shape in sample_shapes.items()}
+    shapes = [tuple(s) for s in config.image_shapes]
+    by_name = dict(zip(config.images, shapes))
+    output_list = []
+    for shape in list(set(shapes)):                 # ref models.py:12 order
+        ins = [layers.Reshape(shape + (1,))(input_dict[n])
+               for n in config.images if by_name[n] == shape]
+        x = layers.concatenate(ins, axis=3) if len(ins) > 1 else ins[0]
+        if config.nn_type == "CNN":
+            maps_list, kernels, pools, rank = _shape_cnn(config, shape)
+            assert rank == 2, "test helper covers 2-D towers"
+            for maps, kern, pool in zip(maps_list, kernels, pools):
+                x = layers.Conv2D(maps, kern)(x)
+                x = layers.MaxPooling2D(pool, padding="same")(x)
+                x = layers.LeakyReLU(negative_slope=0.0)(x)
+                x = layers.Dropout(config.dropout)(x)
+        output_list.append(layers.Flatten()(x))
+    if config.constituent_dim:
+        x = layers.Flatten()(input_dict["constituents"])
+        for n in config.branch_neurons:
+            x = layers.Dense(n)(x)
+            x = layers.LeakyReLU(negative_slope=0.0)(x)
+            x = layers.Dropout(config.dropout)(x)
+        output_list.append(x)
+    if config.scalar_dims:
+        x = layers.Flatten()(input_dict["scalars"])
+        for n in config.branch_neurons:
+            x = layers.Dense(n)(x)
+            x = layers.LeakyReLU(negative_slope=0.0)(x)
+            x = layers.Dropout(config.dropout)(x)
+        output_list.append(x)
+    x = layers.concatenate(output_list)
+    for n in config.fcn_neurons:
+        x = layers.Dense(n)(x)
+        x = layers.LeakyReLU(negative_slope=0.0)(x)
+        x = layers.Dropout(config.dropout)(x)
+    out = layers.Dense(config.n_classes, activation="softmax",
+                       dtype="float32")(x)
+    model = models.Model(inputs=list(input_dict.values()), outputs=out)
+    return model, list(input_dict)
+
+
+def _golden_inputs(config, rng):
+    shapes = {"scalars": (16,), "constituents": (20,)}
+    shapes.update(zip(config.images, [tuple(s) for s in config.image_shapes]))
+    return shapes, {name: rng.normal(size=(8,) + shape).astype(np.float32)
+                    for name, shape in shapes.items()}
+
+
+def test_reference_multitower_loads_export(tmp_path):
+    """Multi-tower graph: reference tower order follows ``set`` iteration
+    (differs from ours), Keras lists parallel towers interleaved by
+    depth, and the trunk kernel needs the concat-layout rewrite — the
+    reference model must still load our export positionally and agree."""
+    pytest.importorskip("tensorflow")
+    from atlasvae.models.jetid import (init_jetid, jetid_apply,
+                                       reference_concat_permutation)
+
+    config = _multitower_config()
+    assert reference_concat_permutation(config) is not None  # non-trivial
+    params = init_jetid(jax.random.PRNGKey(23), config)
+    path = str(tmp_path / "model.h5")
+    export_keras_jetid(params, path, config)
+
+    rng = np.random.default_rng(3)
+    sample_shapes, inputs = _golden_inputs(config, rng)
+    model, names = _reference_multi_cnn(config, sample_shapes)
+    model.load_weights(path)
+    tf_out = np.asarray(model([inputs[n] for n in names]))
+    ours = np.asarray(jetid_apply(params, config, inputs, train=False))
+    np.testing.assert_allclose(ours, tf_out, rtol=1e-5, atol=1e-5)
+
+
+def test_reference_fcn_images_loads_export(tmp_path):
+    """FCN mode with same-shape image pairs: the reference stacks them
+    channel-last and flattens pixel-major (ref jet-ID/models.py:16-17,38)
+    while our apply concatenates image-major — the export's trunk-kernel
+    row permutation must bridge the two layouts exactly."""
+    pytest.importorskip("tensorflow")
+    from atlasvae.models.jetid import (JetIDConfig, init_jetid, jetid_apply,
+                                       reference_concat_permutation)
+
+    config = JetIDConfig(
+        n_classes=2, scalars=("scalars",), scalar_dims=(16,),
+        images=("img_a", "img_b"), image_shapes=((5, 4), (5, 4)),
+        nn_type="FCN", fcn_neurons=(24,), branch_neurons=(16,), dropout=0.0)
+    assert reference_concat_permutation(config) is not None
+    params = init_jetid(jax.random.PRNGKey(29), config)
+    path = str(tmp_path / "model.h5")
+    export_keras_jetid(params, path, config)
+
+    rng = np.random.default_rng(4)
+    sample_shapes, inputs = _golden_inputs(config, rng)
+    del sample_shapes["constituents"], inputs["constituents"]
+    model, names = _reference_multi_cnn(config, sample_shapes)
+    model.load_weights(path)
+    tf_out = np.asarray(model([inputs[n] for n in names]))
+    ours = np.asarray(jetid_apply(params, config, inputs, train=False))
+    np.testing.assert_allclose(ours, tf_out, rtol=1e-5, atol=1e-5)
+
+
+def test_multitower_export_import_roundtrip(tmp_path):
+    """Export with the layout rewrite, import with the inverse: the
+    original pytree comes back bit-for-bit even though the on-disk trunk
+    kernel is row-permuted."""
+    from atlasvae.models.jetid import init_jetid
+    config = _multitower_config()
+    params = init_jetid(jax.random.PRNGKey(31), config)
+    path = str(tmp_path / "model.h5")
+    export_keras_jetid(params, path, config)
+    template = init_jetid(jax.random.PRNGKey(32), config)
+    back = load_keras_jetid(path, template, config)
+    _assert_tree_equal(back, jax.tree.map(np.asarray, params))
+    # without config the trunk kernel stays in the file's (reference)
+    # layout — everything else still lands on the right layers
+    naive = load_keras_jetid(path, template)
+    assert not np.array_equal(np.asarray(naive["head"][0]["w"]),
+                              np.asarray(params["head"][0]["w"]))
+    _assert_tree_equal(naive["out"], jax.tree.map(np.asarray, params["out"]))
