@@ -27,7 +27,7 @@ import math
 import jax
 import jax.numpy as jnp
 
-from .mlp import init_mlp, init_dense, dense_apply, mlp_apply
+from .mlp import init_mlp, init_dense, dense_apply
 
 
 @dataclasses.dataclass(frozen=True)
@@ -275,6 +275,16 @@ def _dropout(x, rate, key, salt, train):
     return jnp.where(keep, x / (1.0 - rate), 0.0)
 
 
+def _dense_stack(layers, x, dropout, key, salt0, train):
+    """Dense > ReLU > Dropout per layer — the reference repeats the
+    Dropout after EVERY branch/trunk dense (ref jet-ID/models.py:44-46,
+    54-56,63-65), not once per stack."""
+    for i, layer in enumerate(layers):
+        x = jax.nn.relu(dense_apply(layer, x))
+        x = _dropout(x, dropout, key, salt0 + i, train)
+    return x
+
+
 def l2_penalty(params):
     """Sum of squared kernels over every hidden Dense/Conv layer — the
     Keras ``kernel_regularizer=l2`` contribution (ref jet-ID/models.py:10;
@@ -319,16 +329,15 @@ def jetid_apply(params, config, inputs, key=None, train=False):
             branches.append(inputs[name].reshape(inputs[name].shape[0], -1))
     if config.constituent_dim:
         h = inputs["constituents"].reshape(inputs["constituents"].shape[0], -1)
-        h = mlp_apply(params["constituents"], h, "relu")
-        branches.append(_dropout(h, config.dropout, key, 101, train))
+        branches.append(_dense_stack(params["constituents"], h,
+                                     config.dropout, key, 101, train))
     if config.scalar_dims:
         h = jnp.concatenate(
             [inputs[name].reshape(inputs[name].shape[0], -1) for name in config.scalars],
             axis=-1)
-        h = mlp_apply(params["scalars"], h, "relu")
-        branches.append(_dropout(h, config.dropout, key, 202, train))
+        branches.append(_dense_stack(params["scalars"], h,
+                                     config.dropout, key, 202, train))
     h = jnp.concatenate(branches, axis=-1) if len(branches) > 1 else branches[0]
-    h = mlp_apply(params["head"], h, "relu")
-    h = _dropout(h, config.dropout, key, 303, train)
+    h = _dense_stack(params["head"], h, config.dropout, key, 303, train)
     logits = dense_apply(params["out"], h).astype(jnp.float32)
     return jax.nn.softmax(logits, axis=-1)

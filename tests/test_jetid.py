@@ -265,3 +265,25 @@ def test_feature_removal_vmapped_matches_sequential():
     assert vm["f2"] > 0.2
     for f in names:
         assert abs(vm[f] - seq[f]) < 0.05, (f, vm[f], seq[f])
+
+
+def test_dropout_per_trunk_layer():
+    """The reference repeats Dropout after EVERY branch/trunk dense
+    (ref jet-ID/models.py:44-46,63-65): with identity 2-layer stacks the
+    masks compound, so the zero fraction approaches 1-(1-r)^2, not the
+    single-mask r."""
+    import jax
+    import numpy as np
+    from atlasvae.models.jetid import _dense_stack
+
+    dim, n, rate = 64, 512, 0.5
+    eye = {"w": np.eye(dim, dtype=np.float32), "b": np.zeros(dim, np.float32)}
+    x = np.ones((n, dim), np.float32)
+    out = np.asarray(_dense_stack([eye, eye], x, rate,
+                                  jax.random.PRNGKey(0), 303, True))
+    zero_frac = float((out == 0).mean())
+    assert 0.70 < zero_frac < 0.80, zero_frac   # two masks: ~0.75, not ~0.5
+    # eval mode: dropout is a no-op and the stack is plain dense+relu
+    ev = np.asarray(_dense_stack([eye, eye], x, rate,
+                                 jax.random.PRNGKey(0), 303, False))
+    np.testing.assert_array_equal(ev, x)
