@@ -428,3 +428,73 @@ def test_multitower_export_import_roundtrip(tmp_path):
     assert not np.array_equal(np.asarray(naive["head"][0]["w"]),
                               np.asarray(params["head"][0]["w"]))
     _assert_tree_equal(naive["out"], jax.tree.map(np.asarray, params["out"]))
+
+
+def test_reference_conv3d_multitower_loads_export(tmp_path):
+    """Mixed-rank towers: a Conv3D tower over two same-shape images
+    stacked on the depth axis (ref jet-ID/models.py:23-27 selects 3-D
+    when every kernel has >=3 entries, :24 Reshape(...+(1,))) next to a
+    Conv2D tower — positional load + forward parity."""
+    pytest.importorskip("tensorflow")
+    from tensorflow.keras import layers, models
+    from atlasvae.models.jetid import (JetIDConfig, init_jetid, jetid_apply,
+                                       _shape_cnn)
+
+    config = JetIDConfig(
+        n_classes=3, scalars=("scalars",), scalar_dims=(16,),
+        images=("img_a", "img_b", "img_c"),
+        image_shapes=((8, 7), (8, 7), (13, 11)),
+        nn_type="CNN", fcn_neurons=(32, 24), branch_neurons=(16,),
+        cnn_by_shape=(
+            # 3-D tower: both kernels have 3 entries (ref rank rule)
+            ((8, 7), (6, 6), ((2, 2, 2), (2, 2, 1)), ((2, 2, 1), (2, 2, 1))),
+            ((13, 11), (8, 8), ((3, 3), (3, 3)), ((2, 2), (2, 2)))),
+        dropout=0.0)
+    params = init_jetid(jax.random.PRNGKey(37), config)
+    path = str(tmp_path / "model.h5")
+    export_keras_jetid(params, path, config)
+
+    shapes = [tuple(s) for s in config.image_shapes]
+    by_name = dict(zip(config.images, shapes))
+    input_dict = {n: layers.Input(shape=by_name[n], name=n)
+                  for n in config.images}
+    input_dict["scalars"] = layers.Input(shape=(16,), name="scalars")
+    output_list = []
+    for shape in list(set(shapes)):                 # ref models.py:12 order
+        ins = [layers.Reshape(shape + (1,))(input_dict[n])
+               for n in config.images if by_name[n] == shape]
+        x = layers.concatenate(ins, axis=3) if len(ins) > 1 else ins[0]
+        maps_list, kernels, pools, rank = _shape_cnn(config, shape)
+        if rank == 3:                               # ref models.py:24
+            x = layers.Reshape(tuple(x.shape[1:]) + (1,))(x)
+        conv = {2: layers.Conv2D, 3: layers.Conv3D}[rank]
+        pool = {2: layers.MaxPooling2D, 3: layers.MaxPooling3D}[rank]
+        for maps, kern, p in zip(maps_list, kernels, pools):
+            x = conv(maps, kern)(x)
+            x = pool(p, padding="same")(x)
+            x = layers.LeakyReLU(negative_slope=0.0)(x)
+            x = layers.Dropout(config.dropout)(x)
+        output_list.append(layers.Flatten()(x))
+    s = layers.Flatten()(input_dict["scalars"])
+    for n in config.branch_neurons:
+        s = layers.Dense(n)(s)
+        s = layers.LeakyReLU(negative_slope=0.0)(s)
+        s = layers.Dropout(config.dropout)(s)
+    output_list.append(s)
+    x = layers.concatenate(output_list)
+    for n in config.fcn_neurons:
+        x = layers.Dense(n)(x)
+        x = layers.LeakyReLU(negative_slope=0.0)(x)
+        x = layers.Dropout(config.dropout)(x)
+    out = layers.Dense(3, activation="softmax", dtype="float32")(x)
+    model = models.Model(inputs=list(input_dict.values()), outputs=out)
+    model.load_weights(path)
+
+    rng = np.random.default_rng(5)
+    inputs = {n: rng.normal(size=(8,) + by_name[n]).astype(np.float32)
+              for n in config.images}
+    inputs["scalars"] = rng.normal(size=(8, 16)).astype(np.float32)
+    tf_out = np.asarray(model([inputs[n] for n in
+                               list(config.images) + ["scalars"]]))
+    ours = np.asarray(jetid_apply(params, config, inputs, train=False))
+    np.testing.assert_allclose(ours, tf_out, rtol=1e-5, atol=1e-5)
