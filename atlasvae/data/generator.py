@@ -85,6 +85,13 @@ class BatchGenerator:
         # Caching it removes the per-epoch host bottleneck at no
         # semantic cost; multi-load epochs are never cached (memory).
         self._cache = {} if len(self) == 1 else None
+        if self._cache is None:
+            # streaming epochs churn GB-sized buffers every load: keep
+            # freed pages in the malloc arena so loads after the first
+            # reuse warm memory instead of re-faulting fresh mmaps
+            # (utils/hostmem.py; opt out with ATLASVAE_HEAP_REUSE=0)
+            from ..utils.hostmem import enable_heap_reuse
+            enable_heap_reuse()
 
     def __len__(self):
         span = self.n_bkg[1] - self.n_bkg[0]

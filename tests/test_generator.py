@@ -119,3 +119,16 @@ def test_multi_load_generator_yields_host_arrays(synth_dir):
         assert type(ood["weights"]) is np.ndarray
         total += len(bkg["HLVs"])
     assert total == 3000
+
+
+def test_heap_reuse_knob(monkeypatch):
+    """Streaming epochs enable malloc-arena reuse (utils/hostmem.py):
+    applies on glibc, idempotent, and honors the ATLASVAE_HEAP_REUSE=0
+    opt-out."""
+    import atlasvae.utils.hostmem as hm
+    monkeypatch.setattr(hm, "_applied", False)
+    monkeypatch.setenv("ATLASVAE_HEAP_REUSE", "0")
+    assert hm.enable_heap_reuse() is False
+    monkeypatch.delenv("ATLASVAE_HEAP_REUSE")
+    assert hm.enable_heap_reuse() is True     # glibc in this image
+    assert hm.enable_heap_reuse() is True     # idempotent
