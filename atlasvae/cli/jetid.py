@@ -207,6 +207,16 @@ def main(argv=None):
         return 0
     n_devices = args.n_devices or 1
     batch_size = n_devices * args.batch_size  # ref classifier.py:137-138
+    mesh = None
+    if n_devices > 1:
+        # synchronous DP over the device mesh — the MirroredStrategy
+        # replacement (ref jet-ID/models.py:69-81); psum over ICI
+        from ..parallel.mesh import make_mesh
+        devices = jax.devices()[:n_devices]
+        if len(devices) < n_devices:
+            raise SystemExit(f"--n_devices {n_devices}: only "
+                             f"{len(devices)} devices visible")
+        mesh = make_mesh((("data", n_devices),), devices)
     hlv_list = list(HLV_LIST)
     cuts = ['(sample["m"] >= 30)', '(sample["pt"] <= 5000)']
     n_total = args.n_train + args.n_valid
@@ -498,14 +508,14 @@ def main(argv=None):
         params, history = train_classifier_streaming(
             params, config, load_iter, inputs_for(eval_idx),
             labels[eval_idx], args.n_epochs, batch_size, args.lr,
-            args.patience, model_out, state_file=state_file)
+            args.patience, model_out, state_file=state_file, mesh=mesh)
     elif args.n_epochs > 0:
         state_file = out_root + "/" + args.state_file if args.state_file else None
         params, history = train_classifier(
             params, config, inputs_for(train_idx), labels[train_idx],
             inputs_for(valid_idx), labels[valid_idx], args.n_epochs,
             batch_size, args.lr, args.patience, class_weight, sample_weight,
-            model_out, state_file=state_file)
+            model_out, state_file=state_file, mesh=mesh)
     elif args.model_in and os.path.isfile(out_root + "/" + args.model_in):
         # format sniffed by magic bytes: reference-trained / exported
         # Keras HDF5 or native npz pytree, regardless of extension

@@ -38,7 +38,23 @@ def _ce_loss(probs, labels, weights):
     return jnp.sum(ce * weights) / jnp.maximum(jnp.sum(weights), 1e-30)
 
 
-def make_jetid_step_fns(optimizer, config, jit=True, masked=False):
+def make_jetid_step_fns(optimizer, config, jit=True, masked=False,
+                        mesh=None, data_axis="data"):
+    """Build (train_epoch, eval_epoch).  With ``mesh``, both run under
+    ``shard_map`` with the batch axis sharded over ``data_axis`` and
+    gradients/metric sums psum-reduced over ICI — the TPU equivalent of
+    the reference's ``MirroredStrategy`` synchronous data parallelism
+    (ref jet-ID/models.py:69-81; per-replica batch scaling
+    batch = n_devices x 5e3, ref classifier.py:136-138).  Dropout keys
+    are folded with the replica index, matching MirroredStrategy's
+    independent per-replica dropout masks; with dropout 0 the DP step
+    equals the single-device step to f32 reduction order."""
+    in_dp = mesh is not None
+    if in_dp and masked:
+        raise ValueError("masked fold training shards the fold axis "
+                         "(make_jetid_fold_step_fns), not the data axis")
+    n_shards = mesh.shape[data_axis] if in_dp else 1
+
     # kernel L2 term, included in train AND eval loss exactly as Keras
     # adds regularization losses to both fit and evaluate
     # (ref jet-ID/models.py:10 kernel_regularizer=l2(args.l2))
@@ -47,11 +63,28 @@ def make_jetid_step_fns(optimizer, config, jit=True, masked=False):
 
     def batch_loss(params, batch, key):
         inputs, labels, weights = batch
+        if in_dp:
+            # independent per-replica dropout masks (MirroredStrategy
+            # replicas draw their own RNG, ref jet-ID/models.py:72)
+            key = jax.random.fold_in(key, jax.lax.axis_index(data_axis))
         probs = jetid_apply(params, config, inputs, key=key, train=True)
-        loss = _ce_loss(probs, labels, weights) + _reg(params)
-        acc = jnp.sum((jnp.argmax(probs, 1) == labels) * weights) / \
-            jnp.maximum(jnp.sum(weights), 1e-30)
-        return loss, jnp.stack([loss, acc])
+        p = jnp.sum(probs * jax.nn.one_hot(labels, probs.shape[1],
+                                           dtype=probs.dtype), axis=1)
+        num = jnp.sum(-jnp.log(jnp.maximum(p, 1e-7)) * weights)
+        den = jnp.sum(weights)
+        acc_num = jnp.sum((jnp.argmax(probs, 1) == labels) * weights)
+        if in_dp:
+            den = jax.lax.psum(den, data_axis)
+            num_global = jax.lax.psum(jax.lax.stop_gradient(num), data_axis)
+            acc_num = jax.lax.psum(acc_num, data_axis)
+        else:
+            num_global = num
+        den = jnp.maximum(den, 1e-30)
+        # local loss: sum(local ce)/global weight + reg/n — psum of its
+        # gradient is exactly the global weighted-mean + reg gradient
+        loss = num / den + _reg(params) / n_shards
+        metrics = jnp.stack([num_global / den + _reg(params), acc_num / den])
+        return loss, metrics
 
     grad_fn = jax.grad(batch_loss, has_aux=True)
 
@@ -60,6 +93,8 @@ def make_jetid_step_fns(optimizer, config, jit=True, masked=False):
             params, opt_state, key = carry
             key, sub = jax.random.split(key)
             grads, metrics = grad_fn(params, batch, sub)
+            if in_dp:
+                grads = jax.lax.psum(grads, data_axis)
             grads = clip_gradients(grads)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             updates = jax.tree.map(lambda u: u * lr, updates)
@@ -104,11 +139,32 @@ def make_jetid_step_fns(optimizer, config, jit=True, masked=False):
         def step(_, batch):
             inputs, labels, w = batch
             probs = jetid_apply(params, config, inputs, train=False)
+            if in_dp:
+                # local (weighted-CE sum, weight sum); psum gives the
+                # single-device (loss * sum(w), sum(w)) pair exactly
+                p = jnp.sum(probs * jax.nn.one_hot(labels, probs.shape[1],
+                                                   dtype=probs.dtype), axis=1)
+                num = jnp.sum(-jnp.log(jnp.maximum(p, 1e-7)) * w)
+                pair = jnp.stack([num + _reg(params) * jnp.sum(w), jnp.sum(w)])
+                return None, jax.lax.psum(pair, data_axis)
             loss = _ce_loss(probs, labels, w) + _reg(params)
             return None, jnp.stack([loss * jnp.sum(w), jnp.sum(w)])
 
         _, metrics = jax.lax.scan(step, None, (inputs, labels, weights))
         return metrics
+
+    if in_dp:
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+        rep, sharded = P(), P(None, data_axis)
+        train_epoch = shard_map(
+            train_epoch, mesh=mesh,
+            in_specs=(rep, rep, rep, rep, sharded, sharded, sharded),
+            out_specs=(rep, rep, rep), check_vma=False)
+        eval_epoch = shard_map(
+            eval_epoch, mesh=mesh,
+            in_specs=(rep, sharded, sharded, sharded),
+            out_specs=rep, check_vma=False)
 
     if not jit:
         return train_epoch, eval_epoch
@@ -271,7 +327,7 @@ def _pack(inputs, labels, weights, batch_size):
 def train_classifier(params, config, inputs, labels, valid_inputs, valid_labels,
                      epochs=100, batch_size=5000, lr=1e-3, patience=10,
                      class_weight=None, sample_weight=None, model_out=None,
-                     seed=0, verbose=True, state_file=None):
+                     seed=0, verbose=True, state_file=None, mesh=None):
     """Fit the classifier on an in-memory sample; returns
     (best params, history dict).  Delegates to the streaming trainer
     with a single pre-weighted load per epoch."""
@@ -283,13 +339,14 @@ def train_classifier(params, config, inputs, labels, valid_inputs, valid_labels,
     return train_classifier_streaming(
         params, config, lambda: [(inputs, labels, weights)], valid_inputs,
         valid_labels, epochs, batch_size, lr, patience, model_out, seed,
-        verbose, state_file=state_file)
+        verbose, state_file=state_file, mesh=mesh)
 
 
 def train_classifier_streaming(params, config, load_iter_fn, valid_inputs,
                                valid_labels, epochs=10, batch_size=5000,
                                lr=1e-3, patience=10, model_out=None, seed=0,
-                               verbose=True, min_delta=1e-6, state_file=None):
+                               verbose=True, min_delta=1e-6, state_file=None,
+                               mesh=None):
     """Generator-based training (ref jet-ID/classifier.py:257-266
     generator path) — the single implementation of the epoch loop.
 
@@ -309,10 +366,19 @@ def train_classifier_streaming(params, config, load_iter_fn, valid_inputs,
     optimizer = make_optimizer()
     opt_state = optimizer.init(params)
     lr = float(lr)
-    train_epoch, eval_epoch = make_jetid_step_fns(optimizer, config)
+    if mesh is not None:
+        # even per-replica shards (MirroredStrategy splits its global
+        # batch the same way, ref jet-ID/classifier.py:136-138)
+        n_shards = mesh.shape["data"]
+        batch_size = max(n_shards, batch_size - batch_size % n_shards)
+    train_epoch, eval_epoch = make_jetid_step_fns(optimizer, config,
+                                                  mesh=mesh)
+    v_batch = min(batch_size, len(valid_labels))
+    if mesh is not None:
+        v_batch = max(n_shards, v_batch - v_batch % n_shards)
     v_batches = device_put_load(_pack(valid_inputs, valid_labels,
                                       np.ones(len(valid_labels), np.float32),
-                                      min(batch_size, len(valid_labels))))
+                                      v_batch))
     key = jax.random.PRNGKey(seed)
     history = {"loss": [], "val_loss": [], "accuracy": []}
     best_val, best_params, lr_wait, stop_wait = np.inf, params, 0, 0

@@ -287,3 +287,49 @@ def test_dropout_per_trunk_layer():
     ev = np.asarray(_dense_stack([eye, eye], x, rate,
                                  jax.random.PRNGKey(0), 303, False))
     np.testing.assert_array_equal(ev, x)
+
+
+def test_jetid_dp_matches_single_device():
+    """shard_map DP (the MirroredStrategy replacement,
+    ref jet-ID/models.py:69-81): an epoch trained over an 8-device
+    'data' mesh reproduces the single-device epoch (dropout 0 so the
+    per-replica RNG fold is inert; f32 reduction-order tolerance)."""
+    import jax
+    from atlasvae.parallel.mesh import make_mesh
+    from atlasvae.train.jetid_loop import make_jetid_step_fns, _pack
+    from atlasvae.train.step import make_optimizer
+
+    rng = np.random.default_rng(11)
+    n, dim = 512, 6
+    y = rng.integers(0, 2, n).astype(np.int64)
+    x = rng.normal(0, 1, (n, dim)).astype(np.float32)
+    x[:, 1] += (1.5 * (1 - 2 * y)).astype(np.float32)
+    cfg = JetIDConfig(n_classes=2, scalars=("s",), scalar_dims=(dim,),
+                      nn_type="FCN", fcn_neurons=(16, 8), dropout=0.0,
+                      l2=1e-4)
+    params = init_jetid(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer()
+    batches = _pack({"s": x}, y, np.ones(n, np.float32), 64)
+
+    mesh = make_mesh((("data", 8),), jax.devices()[:8])
+    t1, e1 = make_jetid_step_fns(opt, cfg)
+    t8, e8 = make_jetid_step_fns(opt, cfg, mesh=mesh)
+    key = jax.random.PRNGKey(3)
+    lr = np.float32(1e-3)
+    p1, _, m1 = t1(params, opt.init(params), lr, key, *batches)
+    p8, _, m8 = t8(params, opt.init(params), lr, key, *batches)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m8),
+                               rtol=2e-5, atol=2e-6)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+    v1, v8 = np.asarray(e1(p1, *batches)), np.asarray(e8(p1, *batches))
+    np.testing.assert_allclose(v1, v8, rtol=2e-5, atol=2e-6)
+    # dropout > 0 in DP: per-replica masks (MirroredStrategy semantics) —
+    # still finite and trainable, just not bit-matched to 1 device
+    import dataclasses
+    cfg_d = dataclasses.replace(cfg, dropout=0.3)
+    td, _ = make_jetid_step_fns(opt, cfg_d, mesh=mesh)
+    pd = init_jetid(jax.random.PRNGKey(1), cfg_d)
+    _, _, md = td(pd, opt.init(pd), lr, key, *batches)
+    assert np.isfinite(np.asarray(md)).all()
