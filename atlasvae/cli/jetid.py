@@ -10,7 +10,7 @@ ref classifier.py:136-138) carries over as batch = n_devices * 5e3.
 
 import os
 import sys
-from argparse import ArgumentParser
+from argparse import ArgumentParser, SUPPRESS
 from pathlib import Path
 
 import numpy as np
@@ -39,9 +39,25 @@ def build_parser():
     parser.add_argument("--lr", default=1e-3, type=float)
     parser.add_argument("--patience", default=10, type=int)
     parser.add_argument("--n_const", default=20, type=int)
+    # reference name for the constituent count (ref classifier.py:23)
+    parser.add_argument("--n_tracks", dest="n_const", type=int,
+                        default=SUPPRESS)
     parser.add_argument("--n_dims", default=3, type=int)
     parser.add_argument("--constituents", default="ON")
     parser.add_argument("--HLVs", default="ON")
+    # master branch gates (ref classifier.py:39-40,96-97: OFF empties
+    # the images / scalars variable lists)
+    parser.add_argument("--images", default="ON")
+    parser.add_argument("--scalars", default="ON")
+    # master scaling gate (ref classifier.py:41,145: scaling only when
+    # ON and scalar branches exist)
+    parser.add_argument("--scaling", default="ON")
+    # monitored series for checkpoint/plateau/early-stop callbacks
+    # (ref classifier.py:47 default 'loss', models.py:94-99)
+    parser.add_argument("--metrics", default="loss",
+                        choices=["loss", "val_loss", "accuracy",
+                                 "val_accuracy"])
+    parser.add_argument("--verbose", default=1, type=int)
     parser.add_argument("--scaler_type", default="RobustScaler")
     parser.add_argument("--scaler_in", default="",
                         help="load a pickled HLV scaler instead of fitting")
@@ -256,13 +272,17 @@ def main(argv=None):
             valid_idx = valid_idx[evaluate_cut(args.valid_cuts, arrays)[valid_idx]]
 
     scalars, scalar_dims = [], []
-    if on(args.HLVs):
+    # --scalars OFF empties the scalar branch list wholesale
+    # (ref classifier.py:96)
+    if on(args.HLVs) and on(args.scalars):
         scalars, scalar_dims = ["HLVs"], [sample["HLVs"].shape[1]]
     const_dim = sample["constituents"].shape[1] if on(args.constituents) else 0
     images, image_shapes = (), ()
-    if args.NN_type == "CNN":
+    if args.NN_type == "CNN" and on(args.images):
         # CNN mode trains a conv tower on pt-weighted constituent images
-        # (ref jet-ID/classifier.py images branches + multi_CNN towers)
+        # (ref jet-ID/classifier.py images branches + multi_CNN towers;
+        # --images OFF empties the image list, ref :97, leaving a
+        # branch-only model)
         if not on(args.constituents):
             raise SystemExit("--NN_type CNN requires --constituents ON")
         from ..data import constituent_images
@@ -286,6 +306,10 @@ def main(argv=None):
         sample["images"] = imgs / img_scale
         images, image_shapes = ("images",), ((px, px),)
         const_dim = 0  # the flat branch is replaced by the image tower
+    if not (images or const_dim or scalar_dims):
+        raise SystemExit("no input branches left: at least one of "
+                         "--images/--scalars/--constituents/--HLVs must "
+                         "be ON")
     config = JetIDConfig(n_classes=args.n_classes, scalars=tuple(scalars),
                          scalar_dims=tuple(scalar_dims),
                          constituent_dim=const_dim, nn_type=args.NN_type,
@@ -310,13 +334,16 @@ def main(argv=None):
         return None
 
     scaler = None
-    scaler_in = _resolve_in(args.scaler_in) if scalars else None
+    # scaling only when ON and scalar branches exist (ref classifier
+    # :145 `args.scaling = args.scaling == 'ON' and ...`)
+    scaling = bool(scalars) and on(args.scaling)
+    scaler_in = _resolve_in(args.scaler_in) if scaling else None
     if scaler_in:
         from ..data.scalers import Scaler
         scaler = Scaler.load(scaler_in)
         print("Loaded HLV scaler from:", scaler_in)
         sample["HLVs"] = apply_scaler(sample["HLVs"], scaler=scaler)
-    elif args.scaler_type and scalars:
+    elif args.scaler_type and scaling:
         scaler_out = args.scaler_out or f"scaler_{args.scaler_type}.pkl"
         fit_rows = first_chunk["HLVs"] if streaming \
             else sample["HLVs"][train_idx]
@@ -410,7 +437,8 @@ def main(argv=None):
                           for fold in range(1, args.n_folds + 1)]
             best, _ = train_kfold_vmapped(
                 fold_params, config, fold_loads, fold_valids, args.n_epochs,
-                batch_size, args.lr, args.patience, model_outs)
+                batch_size, args.lr, args.patience, model_outs,
+                monitor=args.metrics)
             for fold, p in enumerate(best, start=1):
                 if not os.path.isfile(out_root + f"/model_{fold}.npz"):
                     save_pytree(out_root + f"/model_{fold}.npz", p)
@@ -422,7 +450,8 @@ def main(argv=None):
                     fold_params, config, inputs_for(t_idx), labels[t_idx],
                     inputs_for(v_idx), labels[v_idx], args.n_epochs,
                     batch_size, args.lr, args.patience, class_weight, None,
-                    out_root + f"/model_{fold}.npz", verbose=False)
+                    out_root + f"/model_{fold}.npz", verbose=False,
+                    monitor=args.metrics)
                 # ensure the fold checkpoint exists even when no epoch
                 # improved (or --n_epochs 0): cross_valid loads these files
                 if not os.path.isfile(out_root + f"/model_{fold}.npz"):
@@ -508,14 +537,16 @@ def main(argv=None):
         params, history = train_classifier_streaming(
             params, config, load_iter, inputs_for(eval_idx),
             labels[eval_idx], args.n_epochs, batch_size, args.lr,
-            args.patience, model_out, state_file=state_file, mesh=mesh)
+            args.patience, model_out, state_file=state_file, mesh=mesh,
+            verbose=bool(args.verbose), monitor=args.metrics)
     elif args.n_epochs > 0:
         state_file = out_root + "/" + args.state_file if args.state_file else None
         params, history = train_classifier(
             params, config, inputs_for(train_idx), labels[train_idx],
             inputs_for(valid_idx), labels[valid_idx], args.n_epochs,
             batch_size, args.lr, args.patience, class_weight, sample_weight,
-            model_out, state_file=state_file, mesh=mesh)
+            model_out, state_file=state_file, mesh=mesh,
+            verbose=bool(args.verbose), monitor=args.metrics)
     elif args.model_in and os.path.isfile(out_root + "/" + args.model_in):
         # format sniffed by magic bytes: reference-trained / exported
         # Keras HDF5 or native npz pytree, regardless of extension

@@ -139,16 +139,16 @@ def make_jetid_step_fns(optimizer, config, jit=True, masked=False,
         def step(_, batch):
             inputs, labels, w = batch
             probs = jetid_apply(params, config, inputs, train=False)
-            if in_dp:
-                # local (weighted-CE sum, weight sum); psum gives the
-                # single-device (loss * sum(w), sum(w)) pair exactly
-                p = jnp.sum(probs * jax.nn.one_hot(labels, probs.shape[1],
-                                                   dtype=probs.dtype), axis=1)
-                num = jnp.sum(-jnp.log(jnp.maximum(p, 1e-7)) * w)
-                pair = jnp.stack([num + _reg(params) * jnp.sum(w), jnp.sum(w)])
-                return None, jax.lax.psum(pair, data_axis)
-            loss = _ce_loss(probs, labels, w) + _reg(params)
-            return None, jnp.stack([loss * jnp.sum(w), jnp.sum(w)])
+            # (weighted-CE sum incl. reg, weight sum, weighted-correct
+            # sum) — local partial sums under DP; psum gives the
+            # single-device triple exactly
+            p = jnp.sum(probs * jax.nn.one_hot(labels, probs.shape[1],
+                                               dtype=probs.dtype), axis=1)
+            num = jnp.sum(-jnp.log(jnp.maximum(p, 1e-7)) * w)
+            correct = jnp.sum((jnp.argmax(probs, 1) == labels) * w)
+            trip = jnp.stack([num + _reg(params) * jnp.sum(w), jnp.sum(w),
+                              correct])
+            return None, jax.lax.psum(trip, data_axis) if in_dp else trip
 
         _, metrics = jax.lax.scan(step, None, (inputs, labels, weights))
         return metrics
@@ -189,7 +189,7 @@ def make_jetid_fold_step_fns(optimizer, config):
 def train_kfold_vmapped(params_list, config, fold_loads, fold_valids,
                         epochs=100, batch_size=5000, lr=1e-3, patience=10,
                         model_outs=None, seed=0, verbose=True,
-                        min_delta=1e-6):
+                        min_delta=1e-6, monitor="val_loss"):
     """Train all k folds simultaneously as one vmapped program.
 
     ``fold_loads`` / ``fold_valids``: per-fold (inputs, labels, weights)
@@ -255,8 +255,12 @@ def train_kfold_vmapped(params_list, config, fold_loads, fold_valids,
     lr_wait = np.zeros(k, np.int64)
     stop_wait = np.zeros(k, np.int64)
     stopped = np.zeros(k, bool)
-    histories = [{"loss": [], "val_loss": [], "accuracy": []}
-                 for _ in range(k)]
+    histories = [{"loss": [], "val_loss": [], "accuracy": [],
+                  "val_accuracy": []} for _ in range(k)]
+    if monitor not in histories[0]:
+        raise ValueError(f"monitor {monitor!r}: pick one of "
+                         f"{list(histories[0])}")
+    sign = -1.0 if "accuracy" in monitor else 1.0     # Keras mode max/min
 
     split2 = jax.jit(jax.vmap(lambda kk: tuple(jax.random.split(kk))))
     for epoch in range(epochs):
@@ -270,6 +274,7 @@ def train_kfold_vmapped(params_list, config, fold_loads, fold_valids,
         if not np.isfinite(m).all():                  # TerminateOnNaN
             print("NaN loss encountered — terminating k-fold training")
             break
+        val_acc = vm[:, :, 2].sum(axis=1) / vm[:, :, 1].sum(axis=1)
         for f in range(k):
             if stopped[f]:
                 continue
@@ -277,8 +282,10 @@ def train_kfold_vmapped(params_list, config, fold_loads, fold_valids,
             histories[f]["accuracy"].append(
                 float(m[f, :n_real[f], 1].mean()))
             histories[f]["val_loss"].append(float(val_loss[f]))
-            if val_loss[f] < best_val[f] - min_delta:
-                best_val[f] = val_loss[f]
+            histories[f]["val_accuracy"].append(float(val_acc[f]))
+            score = sign * histories[f][monitor][-1]
+            if score < best_val[f] - min_delta:
+                best_val[f] = score
                 best_params[f] = tree_slice(params, f)
                 lr_wait[f] = stop_wait[f] = 0
                 if model_outs:
@@ -327,7 +334,8 @@ def _pack(inputs, labels, weights, batch_size):
 def train_classifier(params, config, inputs, labels, valid_inputs, valid_labels,
                      epochs=100, batch_size=5000, lr=1e-3, patience=10,
                      class_weight=None, sample_weight=None, model_out=None,
-                     seed=0, verbose=True, state_file=None, mesh=None):
+                     seed=0, verbose=True, state_file=None, mesh=None,
+                     monitor="val_loss"):
     """Fit the classifier on an in-memory sample; returns
     (best params, history dict).  Delegates to the streaming trainer
     with a single pre-weighted load per epoch."""
@@ -339,21 +347,25 @@ def train_classifier(params, config, inputs, labels, valid_inputs, valid_labels,
     return train_classifier_streaming(
         params, config, lambda: [(inputs, labels, weights)], valid_inputs,
         valid_labels, epochs, batch_size, lr, patience, model_out, seed,
-        verbose, state_file=state_file, mesh=mesh)
+        verbose, state_file=state_file, mesh=mesh, monitor=monitor)
 
 
 def train_classifier_streaming(params, config, load_iter_fn, valid_inputs,
                                valid_labels, epochs=10, batch_size=5000,
                                lr=1e-3, patience=10, model_out=None, seed=0,
                                verbose=True, min_delta=1e-6, state_file=None,
-                               mesh=None):
+                               mesh=None, monitor="val_loss"):
     """Generator-based training (ref jet-ID/classifier.py:257-266
     generator path) — the single implementation of the epoch loop.
 
     ``load_iter_fn()`` returns an iterable of (inputs, labels, weights)
     loads per epoch.  Callback semantics per ref jet-ID/models.py:94-99:
-    ModelCheckpoint(best val_loss), ReduceLROnPlateau(patience 5,
-    factor 0.5, min_delta), EarlyStopping(restore best), TerminateOnNaN.
+    ModelCheckpoint(best), ReduceLROnPlateau(patience 5, factor 0.5,
+    min_delta), EarlyStopping(restore best), TerminateOnNaN.  All three
+    monitor the ``monitor`` series — 'loss' / 'accuracy' / 'val_loss' /
+    'val_accuracy', higher-is-better for the accuracy pair — exactly as
+    the reference threads one ``--metrics`` name into every callback
+    (ref jet-ID/models.py:94-99, classifier.py:47,256).
 
     ``state_file``: full-train-state checkpoint (params, best params,
     Adam moments, lr, callback counters, RNG key) written every epoch
@@ -380,7 +392,11 @@ def train_classifier_streaming(params, config, load_iter_fn, valid_inputs,
                                       np.ones(len(valid_labels), np.float32),
                                       v_batch))
     key = jax.random.PRNGKey(seed)
-    history = {"loss": [], "val_loss": [], "accuracy": []}
+    history = {"loss": [], "val_loss": [], "accuracy": [],
+               "val_accuracy": []}
+    if monitor not in history:
+        raise ValueError(f"monitor {monitor!r}: pick one of {list(history)}")
+    sign = -1.0 if "accuracy" in monitor else 1.0  # Keras mode max/min
     best_val, best_params, lr_wait, stop_wait = np.inf, params, 0, 0
     if state_file and os.path.isfile(state_file):
         st = load_pytree(state_file, {
@@ -396,7 +412,7 @@ def train_classifier_streaming(params, config, load_iter_fn, valid_inputs,
                   " — returning best weights")
             return best_params, history
         print(f"Resuming full classifier state from {state_file} "
-              f"(lr={lr:g}, best val_loss={best_val:.4f})")
+              f"(lr={lr:g}, best {monitor}={sign * best_val:.4f})")
     load_cache = LoadCache()
     for epoch in range(epochs):
         start = time.time()
@@ -429,12 +445,14 @@ def train_classifier_streaming(params, config, load_iter_fn, valid_inputs,
         history["loss"].append(float(sums[0] / max(n_loads, 1)))
         history["accuracy"].append(float(sums[1] / max(n_loads, 1)))
         history["val_loss"].append(float(val_loss))
+        history["val_accuracy"].append(float(vm[:, 2].sum() / vm[:, 1].sum()))
         if verbose:
             print(f"Epoch {epoch + 1}/{epochs}: loss={history['loss'][-1]:.4f} "
                   f"acc={100 * history['accuracy'][-1]:.2f}% "
                   f"val_loss={val_loss:.4f} ({time.time() - start:.1f}s)")
-        if val_loss < best_val - min_delta:  # ModelCheckpoint(best)
-            best_val, best_params = val_loss, params
+        score = sign * history[monitor][-1]
+        if score < best_val - min_delta:  # ModelCheckpoint(best)
+            best_val, best_params = score, params
             lr_wait = stop_wait = 0
             if model_out:
                 save_pytree(model_out, params)

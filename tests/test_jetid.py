@@ -333,3 +333,52 @@ def test_jetid_dp_matches_single_device():
     pd = init_jetid(jax.random.PRNGKey(1), cfg_d)
     _, _, md = td(pd, opt.init(pd), lr, key, *batches)
     assert np.isfinite(np.asarray(md)).all()
+
+
+def test_monitor_metric_selection():
+    """--metrics semantics (ref jet-ID/classifier.py:47, models.py:94-99):
+    every callback watches one named series; accuracy metrics are
+    higher-is-better; unknown names raise."""
+    rng = np.random.default_rng(21)
+    n, dim = 600, 4
+    y = rng.integers(0, 2, n).astype(np.int64)
+    x = rng.normal(0, 1, (n, dim)).astype(np.float32)
+    x[:, 0] += (1.5 * (1 - 2 * y)).astype(np.float32)
+    cfg = JetIDConfig(n_classes=2, scalars=("s",), scalar_dims=(dim,),
+                      nn_type="FCN", fcn_neurons=(8,), dropout=0.0)
+    p0 = init_jetid(jax.random.PRNGKey(0), cfg)
+    common = (cfg, {"s": x[:400]}, y[:400], {"s": x[400:]}, y[400:])
+    _, hist = train_classifier(p0, *common, epochs=3, batch_size=100,
+                               monitor="val_accuracy", verbose=False)
+    assert len(hist["val_accuracy"]) == 3
+    assert all(0.0 <= a <= 1.0 for a in hist["val_accuracy"])
+    # the reference's default monitors TRAIN loss (classifier.py:47)
+    _, hist2 = train_classifier(p0, *common, epochs=3, batch_size=100,
+                                monitor="loss", verbose=False)
+    assert len(hist2["loss"]) == 3
+    with pytest.raises(ValueError, match="monitor"):
+        train_classifier(p0, *common, epochs=1, batch_size=100,
+                         monitor="val_auc", verbose=False)
+
+
+def test_cli_branch_gates(tmp_path):
+    """--scalars/--images/--scaling master gates
+    (ref jet-ID/classifier.py:39-41,96-97,145)."""
+    from atlasvae.cli.jetid import main
+    base = ["--synthetic", "4000", "--n_train", "1500", "--n_valid", "800",
+            "--batch_size", "500", "--n_epochs", "1", "--plotting", "OFF"]
+    # scalars OFF + FCN: constituents-only model trains
+    main(base + ["--scalars", "OFF",
+                 "--output_dir", str(tmp_path / "noscalars")])
+    # images OFF in CNN mode: branch-only model (no towers)
+    main(base + ["--NN_type", "CNN", "--images", "OFF",
+                 "--output_dir", str(tmp_path / "noimages")])
+    # scaling OFF: no scaler pickle written
+    out = tmp_path / "noscale"
+    main(base + ["--scaling", "OFF", "--output_dir", str(out)])
+    assert not list(out.glob("scaler_*.pkl"))
+    # all branches off: clean error
+    with pytest.raises(SystemExit, match="no input branches"):
+        main(base + ["--scalars", "OFF", "--HLVs", "OFF",
+                     "--constituents", "OFF",
+                     "--output_dir", str(tmp_path / "none")])
