@@ -424,6 +424,10 @@ def main(argv=None):
                               np.float32)
 
         if on(args.vmap_folds):
+            if mesh is not None:
+                raise SystemExit(
+                    "--vmap_folds ON shards the fold axis, not the data "
+                    "axis — drop --n_devices or use sequential folds")
             # all folds in one vmapped program (train/jetid_loop.py)
             from ..train.jetid_loop import train_kfold_vmapped
             fold_loads = [(inputs_for(t), labels[t], _fold_weights(t))
@@ -438,7 +442,7 @@ def main(argv=None):
             best, _ = train_kfold_vmapped(
                 fold_params, config, fold_loads, fold_valids, args.n_epochs,
                 batch_size, args.lr, args.patience, model_outs,
-                monitor=args.metrics)
+                monitor=args.metrics, verbose=bool(args.verbose))
             for fold, p in enumerate(best, start=1):
                 if not os.path.isfile(out_root + f"/model_{fold}.npz"):
                     save_pytree(out_root + f"/model_{fold}.npz", p)
@@ -451,7 +455,7 @@ def main(argv=None):
                     inputs_for(v_idx), labels[v_idx], args.n_epochs,
                     batch_size, args.lr, args.patience, class_weight, None,
                     out_root + f"/model_{fold}.npz", verbose=False,
-                    monitor=args.metrics)
+                    monitor=args.metrics, mesh=mesh)
                 # ensure the fold checkpoint exists even when no epoch
                 # improved (or --n_epochs 0): cross_valid loads these files
                 if not os.path.isfile(out_root + f"/model_{fold}.npz"):
@@ -476,6 +480,12 @@ def main(argv=None):
     elif args.n_epochs > 0 and streaming:
         from ..train.jetid_loop import train_classifier_streaming
         from ..utils.chunks import index_ranges
+
+        # generator mode churns chunk-sized host buffers every epoch —
+        # same allocator tuning as the streaming BatchGenerator
+        # (utils/hostmem.py; opt out with ATLASVAE_HEAP_REUSE=0)
+        from ..utils.hostmem import enable_heap_reuse
+        enable_heap_reuse(2 * int(chunk) * args.n_const * args.n_dims * 4)
 
         def load_iter():
             for lo, hi in index_ranges(args.n_train, bin_size=chunk):
@@ -562,14 +572,17 @@ def main(argv=None):
 
     if on(args.feature_removal) and scalars:
         # feature-ablation ranking over the HLV columns
-        # (ref jet-ID/utils.py:644-674)
+        # (ref jet-ID/utils.py:644-674); the ablation lanes vmap over
+        # configs, so the DP mesh does not apply — train the short
+        # ablation runs at the per-device batch instead of silently
+        # inflating it by n_devices
         from ..eval.jetid_eval import feature_removal
         names = hlv_list[:sample["HLVs"].shape[1]]
         drops = feature_removal(
             config, inputs_for(train_idx), labels[train_idx],
             inputs_for(valid_idx), labels[valid_idx], names,
             init_fn=lambda i: init_jetid(jax.random.PRNGKey(i), config),
-            epochs=max(2, args.n_epochs // 4), batch_size=batch_size,
+            epochs=max(2, args.n_epochs // 4), batch_size=args.batch_size,
             lr=args.lr, vmapped=on(args.vmap_folds))
         print("\nFEATURE-ABLATION RANKING (accuracy drop when removed):")
         for name, drop in sorted(drops.items(), key=lambda kv: -kv[1]):

@@ -89,9 +89,12 @@ class BatchGenerator:
             # streaming epochs churn GB-sized buffers every load: keep
             # freed pages in the malloc arena so loads after the first
             # reuse warm memory instead of re-faulting fresh mmaps
-            # (utils/hostmem.py; opt out with ATLASVAE_HEAP_REUSE=0)
+            # (utils/hostmem.py; opt out with ATLASVAE_HEAP_REUSE=0).
+            # Threshold sized to cover this generator's largest single
+            # buffer (the constituents block of one load), within
+            # mallopt's C-int ceiling.
             from ..utils.hostmem import enable_heap_reuse
-            enable_heap_reuse()
+            enable_heap_reuse(2 * self.load_size * n_const * n_dims * 4)
 
     def __len__(self):
         span = self.n_bkg[1] - self.n_bkg[0]

@@ -5,10 +5,12 @@ Replaces the reference's ``model.fit`` + callback stack
 
 * weighted sparse categorical cross-entropy with optional class weights
   (ref classifier compile :79) and per-sample weights,
-* ModelCheckpoint(save_best_only, monitor val_loss) +
-  ReduceLROnPlateau(patience 5, factor 0.5, min_delta 1e-6) +
-  EarlyStopping(restore_best_weights) + TerminateOnNaN
-  (ref jet-ID/models.py:94-99),
+* ModelCheckpoint(save_best_only) + ReduceLROnPlateau(patience 5,
+  factor 0.5, min_delta 1e-6) + EarlyStopping(restore_best_weights) +
+  TerminateOnNaN, all watching one configurable ``monitor`` series
+  ('loss' / 'accuracy' / 'val_loss' / 'val_accuracy'; the reference's
+  --metrics default is train 'loss', ref jet-ID/models.py:94-99,
+  classifier.py:47),
 * MirroredStrategy data parallelism becomes the shard_map mesh from
   atlasvae.parallel (batch scaling n_gpus x 5e3, ref classifier.py:136-138).
 """
@@ -390,7 +392,7 @@ def train_classifier_streaming(params, config, load_iter_fn, valid_inputs,
         v_batch = max(n_shards, v_batch - v_batch % n_shards)
     v_batches = device_put_load(_pack(valid_inputs, valid_labels,
                                       np.ones(len(valid_labels), np.float32),
-                                      v_batch))
+                                      v_batch), mesh=mesh)
     key = jax.random.PRNGKey(seed)
     history = {"loss": [], "val_loss": [], "accuracy": [],
                "val_accuracy": []}
@@ -398,11 +400,28 @@ def train_classifier_streaming(params, config, load_iter_fn, valid_inputs,
         raise ValueError(f"monitor {monitor!r}: pick one of {list(history)}")
     sign = -1.0 if "accuracy" in monitor else 1.0  # Keras mode max/min
     best_val, best_params, lr_wait, stop_wait = np.inf, params, 0, 0
+    monitors = ("loss", "val_loss", "accuracy", "val_accuracy")
     if state_file and os.path.isfile(state_file):
-        st = load_pytree(state_file, {
+        template = {
             "params": params, "best": params, "opt": opt_state,
             "lr": np.float32(lr), "best_val": np.float32(0),
-            "lr_wait": np.int32(0), "stop_wait": np.int32(0), "key": key})
+            "lr_wait": np.int32(0), "stop_wait": np.int32(0), "key": key,
+            "monitor": np.int32(monitors.index(monitor))}
+        try:
+            st = load_pytree(state_file, template)
+            saved = monitors[int(st["monitor"])]
+        except KeyError:  # pre-monitor state file: always watched val_loss
+            template.pop("monitor")
+            st = load_pytree(state_file, template)
+            saved = "val_loss"
+        if saved != monitor:
+            # best_val is a sign-flipped score in the saved series' units;
+            # comparing it against another series corrupts every callback
+            raise ValueError(
+                f"{state_file} was trained monitoring {saved!r}; resuming "
+                f"with monitor={monitor!r} would compare incompatible "
+                "scores — pass the same --metrics or start a fresh state "
+                "file")
         params, best_params, opt_state = st["params"], st["best"], st["opt"]
         lr, best_val = float(st["lr"]), float(st["best_val"])
         lr_wait, stop_wait = int(st["lr_wait"]), int(st["stop_wait"])
@@ -429,7 +448,7 @@ def train_classifier_streaming(params, config, load_iter_fn, valid_inputs,
                 ww = np.ones(len(labels), np.float32) if w is None else w
                 return _pack(inputs, labels, ww, batch_size)
 
-            batches = load_cache.get(cache_key, batch_size, build)
+            batches = load_cache.get(cache_key, batch_size, build, mesh=mesh)
             key, sub = jax.random.split(key)
             params, opt_state, metrics = train_epoch(params, opt_state,
                                                      np.float32(lr), sub,
@@ -472,7 +491,7 @@ def train_classifier_streaming(params, config, load_iter_fn, valid_inputs,
                 "params": params, "best": best_params, "opt": opt_state,
                 "lr": np.float32(lr), "best_val": np.float32(best_val),
                 "lr_wait": np.int32(lr_wait), "stop_wait": np.int32(stop_wait),
-                "key": key})
+                "key": key, "monitor": np.int32(monitors.index(monitor))})
         if stop_wait >= patience:
             if verbose:
                 print("Early stopping — restoring best weights")

@@ -126,7 +126,7 @@ def test_heap_reuse_knob(monkeypatch):
     applies on glibc, idempotent, and honors the ATLASVAE_HEAP_REUSE=0
     opt-out."""
     import atlasvae.utils.hostmem as hm
-    monkeypatch.setattr(hm, "_applied", False)
+    monkeypatch.setattr(hm, "_applied", 0)
     monkeypatch.setenv("ATLASVAE_HEAP_REUSE", "0")
     assert hm.enable_heap_reuse() is False
     monkeypatch.delenv("ATLASVAE_HEAP_REUSE")

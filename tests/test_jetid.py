@@ -382,3 +382,26 @@ def test_cli_branch_gates(tmp_path):
         main(base + ["--scalars", "OFF", "--HLVs", "OFF",
                      "--constituents", "OFF",
                      "--output_dir", str(tmp_path / "none")])
+
+
+def test_state_resume_rejects_monitor_mismatch(tmp_path):
+    """A state file records which series its callbacks watched; resuming
+    with a different --metrics would compare incompatible scores and is
+    refused with a clean error."""
+    rng = np.random.default_rng(23)
+    n, dim = 300, 4
+    y = rng.integers(0, 2, n).astype(np.int64)
+    x = rng.normal(0, 1, (n, dim)).astype(np.float32)
+    cfg = JetIDConfig(n_classes=2, scalars=("s",), scalar_dims=(dim,),
+                      nn_type="FCN", fcn_neurons=(8,), dropout=0.0)
+    p0 = init_jetid(jax.random.PRNGKey(0), cfg)
+    sf = str(tmp_path / "state.npz")
+    common = (cfg, {"s": x[:200]}, y[:200], {"s": x[200:]}, y[200:])
+    train_classifier(p0, *common, epochs=1, batch_size=100,
+                     monitor="val_accuracy", state_file=sf, verbose=False)
+    with pytest.raises(ValueError, match="val_accuracy"):
+        train_classifier(p0, *common, epochs=1, batch_size=100,
+                         monitor="loss", state_file=sf, verbose=False)
+    # same monitor resumes fine
+    train_classifier(p0, *common, epochs=1, batch_size=100,
+                     monitor="val_accuracy", state_file=sf, verbose=False)
