@@ -498,3 +498,41 @@ def test_reference_conv3d_multitower_loads_export(tmp_path):
                                list(config.images) + ["scalars"]]))
     ours = np.asarray(jetid_apply(params, config, inputs, train=False))
     np.testing.assert_allclose(ours, tf_out, rtol=1e-5, atol=1e-5)
+
+
+def test_concat_permutation_properties():
+    """reference_concat_permutation over random multi-image configs:
+    always a bijection of the trunk input positions, identity exactly
+    when tower set-order matches appearance order (CNN) or every shape
+    is singleton (FCN), and consistent with init_jetid's concat width."""
+    import math as _math
+    from atlasvae.models.jetid import (JetIDConfig, init_jetid,
+                                       concat_segments,
+                                       reference_concat_permutation)
+    rng = np.random.default_rng(7)
+    for trial in range(30):
+        n_imgs = int(rng.integers(1, 5))
+        pool = [(int(rng.integers(6, 14)), int(rng.integers(6, 14)))
+                for _ in range(int(rng.integers(1, 3)))]
+        shapes = [pool[int(rng.integers(len(pool)))] for _ in range(n_imgs)]
+        nn_type = "CNN" if rng.random() < 0.5 else "FCN"
+        config = JetIDConfig(
+            n_classes=2,
+            scalars=("scalars",) if rng.random() < 0.7 else (),
+            scalar_dims=(8,) if rng.random() < 0.7 else (),
+            images=tuple(f"img{i}" for i in range(n_imgs)),
+            image_shapes=tuple(shapes),
+            constituent_dim=12 if rng.random() < 0.5 else 0,
+            nn_type=nn_type, fcn_neurons=(8,), branch_neurons=(8,),
+            cnn_maps=(4,), cnn_kernels=((3, 3),), cnn_pools=((2, 2),),
+            dropout=0.0)
+        if not (config.scalar_dims or config.constituent_dim or n_imgs):
+            continue
+        width = sum(w for _, w in concat_segments(config))
+        params = init_jetid(jax.random.PRNGKey(trial), config)
+        assert params["head"][0]["w"].shape[0] == width
+        perm = reference_concat_permutation(config)
+        if perm is None:
+            continue
+        assert sorted(perm.tolist()) == list(range(width))  # bijection
+        assert not np.array_equal(perm, np.arange(width))   # non-trivial
