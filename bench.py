@@ -316,11 +316,39 @@ def _host_health():
         return None, None
 
 
+def _backend_watchdog(seconds=300):
+    """Backend-init deadline: the remote TPU tunnel can wedge server-side
+    and hang the first device query forever (no local process to blame —
+    observed during round 3).  Emit ONE diagnosable JSON line and exit
+    instead of hanging the driver.  A daemon THREAD (not SIGALRM): the
+    hang sits inside a blocking C call, so a Python signal handler would
+    never get to run; ``os._exit`` works from any thread."""
+    import threading
+
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(seconds):
+            print(json.dumps({
+                "metric": "oe_vae_train_jets_per_sec_per_chip",
+                "value": 0.0, "unit": "jets/s", "vs_baseline": 0.0,
+                "error": f"backend init exceeded {seconds}s "
+                         "(TPU tunnel unresponsive)"}), flush=True)
+            os._exit(1)
+
+    threading.Thread(target=watch, daemon=True).start()
+    return done.set
+
+
 def main():
+    cancel_watchdog = _backend_watchdog()
+    import atlasvae  # noqa: F401 — applies ATLASVAE_PLATFORM/_PRNG overrides
     import jax
     import jax.numpy as jnp
 
     backend = jax.default_backend()
+    jax.block_until_ready(jax.jit(lambda x: x + 1)(0.0))  # first dispatch
+    cancel_watchdog()
     host_fresh_mb_s, host_degraded = _host_health()
     global _DISPATCH_LATENCY_S
     _DISPATCH_LATENCY_S = _measure_dispatch_latency(jax)
