@@ -289,11 +289,14 @@ def test_dropout_per_trunk_layer():
     np.testing.assert_array_equal(ev, x)
 
 
-def test_jetid_dp_matches_single_device():
+@pytest.mark.parametrize("nn_type", ["FCN", "CNN"])
+def test_jetid_dp_matches_single_device(nn_type):
     """shard_map DP (the MirroredStrategy replacement,
     ref jet-ID/models.py:69-81): an epoch trained over an 8-device
     'data' mesh reproduces the single-device epoch (dropout 0 so the
-    per-replica RNG fold is inert; f32 reduction-order tolerance)."""
+    per-replica RNG fold is inert; f32 reduction-order tolerance).
+    CNN mode also exercises the P(None, 'data') spec prefix over the
+    4-D image leaves of the inputs dict."""
     import jax
     from atlasvae.parallel.mesh import make_mesh
     from atlasvae.train.jetid_loop import make_jetid_step_fns, _pack
@@ -304,12 +307,18 @@ def test_jetid_dp_matches_single_device():
     y = rng.integers(0, 2, n).astype(np.int64)
     x = rng.normal(0, 1, (n, dim)).astype(np.float32)
     x[:, 1] += (1.5 * (1 - 2 * y)).astype(np.float32)
-    cfg = JetIDConfig(n_classes=2, scalars=("s",), scalar_dims=(dim,),
-                      nn_type="FCN", fcn_neurons=(16, 8), dropout=0.0,
-                      l2=1e-4)
+    inputs = {"s": x}
+    kw = dict(n_classes=2, scalars=("s",), scalar_dims=(dim,),
+              nn_type=nn_type, fcn_neurons=(16, 8), dropout=0.0, l2=1e-4)
+    if nn_type == "CNN":
+        inputs["img"] = rng.normal(size=(n, 12, 10)).astype(np.float32)
+        kw.update(images=("img",), image_shapes=((12, 10),),
+                  branch_neurons=(8,), cnn_maps=(4, 4),
+                  cnn_kernels=((3, 3), (3, 3)), cnn_pools=((2, 2), (2, 2)))
+    cfg = JetIDConfig(**kw)
     params = init_jetid(jax.random.PRNGKey(0), cfg)
     opt = make_optimizer()
-    batches = _pack({"s": x}, y, np.ones(n, np.float32), 64)
+    batches = _pack(inputs, y, np.ones(n, np.float32), 64)
 
     mesh = make_mesh((("data", 8),), jax.devices()[:8])
     t1, e1 = make_jetid_step_fns(opt, cfg)
