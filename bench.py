@@ -347,7 +347,10 @@ def main():
     import jax.numpy as jnp
 
     backend = jax.default_backend()
-    jax.block_until_ready(jax.jit(lambda x: x + 1)(0.0))  # first dispatch
+    # first dispatch confirmed by FETCHING the result: block_until_ready
+    # does not sync through the axon tunnel (CLAUDE.md), so it would
+    # cancel the watchdog before the dispatch actually completed
+    np.asarray(jax.jit(lambda x: x + 1)(0.0))
     cancel_watchdog()
     host_fresh_mb_s, host_degraded = _host_health()
     global _DISPATCH_LATENCY_S

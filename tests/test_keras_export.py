@@ -505,7 +505,6 @@ def test_concat_permutation_properties():
     always a bijection of the trunk input positions, identity exactly
     when tower set-order matches appearance order (CNN) or every shape
     is singleton (FCN), and consistent with init_jetid's concat width."""
-    import math as _math
     from atlasvae.models.jetid import (JetIDConfig, init_jetid,
                                        concat_segments,
                                        reference_concat_permutation)
@@ -516,22 +515,30 @@ def test_concat_permutation_properties():
                 for _ in range(int(rng.integers(1, 3)))]
         shapes = [pool[int(rng.integers(len(pool)))] for _ in range(n_imgs)]
         nn_type = "CNN" if rng.random() < 0.5 else "FCN"
+        with_scalars = rng.random() < 0.7
         config = JetIDConfig(
             n_classes=2,
-            scalars=("scalars",) if rng.random() < 0.7 else (),
-            scalar_dims=(8,) if rng.random() < 0.7 else (),
+            scalars=("scalars",) if with_scalars else (),
+            scalar_dims=(8,) if with_scalars else (),
             images=tuple(f"img{i}" for i in range(n_imgs)),
             image_shapes=tuple(shapes),
             constituent_dim=12 if rng.random() < 0.5 else 0,
             nn_type=nn_type, fcn_neurons=(8,), branch_neurons=(8,),
             cnn_maps=(4,), cnn_kernels=((3, 3),), cnn_pools=((2, 2),),
             dropout=0.0)
-        if not (config.scalar_dims or config.constituent_dim or n_imgs):
-            continue
         width = sum(w for _, w in concat_segments(config))
         params = init_jetid(jax.random.PRNGKey(trial), config)
         assert params["head"][0]["w"].shape[0] == width
         perm = reference_concat_permutation(config)
+        # identity (perm is None) exactly when the reference's
+        # set(shapes) tower order matches first-appearance order and —
+        # in FCN mode, where the reference pixel-interleaves same-shape
+        # images — every shape group is a singleton
+        shapes_t = [tuple(s) for s in shapes]
+        orders_agree = list(set(shapes_t)) == list(dict.fromkeys(shapes_t))
+        singletons = all(shapes_t.count(s) == 1 for s in set(shapes_t))
+        identity = orders_agree and (nn_type == "CNN" or singletons)
+        assert (perm is None) == identity, (trial, shapes_t, nn_type)
         if perm is None:
             continue
         assert sorted(perm.tolist()) == list(range(width))  # bijection
