@@ -23,36 +23,47 @@ import numpy as np
 def pt_eta_phi_m_to_epxpypz(pt, eta, phi, m):
     """(pt, eta, phi, m) -> (E, px, py, pz), elementwise."""
     pt = np.asarray(pt, np.float64)
-    px = pt * np.cos(phi)
-    py = pt * np.sin(phi)
-    pz = pt * np.sinh(eta)
-    e = np.sqrt(px ** 2 + py ** 2 + pz ** 2 + np.asarray(m, np.float64) ** 2)
-    return np.stack([e, px, py, pz], axis=-1)
+    out = np.empty(pt.shape + (4,), np.float64)
+    out[..., 1] = pt * np.cos(phi)
+    out[..., 2] = pt * np.sin(phi)
+    out[..., 3] = pt * np.sinh(eta)
+    out[..., 0] = np.sqrt(out[..., 1] ** 2 + out[..., 2] ** 2
+                          + out[..., 3] ** 2
+                          + np.asarray(m, np.float64) ** 2)
+    return out
 
+
+# The three frame transforms below update their (J, C, 4) input IN
+# PLACE (one (J, C) temporary each instead of a fresh (J, C, 4) stack —
+# at 10M-jet conversion scale the full-block allocations were the
+# dominant convert() cost).  canonicalize_jets copies its input once.
 
 def _rotate_z(p4, angle):
-    """Rotate momenta about z by ``angle`` (per-jet), shape (J, C, 4)."""
+    """Rotate momenta about z by ``angle`` (per-jet), in place."""
     c, s = np.cos(angle)[:, None], np.sin(angle)[:, None]
     px = c * p4[..., 1] - s * p4[..., 2]
-    py = s * p4[..., 1] + c * p4[..., 2]
-    return np.stack([p4[..., 0], px, py, p4[..., 3]], axis=-1)
+    p4[..., 2] = s * p4[..., 1] + c * p4[..., 2]
+    p4[..., 1] = px
+    return p4
 
 
 def _rotate_x(p4, angle):
     c, s = np.cos(angle)[:, None], np.sin(angle)[:, None]
     py = c * p4[..., 2] - s * p4[..., 3]
-    pz = s * p4[..., 2] + c * p4[..., 3]
-    return np.stack([p4[..., 0], p4[..., 1], py, pz], axis=-1)
+    p4[..., 3] = s * p4[..., 2] + c * p4[..., 3]
+    p4[..., 2] = py
+    return p4
 
 
 def _boost_z(p4, beta):
-    """Boost along z with per-jet velocity beta."""
+    """Boost along z with per-jet velocity beta, in place."""
     beta = np.clip(np.asarray(beta), -1 + 1e-12, 1 - 1e-12)
     gamma = 1.0 / np.sqrt(1.0 - beta ** 2)
     g, gb = gamma[:, None], (gamma * beta)[:, None]
     e = g * p4[..., 0] + gb * p4[..., 3]
-    pz = gb * p4[..., 0] + g * p4[..., 3]
-    return np.stack([e, p4[..., 1], p4[..., 2], pz], axis=-1)
+    p4[..., 3] = gb * p4[..., 0] + g * p4[..., 3]
+    p4[..., 0] = e
+    return p4
 
 
 def canonicalize_jets(jets):
@@ -66,7 +77,7 @@ def canonicalize_jets(jets):
        sum E_i phi_i / r_i) over constituents (energy-weighted
        (eta, phi) alignment onto the phi axis).
     """
-    jets = np.asarray(jets, np.float64)
+    jets = np.array(jets, np.float64)       # copy: transforms are in-place
     total = jets.sum(axis=1)
     phi_jet = np.arctan2(total[:, 2], total[:, 1])
     # longitudinal boost velocity before any rotation (ref :127-131)

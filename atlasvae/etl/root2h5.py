@@ -214,11 +214,7 @@ def read_root_files(file_pairs, var_list, sample_type, weights_table,
             elif key == "DSID":
                 out[key].append(np.full(n, int(dsid), np.int32))
             elif key in JET_VAR:
-                jets = src.leading_list(key)
-                padded = np.zeros((n, n_constituents), np.float64)
-                for i, v in enumerate(jets):
-                    k = min(len(v), n_constituents)
-                    padded[i, :k] = v[:k]
+                padded = src.leading_padded(key, n_constituents)
                 if key == "rljet_assoc_cluster_pt":
                     padded /= 1000.0           # MeV -> GeV
                 out[key].append(np.float16(padded))

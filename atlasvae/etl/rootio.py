@@ -42,6 +42,7 @@ import struct
 
 import numpy as np
 
+from . import rootnative
 from .rootcodec import (RootIOError, TruncatedFileError, CorruptRecordError,
                         compress_record, decompress_record)
 
@@ -873,6 +874,51 @@ _BRANCH_READERS = {"TBranch": _read_branch,
                    "TBranchElement": _read_branch_element}
 
 
+def _split_by_counts(flat, counts):
+    """Slice ``flat`` into len(counts) consecutive views (the fast
+    equivalent of ``np.split(flat, np.cumsum(counts)[:-1])`` for large
+    piece counts)."""
+    out, s = [], 0
+    for c in counts.tolist():
+        out.append(flat[s:s + c])
+        s += c
+    return out
+
+
+def _decode_stl_py(payload, starts, depth, dtype):
+    """Pure-Python decode of one basket's STL entries — the fallback
+    when the native decoder (etl/rootnative.py) is unavailable.
+    -> (flat values, outer counts, inner counts | None)."""
+    isz = dtype.itemsize
+    segs, outer, inner = [], [], []
+    for start in starts.tolist():
+        pos = int(start) + 4                     # skip bytecount word
+        ver = struct.unpack_from(">h", payload, pos)[0]
+        pos += 2
+        if ver & K_MEMBERWISE:
+            pos += 2                             # inner class version
+        n = struct.unpack_from(">i", payload, pos)[0]
+        pos += 4
+        if depth == 1:
+            arr = np.frombuffer(payload, dtype, n, pos)
+            segs.append(arr)
+            outer.append(len(arr))
+            continue
+        k = 0
+        for _ in range(n):
+            m = struct.unpack_from(">i", payload, pos)[0]
+            pos += 4
+            arr = np.frombuffer(payload, dtype, m, pos)
+            pos += len(arr) * isz
+            segs.append(arr)
+            inner.append(len(arr))
+            k += 1
+        outer.append(k)
+    flat = np.concatenate(segs) if segs else np.zeros(0, dtype)
+    return (flat, np.asarray(outer, np.int64),
+            np.asarray(inner, np.int64) if depth == 2 else None)
+
+
 class Tree:
     """Parsed TTree: branch metadata + lazy basket reads."""
 
@@ -922,8 +968,9 @@ class Tree:
                 f"branch {name!r}: basket decode failed on malformed data "
                 f"({type(e).__name__}: {e})") from e
 
-    def _leaf_array(self, br):
-        """Decode a flat or counter-jagged leaf-list branch."""
+    def _leaf_jagged(self, br):
+        """Decode a flat or counter-jagged leaf-list branch to
+        ``(flat values, counts | None)`` (counts None for flat)."""
         leaf = br.leaves[0]
         dtype = leaf.dtype
         jagged = (leaf.leafcount is not None
@@ -951,22 +998,31 @@ class Tree:
         flat = (np.concatenate(datas) if datas
                 else np.zeros(0, dtype))
         if not jagged:
-            return flat
+            return flat, None
         if counts:
             cnt = np.concatenate(counts)
         elif leaf.leafcount is not None:
             cnt = np.asarray(self.array(leaf.leafcount.name), np.int64)
         else:
             raise ValueError(f"cannot infer entry offsets for {br.name}")
-        splits = np.cumsum(cnt)[:-1]
-        return np.split(flat, splits)
+        return flat, cnt
 
-    def _stl_array(self, br):
+    def _leaf_array(self, br):
+        """Decode a flat or counter-jagged leaf-list branch."""
+        flat, cnt = self._leaf_jagged(br)
+        if cnt is None:
+            return flat
+        # np.split semantics: zero counts still yield one (empty) piece
+        return _split_by_counts(flat, cnt) if len(cnt) else [flat]
+
+    def _stl_jagged(self, br):
         """Decode an STL TBranchElement (vector<T> / vector<vector<T>>)
-        from its basket entry offsets."""
+        to ``(flat values, outer counts, inner counts | None)`` without
+        building per-entry objects.  Uses the native decoder
+        (etl/rootnative.py) when available; the pure-Python loop
+        otherwise."""
         depth, dtype = _parse_stl(br.element_class)
-        isz = dtype.itemsize
-        out = []
+        flats, outers, inners = [], [], []
         for seek, nbytes in zip(br.basket_seeks, br.basket_bytes):
             key = _Key.parse(self.buf, seek)
             _, _, _, fnevbuf, flast, _ = struct.unpack_from(
@@ -974,25 +1030,66 @@ class Tree:
             payload = key.payload(self.buf)
             border = flast - key.keylen
             offs = np.frombuffer(payload, ">i4", fnevbuf, border + 4)
-            for start in (offs - key.keylen).tolist():
-                pos = start + 4                      # skip bytecount word
-                ver = struct.unpack_from(">h", payload, pos)[0]
-                pos += 2
-                if ver & K_MEMBERWISE:
-                    pos += 2                         # inner class version
-                n = struct.unpack_from(">i", payload, pos)[0]
-                pos += 4
-                if depth == 1:
-                    out.append(np.frombuffer(payload, dtype, n, pos).copy())
-                    continue
-                inner = []
-                for _ in range(n):
-                    m = struct.unpack_from(">i", payload, pos)[0]
-                    pos += 4
-                    inner.append(np.frombuffer(payload, dtype, m, pos).copy())
-                    pos += m * isz
-                out.append(inner)
+            starts = offs.astype(np.int64) - key.keylen
+            res = rootnative.decode_stl_basket(payload, starts, depth,
+                                               dtype)
+            if res is None:
+                res = _decode_stl_py(payload, starts, depth, dtype)
+            flat, outer, inner = res
+            flats.append(flat)
+            outers.append(outer)
+            if depth == 2:
+                inners.append(inner)
+        native = dtype.newbyteorder("=")
+
+        def cat(parts, dt):
+            # single-basket fast path: the native decoder already emits
+            # native byte order, so no copy is needed; np.concatenate
+            # normalizes multi-basket '>'-dtype fallback pieces.
+            if not parts:
+                return np.zeros(0, dt)
+            if len(parts) == 1:
+                return np.ascontiguousarray(parts[0], dt)
+            return np.concatenate(parts).astype(dt, copy=False)
+
+        return (cat(flats, native), cat(outers, np.int64),
+                cat(inners, np.int64) if depth == 2 else None)
+
+    def _stl_array(self, br):
+        """Decode an STL TBranchElement from its basket entry offsets:
+        list of per-entry arrays (vector<T>) or list of per-entry lists
+        of arrays (vector<vector<T>>)."""
+        flat, outer, inner = self._stl_jagged(br)
+        if inner is None:
+            return _split_by_counts(flat, outer)
+        vecs = _split_by_counts(flat, inner)
+        out, s = [], 0
+        for c in outer.tolist():
+            out.append(vecs[s:s + c])
+            s += c
         return out
+
+    def array_jagged(self, name):
+        """-> ``(flat values, outer counts, inner counts | None)``.
+
+        The columnar form of :meth:`array` — no per-entry Python
+        objects.  STL ``vector<T>`` and counter-jagged leaf-list
+        branches return (flat, counts, None); ``vector<vector<T>>``
+        returns all three (inner counts are per inner vector, grouped
+        by the outer counts); flat branches return (values, None, None).
+        """
+        br = self.branches[name]
+        try:
+            if br.element_class is not None:
+                return self._stl_jagged(br)
+            flat, cnt = self._leaf_jagged(br)
+            return flat, cnt, None
+        except RootIOError:
+            raise
+        except (ValueError, struct.error, OverflowError, IndexError) as e:
+            raise CorruptRecordError(
+                f"branch {name!r}: basket decode failed on malformed data "
+                f"({type(e).__name__}: {e})") from e
 
     def arrays(self, names=None):
         names = names or self.keys()

@@ -20,6 +20,18 @@ import numpy as np
 from . import rootio
 
 
+def pad_leading(jets, n_const):
+    """Zero-pad/truncate a list of per-entry 1-D arrays to a dense
+    ``(n_entries, n_const)`` float64 block (ref tools/root_utils.py:42-46
+    semantics; the generic row-by-row fallback — RootIOSource overrides
+    with a vectorized columnar version)."""
+    out = np.zeros((len(jets), n_const), np.float64)
+    for i, v in enumerate(jets):
+        k = min(len(v), n_const)
+        out[i, :k] = v[:k]
+    return out
+
+
 class RootIOSource:
     """Backed by the built-in minimal ROOT reader (rootio subset files)."""
 
@@ -51,6 +63,43 @@ class RootIOSource:
             return [np.asarray(e[0], np.float64) if len(e) else np.zeros(0)
                     for e in arr]
         return arr
+
+    def leading_padded(self, key, n_const):
+        """Padded leading-jet block, computed columnar: one fancy-index
+        scatter from the branch's (flat, outer, inner) jagged decode
+        instead of a Python loop over entries — the consumer-side half
+        of the native basket decoder's speedup (root2h5 pads every
+        constituent branch this way, ref tools/root_utils.py:42-46)."""
+        flat, outer, inner = self._tree.array_jagged(key)
+        if outer is None:                    # flat branch: singletons
+            out = np.zeros((len(flat), n_const), np.float64)
+            if n_const > 0:
+                out[:, 0] = np.asarray(flat, np.float64)
+            return out
+        outer = np.asarray(outer, np.int64)
+        n = len(outer)
+        if inner is not None:
+            # vector<vector<T>>: the leading inner vector per entry
+            if len(inner) == 0:
+                lens = offs = np.zeros(n, np.int64)
+            else:
+                vec_starts = np.cumsum(inner) - inner
+                first = np.cumsum(outer) - outer   # entry's 1st inner vec
+                has = outer > 0
+                safe = np.minimum(first, len(inner) - 1)
+                lens = np.where(has, inner[safe], 0)
+                offs = np.where(has, vec_starts[safe], 0)
+        else:                                # the entry's own vector
+            lens = outer
+            offs = np.cumsum(outer) - outer
+        k = np.minimum(lens, n_const).astype(np.int64)
+        out = np.zeros((n, n_const), np.float64)
+        tot = int(k.sum())
+        if tot:
+            rows = np.repeat(np.arange(n), k)
+            cols = np.arange(tot) - np.repeat(np.cumsum(k) - k, k)
+            out[rows, cols] = flat[np.repeat(offs, k) + cols]
+        return out
 
 
 class UprootSource:
@@ -88,6 +137,9 @@ class UprootSource:
             else:
                 out.append(np.asarray(entry, np.float64))
         return out
+
+    def leading_padded(self, key, n_const):
+        return pad_leading(self.leading_list(key), n_const)
 
 
 def open_tree(path, tree="nominal", backend="auto"):

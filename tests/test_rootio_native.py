@@ -1,0 +1,158 @@
+"""Native STL basket decoder (etl/rootnative + native/rootio_decode.cpp).
+
+The native fast path must be byte-for-byte value-equivalent to the
+pure-Python decoder on every supported layout, keep the named-error
+contract on malformed input, and the vectorized ``leading_padded``
+must match the row-by-row padding it replaces
+(ref tools/root_utils.py:42-46).
+"""
+
+import numpy as np
+import pytest
+
+from atlasvae.etl import rootio, rootnative
+from atlasvae.etl.rootcodec import CorruptRecordError
+from atlasvae.etl.source import RootIOSource, pad_leading
+
+HAVE_NATIVE = rootnative.load_lib() is not None
+
+needs_native = pytest.mark.skipif(not HAVE_NATIVE,
+                                  reason="no C++ toolchain")
+
+
+def _vv(rng, n, kind="f4", max_outer=3, max_inner=5):
+    return [[rng.integers(-50, 50, rng.integers(0, max_inner)).astype(kind)
+             for _ in range(rng.integers(0, max_outer))]
+            for _ in range(n)]
+
+
+def _read_both(path, name, monkeypatch):
+    t = rootio.read_tree(path, "nominal")
+    fast = t.array(name)
+    jag = t.array_jagged(name)
+    monkeypatch.setenv("ATLASVAE_NO_NATIVE", "1")
+    t2 = rootio.read_tree(path, "nominal")
+    slow = t2.array(name)
+    jag2 = t2.array_jagged(name)
+    monkeypatch.delenv("ATLASVAE_NO_NATIVE")
+    return fast, slow, jag, jag2
+
+
+def _assert_same(a, b):
+    assert len(a) == len(b)
+    for u, v in zip(a, b):
+        if isinstance(u, list) or isinstance(v, list):
+            _assert_same(u, v)
+        else:
+            np.testing.assert_array_equal(np.asarray(u), np.asarray(v))
+
+
+@needs_native
+@pytest.mark.parametrize("kind", ["f4", "f8", "i4", "i8", "i2", "u1"])
+@pytest.mark.parametrize("memberwise", [False, True])
+def test_native_matches_python_vv(tmp_path, rng, monkeypatch, kind,
+                                  memberwise):
+    entries = _vv(rng, 300, kind)
+    entries[0] = []                          # empty outer
+    entries[1] = [np.zeros(0, kind)]         # empty inner
+    p = str(tmp_path / "vv.root")
+    rootio.write_tree(p, "nominal", {"vv": entries}, basket_entries=64,
+                      stl_memberwise=memberwise)
+    fast, slow, jag, jag2 = _read_both(p, "vv", monkeypatch)
+    _assert_same(fast, slow)
+    _assert_same(fast, entries)
+    for x, y in zip(jag, jag2):
+        np.testing.assert_array_equal(x, y)
+    flat, outer, inner = jag
+    assert outer.sum() == sum(len(e) for e in entries)
+    assert inner.sum() == len(flat) == sum(
+        len(v) for e in entries for v in e)
+
+
+@needs_native
+@pytest.mark.parametrize("kind", ["f4", "i8"])
+def test_native_matches_python_v(tmp_path, rng, monkeypatch, kind):
+    entries = [rng.integers(-50, 50, rng.integers(0, 7)).astype(kind)
+               for _ in range(500)]
+    p = str(tmp_path / "v.root")
+    rootio.write_tree(p, "nominal", {"v": entries}, basket_entries=128)
+    fast, slow, jag, jag2 = _read_both(p, "v", monkeypatch)
+    _assert_same(fast, slow)
+    _assert_same(fast, entries)
+    flat, outer, inner = jag
+    assert inner is None and outer.sum() == len(flat)
+    np.testing.assert_array_equal(outer, jag2[1])
+
+
+def test_array_jagged_leaf_list(tmp_path, rng):
+    """array_jagged also covers counter-jagged leaf lists and flat
+    branches (no native decode needed — already columnar)."""
+    trk = [rng.normal(size=c).astype(np.float32)
+           for c in rng.integers(0, 5, 200)]
+    pt = rng.uniform(0, 100, 200).astype(np.float32)
+    p = str(tmp_path / "leaf.root")
+    rootio.write_tree(p, "nominal", {"trk": trk, "pt": pt})
+    t = rootio.read_tree(p, "nominal")
+    flat, cnt, inner = t.array_jagged("trk")
+    assert inner is None
+    np.testing.assert_array_equal(cnt, [len(v) for v in trk])
+    np.testing.assert_array_equal(flat, np.concatenate(trk))
+    vals, none1, none2 = t.array_jagged("pt")
+    assert none1 is None and none2 is None
+    np.testing.assert_array_almost_equal(vals, pt)
+
+
+@pytest.mark.parametrize("layout", ["vv", "v", "leaf", "flat"])
+def test_leading_padded_matches_loop(tmp_path, rng, layout):
+    n, n_const = 250, 4
+    if layout == "vv":
+        data = _vv(rng, n, "f4", max_inner=7)
+    elif layout == "v":
+        data = [rng.normal(size=c).astype(np.float32)
+                for c in rng.integers(0, 7, n)]
+    elif layout == "leaf":
+        data = [rng.normal(size=c).astype(np.float32)
+                for c in rng.integers(0, 7, n)]
+    else:
+        data = rng.uniform(0, 9, n).astype(np.float32)
+    p = str(tmp_path / f"{layout}.root")
+    if layout == "v":
+        # force the STL path (leaf-list jagged writes by default)
+        rootio.write_tree(p, "nominal", {"x": data}, basket_entries=64,
+                          stl_branches=["x"])
+    else:
+        rootio.write_tree(p, "nominal", {"x": data}, basket_entries=64)
+    src = RootIOSource(p)
+    vec = src.leading_padded("x", n_const)
+    loop = pad_leading(src.leading_list("x"), n_const)
+    np.testing.assert_array_equal(vec, loop)
+    assert vec.shape == (n, n_const) and vec.dtype == np.float64
+
+
+@needs_native
+def test_native_corrupt_offsets_named_error(tmp_path, rng):
+    """Entry offsets pointing outside the payload must surface as
+    CorruptRecordError, not a crash or silent garbage."""
+    entries = _vv(rng, 64, "f4")
+    p = str(tmp_path / "c.root")
+    rootio.write_tree(p, "nominal", {"vv": entries}, basket_entries=64)
+    t = rootio.read_tree(p, "nominal")
+    br = t.branches["vv"]
+    # parse the basket, then lie about the entry starts
+    payload = rootio._Key.parse(t.buf, br.basket_seeks[0]).payload(t.buf)
+    starts = np.array([len(payload) + 100], np.int64)
+    with pytest.raises(ValueError, match="past the basket payload"):
+        rootnative.decode_stl_basket(payload, starts, 2, np.dtype(">f4"))
+    starts = np.array([0], np.int64)  # points at real data = garbage header
+    try:
+        rootnative.decode_stl_basket(payload, starts, 2, np.dtype(">f4"))
+    except ValueError:
+        pass                                 # named at the boundary
+
+
+def test_no_native_env_disables(tmp_path, monkeypatch):
+    monkeypatch.setenv("ATLASVAE_NO_NATIVE", "1")
+    assert rootnative.load_lib() is None
+    assert rootnative.decode_stl_basket(b"\0" * 16,
+                                        np.zeros(1, np.int64), 1,
+                                        np.dtype(">f4")) is None
