@@ -27,6 +27,10 @@ def build_parser():
     parser.add_argument("--input_path", default=".")
     parser.add_argument("--output_path", default=".")
     parser.add_argument("--tree", default="nominal")
+    parser.add_argument("--n_workers", type=int, default=None,
+                        help="file-read thread pool size (default: "
+                             "min(16, cpus); ref tools/root_utils.py:20-23 "
+                             "mp.Pool analog)")
     parser.add_argument("--extra_branches", nargs="+", default=[],
                         help="extra scalar branches from the full ntuple "
                              "catalog (atlasvae.etl.branches) to pass through")
@@ -47,7 +51,8 @@ def main(argv=None):
         return 0
     out = convert(args.input_path, args.output_path, args.sample_type,
                   n_const, int(args.tag[0]), tree=args.tree,
-                  extra_branches=args.extra_branches)
+                  extra_branches=args.extra_branches,
+                  n_workers=args.n_workers)
     print("Converted to:", out)
     return 0
 

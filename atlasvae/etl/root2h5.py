@@ -174,9 +174,22 @@ def count_constituents(file_pairs, tree="nominal", sources=None):
     return top
 
 
+def _etl_workers():
+    """Worker count for the per-file read fan-out: ATLASVAE_ETL_WORKERS
+    env, else min(16, cpu count) — the analog of the reference's
+    mp.Pool over (file x branch) products (ref tools/root_utils.py:20-23).
+    Threads instead of processes: zlib/lz4 decompression and the native
+    basket decoder release the GIL, and threads share the mmapped file
+    buffers for free."""
+    env = os.environ.get("ATLASVAE_ETL_WORKERS")
+    if env:
+        return max(1, int(env))
+    return max(1, min(16, os.cpu_count() or 1))
+
+
 def read_root_files(file_pairs, var_list, sample_type, weights_table,
                     n_constituents, tree="nominal", sources=None,
-                    optional=()):
+                    optional=(), n_workers=None):
     """Branch reader (ref tools/root_utils.py:16-52 ``get_data`` /
     ``root_conversion``).
 
@@ -185,6 +198,9 @@ def read_root_files(file_pairs, var_list, sample_type, weights_table,
     the leading jet's list, zero-pad/truncate to ``n_constituents``,
     cluster pt /1000, float16.  Dijet samples gain a synthesized ``JZW``
     (int8 index into the DSID table); ttbar/BSM gain ``DSID`` (int32).
+    Files are read by a thread pool of ``n_workers`` (default
+    ``_etl_workers()``); the output order is always the ``file_pairs``
+    order, independent of worker count.
     """
     var_list = list(var_list)
     if sample_type in _DIJET:
@@ -204,20 +220,22 @@ def read_root_files(file_pairs, var_list, sample_type, weights_table,
                   "trees -> dropped")
             del out[key]
     var_list = list(out)
-    for path, dsid in file_pairs:
+    def _one_file(pair):
+        path, dsid = pair
         src = srcs[path]
         n = src.num_entries
+        cols = {}
         for key in var_list:
             if key == "JZW":
                 idx = dsid_order.index(dsid) if dsid in dsid_order else -1
-                out[key].append(np.full(n, idx, np.int8))
+                cols[key] = np.full(n, idx, np.int8)
             elif key == "DSID":
-                out[key].append(np.full(n, int(dsid), np.int32))
+                cols[key] = np.full(n, int(dsid), np.int32)
             elif key in JET_VAR:
                 padded = src.leading_padded(key, n_constituents)
                 if key == "rljet_assoc_cluster_pt":
                     padded /= 1000.0           # MeV -> GeV
-                out[key].append(np.float16(padded))
+                cols[key] = np.float16(padded)
             else:
                 # native dtype preserved, as the reference writes each
                 # branch in its ntuple dtype (ref tools/root_utils.py:47-51)
@@ -228,17 +246,32 @@ def read_root_files(file_pairs, var_list, sample_type, weights_table,
                     arr = np.float64(arr) / 1000.0   # MeV -> GeV
                 if key == "weight_mc" and dsid in weights_table:
                     arr = np.float64(arr) * weights_table[dsid]
-                out[key].append(arr)
+                cols[key] = arr
+        return cols
+
+    n_workers = min(n_workers or _etl_workers(), max(len(file_pairs), 1))
+    if n_workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(n_workers) as pool:
+            per_file = list(pool.map(_one_file, file_pairs))
+    else:
+        per_file = [_one_file(pair) for pair in file_pairs]
+    for cols in per_file:                      # file_pairs order
+        for key, arr in cols.items():
+            out[key].append(arr)
     return {key: np.concatenate(val) for key, val in out.items()}
 
 
 def convert(input_path, output_path, sample_type, n_constituents="unknown",
-            tag=0, seed=0, tree="nominal", extra_branches=()):
+            tag=0, seed=0, tree="nominal", extra_branches=(),
+            n_workers=None):
     """Full conversion flow (ref tools/root2h5.py:110-133).
 
     ``extra_branches``: names from the full ntuple catalog
     (:mod:`atlasvae.etl.branches`) to pass through as additional scalar
-    columns when present in the tree.
+    columns when present in the tree.  ``n_workers`` threads read files
+    concurrently (default: min(16, cpu count), the analog of the
+    reference's mp.Pool fan-out, ref tools/root_utils.py:20-23).
     """
     table = _TABLES.get(sample_type, {})
     weights_table = id_weights(sample_type) if sample_type in _TABLES else {}
@@ -271,7 +304,8 @@ def convert(input_path, output_path, sample_type, n_constituents="unknown",
         n_constituents = count_constituents(file_pairs, tree, sources=sources)
     data = read_root_files(file_pairs, var_list, sample_type, weights_table,
                            int(n_constituents), tree, sources=sources,
-                           optional=tuple(extra_branches))
+                           optional=tuple(extra_branches),
+                           n_workers=n_workers)
     pt, eta, phi = (data.pop(k) for k in JET_VAR)
     data.update(final_jets(np.float64(pt), np.float64(eta), np.float64(phi)))
     data["weights"] = (LUMINOSITY[sample_type] * data.pop("weight_mc")

@@ -517,3 +517,27 @@ def test_convert_raw_atlas_vvf_layout_end_to_end(tmp_path, rng):
                        constituents="ON", hlvs="OFF", verbose=False)
     assert sample["constituents"].shape == (n, 12)
     assert np.isfinite(sample["constituents"]).all()
+
+
+def test_convert_threaded_reader_matches_serial(tmp_path, rng):
+    """The per-file thread-pool read (ref tools/root_utils.py:20-23
+    mp.Pool analog) must produce byte-identical output to the serial
+    path, in the same file order, for any worker count."""
+    inp = tmp_path / "rootfiles"
+    d = inp / "user.sim.361024.ntuples"
+    d.mkdir(parents=True)
+    for i in range(5):
+        _write_fixture_tree(d / f"part._{i:06d}.root", rng, 80)
+    outs = []
+    for i, workers in enumerate(["1", "4"]):
+        os.environ["ATLASVAE_ETL_WORKERS"] = workers
+        try:
+            outs.append(convert(str(inp), str(tmp_path / f"h5_{i}"),
+                                "topo-dijet", tag=1, seed=3))
+        finally:
+            del os.environ["ATLASVAE_ETL_WORKERS"]
+    with h5py.File(outs[0]) as a, h5py.File(outs[1]) as b:
+        assert sorted(a.keys()) == sorted(b.keys())
+        for k in a.keys():
+            np.testing.assert_array_equal(np.asarray(a[k]),
+                                          np.asarray(b[k]), err_msg=k)
