@@ -21,8 +21,9 @@ import numpy as np
 
 
 def pt_eta_phi_m_to_epxpypz(pt, eta, phi, m):
-    """(pt, eta, phi, m) -> (E, px, py, pz), elementwise."""
-    pt = np.asarray(pt, np.float64)
+    """(pt, eta, phi, m) -> (E, px, py, pz), elementwise (broadcast)."""
+    pt, eta, phi, m = np.broadcast_arrays(
+        np.asarray(pt, np.float64), eta, phi, m)
     out = np.empty(pt.shape + (4,), np.float64)
     out[..., 1] = pt * np.cos(phi)
     out[..., 2] = pt * np.sin(phi)

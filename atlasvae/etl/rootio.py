@@ -899,21 +899,26 @@ def _decode_stl_py(payload, starts, depth, dtype):
             pos += 2                             # inner class version
         n = struct.unpack_from(">i", payload, pos)[0]
         pos += 4
+        if n < 0:
+            # match the native decoder: np.frombuffer would treat ANY
+            # negative count as "all remaining bytes" — silent garbage
+            raise ValueError(f"negative element count {n} in STL entry")
         if depth == 1:
             arr = np.frombuffer(payload, dtype, n, pos)
             segs.append(arr)
             outer.append(len(arr))
             continue
-        k = 0
         for _ in range(n):
             m = struct.unpack_from(">i", payload, pos)[0]
             pos += 4
+            if m < 0:
+                raise ValueError(
+                    f"negative element count {m} in STL inner vector")
             arr = np.frombuffer(payload, dtype, m, pos)
             pos += len(arr) * isz
             segs.append(arr)
             inner.append(len(arr))
-            k += 1
-        outer.append(k)
+        outer.append(n)
     flat = np.concatenate(segs) if segs else np.zeros(0, dtype)
     return (flat, np.asarray(outer, np.int64),
             np.asarray(inner, np.int64) if depth == 2 else None)

@@ -14,11 +14,14 @@ toolchain is available or ``ATLASVAE_NO_NATIVE=1`` is set.
 import ctypes
 import os
 import subprocess
+import tempfile
+import threading
 
 import numpy as np
 
 _LIB = None
 _FAILED = False
+_BUILD_LOCK = threading.Lock()  # read_root_files decodes from a thread pool
 
 _ERRORS = {
     -1: "entry header reaches past the basket payload",
@@ -42,39 +45,50 @@ def _build():
     out = os.path.join(_repo_root(), "native", "librootio_decode.so")
     if (not os.path.isfile(out)
             or os.path.getmtime(out) < os.path.getmtime(src)):
-        subprocess.run(["g++", "-O2", "-shared", "-fPIC", "-o", out, src],
-                       check=True)
+        # compile to a temp path + atomic rename so a concurrent loader
+        # (or another process) never dlopens a half-written .so
+        fd, tmp = tempfile.mkstemp(suffix=".so", dir=os.path.dirname(out))
+        os.close(fd)
+        try:
+            subprocess.run(["g++", "-O2", "-shared", "-fPIC",
+                            "-o", tmp, src], check=True)
+            os.replace(tmp, out)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
     return out
 
 
 def load_lib():
     """Load (building if needed) the decoder; None when unavailable or
     disabled via ``ATLASVAE_NO_NATIVE`` (checked on every call so tests
-    can toggle the fallback)."""
+    can toggle the fallback).  Thread-safe: the first decode may happen
+    inside read_root_files's file thread pool."""
     global _LIB, _FAILED
     if os.environ.get("ATLASVAE_NO_NATIVE"):
         return None
     if _LIB is not None:
         return _LIB
-    if _FAILED:
-        return None
-    try:
-        lib = ctypes.CDLL(_build())
-    except (OSError, subprocess.CalledProcessError, FileNotFoundError):
-        _FAILED = True
-        return None
-    lib.rio_decode_stl.argtypes = [
-        _U8P, ctypes.c_longlong,            # payload, plen
-        _I64P, ctypes.c_longlong,           # starts, n_entries
-        ctypes.c_int, ctypes.c_int,         # depth, isz
-        _U8P, ctypes.c_longlong, _I64P,     # flat, flat_cap, flat_len
-        _I64P,                              # outer
-        _I64P, ctypes.c_longlong, _I64P,    # inner, inner_cap, n_inner
-        _I64P,                              # err_entry
-    ]
-    lib.rio_decode_stl.restype = ctypes.c_longlong
-    _LIB = lib
-    return lib
+    with _BUILD_LOCK:
+        if _LIB is not None or _FAILED:
+            return _LIB
+        try:
+            lib = ctypes.CDLL(_build())
+        except (OSError, subprocess.CalledProcessError, FileNotFoundError):
+            _FAILED = True
+            return None
+        lib.rio_decode_stl.argtypes = [
+            _U8P, ctypes.c_longlong,            # payload, plen
+            _I64P, ctypes.c_longlong,           # starts, n_entries
+            ctypes.c_int, ctypes.c_int,         # depth, isz
+            _U8P, ctypes.c_longlong, _I64P,     # flat, flat_cap, flat_len
+            _I64P,                              # outer
+            _I64P, ctypes.c_longlong, _I64P,    # inner, inner_cap, n_inner
+            _I64P,                              # err_entry
+        ]
+        lib.rio_decode_stl.restype = ctypes.c_longlong
+        _LIB = lib
+        return lib
 
 
 def decode_stl_basket(payload, starts, depth, dtype):
@@ -117,7 +131,10 @@ def decode_stl_basket(payload, starts, depth, dtype):
         raise ValueError(
             f"STL basket entry {err_entry.value}: "
             f"{_ERRORS.get(code, f'decode error {code}')}")
-    flat = flat[:flat_len.value].view(dtype.newbyteorder("="))
+    # copy the decoded slices so the payload-sized scratch buffers are
+    # freed immediately (headers are ~10-30% of a basket; holding the
+    # full plen buffer per branch adds up at 10M-event scale)
+    flat = flat[:flat_len.value].copy().view(dtype.newbyteorder("="))
     outer = outer[:n_entries]
     return flat, outer, (inner[:n_inner.value].copy()
                          if depth == 2 else None)

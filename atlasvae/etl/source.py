@@ -92,6 +92,11 @@ class RootIOSource:
         else:                                # the entry's own vector
             lens = outer
             offs = np.cumsum(outer) - outer
+        # inconsistent counts (e.g. a lying leafcount branch) must not
+        # index past the flat data: clamp like the row loop, whose
+        # np.split views came up short and zero-padded silently
+        offs = np.minimum(offs, len(flat))
+        lens = np.minimum(lens, len(flat) - offs)
         k = np.minimum(lens, n_const).astype(np.int64)
         out = np.zeros((n, n_const), np.float64)
         tot = int(k.sum())

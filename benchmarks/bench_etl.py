@@ -72,15 +72,24 @@ def main():
         os.makedirs(dsdir)
         size = make_ntuple(os.path.join(dsdir, "part._000001.root"),
                            args.n, args.const, rng)
+        from atlasvae.etl import rootnative
+        native_ok = rootnative.load_lib() is not None
+        if not native_ok:
+            print("WARNING: native decoder unavailable (no toolchain?) — "
+                  "the 'native' phase below runs the pure-Python path",
+                  file=sys.stderr)
         t_native = min(run_convert(indir, os.path.join(td, f"o{i}"))
                        for i in range(2))
         os.environ["ATLASVAE_NO_NATIVE"] = "1"
-        t_py = run_convert(indir, os.path.join(td, "op"))
-        del os.environ["ATLASVAE_NO_NATIVE"]
+        try:
+            t_py = run_convert(indir, os.path.join(td, "op"))
+        finally:
+            del os.environ["ATLASVAE_NO_NATIVE"]
     print(json.dumps({
         "metric": "etl_convert_events_per_s",
         "value": round(args.n / t_native, 1),
         "unit": "events/s",
+        "native_decoder": native_ok,
         "n_events": args.n,
         "max_const": args.const,
         "file_mb": round(size / 1e6, 1),

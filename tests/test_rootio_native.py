@@ -156,3 +156,60 @@ def test_no_native_env_disables(tmp_path, monkeypatch):
     assert rootnative.decode_stl_basket(b"\0" * 16,
                                         np.zeros(1, np.int64), 1,
                                         np.dtype(">f4")) is None
+
+
+def test_fallback_negative_count_named_error():
+    """The pure-Python fallback must reject negative counts like the
+    native decoder (np.frombuffer would read 'all remaining' garbage)."""
+    import struct
+    payload = (struct.pack(">I", 10) + struct.pack(">h", 6)
+               + struct.pack(">i", -3))
+    for depth in (1, 2):
+        with pytest.raises(ValueError, match="negative element count"):
+            rootio._decode_stl_py(payload, np.zeros(1, np.int64), depth,
+                                  np.dtype(">f4"))
+    inner_neg = (struct.pack(">I", 14) + struct.pack(">h", 6)
+                 + struct.pack(">i", 1) + struct.pack(">i", -2))
+    with pytest.raises(ValueError, match="negative element count"):
+        rootio._decode_stl_py(inner_neg, np.zeros(1, np.int64), 2,
+                              np.dtype(">f4"))
+
+
+def test_leading_padded_clamps_inconsistent_counts(tmp_path, rng):
+    """Counts exceeding the flat data (a lying leafcount in a corrupt
+    file) must zero-pad like the old row loop, not raise IndexError."""
+    data = [rng.normal(size=3).astype(np.float32) for _ in range(2)]
+    p = str(tmp_path / "c.root")
+    rootio.write_tree(p, "nominal", {"x": data})
+    src = RootIOSource(p)
+    src._tree.array_jagged = lambda k: (np.arange(3, dtype=np.float64),
+                                        np.array([2, 5]), None)
+    out = src.leading_padded("x", 4)
+    np.testing.assert_array_equal(out, [[0, 1, 0, 0], [2, 0, 0, 0]])
+
+
+def test_concurrent_first_decode_builds_once(tmp_path, rng, monkeypatch):
+    """Hammer load_lib from many threads with no prebuilt .so — every
+    thread must get a working decoder (no corrupt dlopen, no permanent
+    fallback from the build race)."""
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+    so = _os.path.join(rootnative._repo_root(), "native",
+                       "librootio_decode.so")
+    if _os.path.exists(so):
+        _os.unlink(so)
+    monkeypatch.setattr(rootnative, "_LIB", None)
+    monkeypatch.setattr(rootnative, "_FAILED", False)
+    entries = _vv(rng, 50, "f4")
+    p = str(tmp_path / "r.root")
+    rootio.write_tree(p, "nominal", {"vv": entries}, basket_entries=16)
+
+    def read():
+        t = rootio.read_tree(p, "nominal")
+        return t.array("vv")
+
+    with ThreadPoolExecutor(8) as ex:
+        results = list(ex.map(lambda _: read(), range(8)))
+    assert rootnative.load_lib() is not None
+    for r in results:
+        _assert_same(r, entries)
