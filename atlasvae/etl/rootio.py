@@ -289,9 +289,10 @@ def _leaf_element_blob(name, title):
 
 
 def _leaf_blob(classname, name, title, length, lentype, signed_range,
-               leafcount_ref, maximum, version=1):
+               leafcount_ref, maximum, version=1, unsigned=False):
     base = _tnamed(name, title) + struct.pack(
-        ">iiiBB", length, lentype, 0, 1 if signed_range else 0, 0)
+        ">iiiBB", length, lentype, 0, 1 if signed_range else 0,
+        1 if unsigned else 0)
     base += (struct.pack(">I", leafcount_ref) if leafcount_ref
              else struct.pack(">I", 0))
     base = _versioned(2, base)
@@ -504,7 +505,8 @@ def write_tree(path, treename, branches, title="", compression="zlib",
         else:
             leaf = _obj_any_new(
                 cls, _leaf_blob(cls, bname, leaf_title, 1, itemsize,
-                                is_counter, cnt_ref, maximum))
+                                is_counter, cnt_ref, maximum,
+                                unsigned=kind.startswith("u")))
         leaf_pos[bname] = leaf_map_pos
         arr_body = (struct.pack(">h", 3) + _tobject() + _tstring("")
                     + struct.pack(">ii", 1, 0) + leaf)
@@ -713,14 +715,18 @@ class _Key:
 
 class Leaf:
     def __init__(self, classname, name, title, length, lentype, leafcount,
-                 maximum):
+                 maximum, unsigned=False):
         self.classname, self.name, self.title = classname, name, title
         self.length, self.lentype = length, lentype
         self.leafcount, self.maximum = leafcount, maximum
+        self.unsigned = unsigned
 
     @property
     def dtype(self):
-        return np.dtype(">" + _LEAF_BY_CLASS[self.classname])
+        kind = _LEAF_BY_CLASS[self.classname]
+        if self.unsigned and kind.startswith("i"):
+            kind = "u" + kind[1:]       # fIsUnsigned (TLeaf streamer)
+        return np.dtype(">" + kind)
 
 
 class Branch:
@@ -778,7 +784,7 @@ def _read_leaf(c, classname):
     _, base_end = c.versioned()
     name, title = _read_tnamed(c)
     length, lentype, _ = c.fields(">iii")
-    c.fields(">BB")
+    _, is_unsigned = c.fields(">BB")     # fIsRange, fIsUnsigned
     leafcount = _read_object_any(c, _LEAF_READERS)
     c.pos = base_end
     if classname in ("TLeafF",):
@@ -794,7 +800,8 @@ def _read_leaf(c, classname):
     else:
         _, maximum = c.fields(">ii")
     c.pos = end
-    return Leaf(classname, name, title, length, lentype, leafcount, maximum)
+    return Leaf(classname, name, title, length, lentype, leafcount, maximum,
+                unsigned=bool(is_unsigned))
 
 
 def _read_leaf_element(c):
