@@ -62,21 +62,31 @@ KEY_FIXED = 26      # nbytes(4) ver(2) objlen(4) datime(4) keylen(2) cycle(2)
 _LEAF = {
     "f4": ("TLeafF", ">f4"), "f8": ("TLeafD", ">f8"),
     "i4": ("TLeafI", ">i4"), "i8": ("TLeafL", ">i8"),
-    "i2": ("TLeafS", ">i2"), "i1": ("TLeafB", ">i1"), "u1": ("TLeafB", ">u1"),
+    "i2": ("TLeafS", ">i2"), "i1": ("TLeafB", ">i1"),
+    # unsigned kinds share the signed leaf class + fIsUnsigned flag and
+    # a lowercase title code, as in real ROOT
+    "u1": ("TLeafB", ">u1"), "u2": ("TLeafS", ">u2"),
+    "u4": ("TLeafI", ">u4"), "u8": ("TLeafL", ">u8"),
 }
 _LEAF_CODE = {"f4": "F", "f8": "D", "i4": "I", "i8": "L",
-              "i2": "S", "i1": "B", "u1": "b"}
-_LEAF_BY_CLASS = {v[0]: k for k, v in _LEAF.items()}
-_LEAF_BY_CLASS["TLeafB"] = "i1"
+              "i2": "S", "i1": "B",
+              "u1": "b", "u2": "s", "u4": "i", "u8": "l"}
+# class -> SIGNED base kind; Leaf.dtype upgrades via fIsUnsigned
+_LEAF_BY_CLASS = {v[0]: k for k, v in _LEAF.items()
+                  if not k.startswith("u")}
 
 # STL element typenames (ROOT spelling, with the "> >" nested-template
 # space) <-> numpy kinds, for vector<T> / vector<vector<T>> branches
 _STL_TYPE = {"f4": "float", "f8": "double", "i4": "int", "i8": "Long64_t",
-             "i2": "short", "i1": "char", "u1": "unsigned char"}
+             "i2": "short", "i1": "char", "u1": "unsigned char",
+             "u2": "unsigned short", "u4": "unsigned int",
+             "u8": "ULong64_t"}
 _STL_KIND = {v: k for k, v in _STL_TYPE.items()}
 _STL_KIND.update({"Int_t": "i4", "Float_t": "f4", "Double_t": "f8",
-                  "long long": "i8", "long": "i8", "unsigned int": "i4",
-                  "UInt_t": "i4", "bool": "u1", "Bool_t": "u1",
+                  "long long": "i8", "long": "i8",
+                  "UInt_t": "u4", "UShort_t": "u2",
+                  "unsigned long long": "u8", "unsigned long": "u8",
+                  "bool": "u1", "Bool_t": "u1",
                   "Short_t": "i2", "Char_t": "i1", "UChar_t": "u1"})
 K_MEMBERWISE = 0x4000           # kStreamedMemberWise flag on the version
 
@@ -231,8 +241,7 @@ def _normalise(arr):
     if isinstance(arr, np.ndarray) and arr.dtype != object and arr.ndim == 1:
         kind = arr.dtype.str[1:]
         if kind not in _LEAF:
-            kind = {"f2": "f4", "u4": "i4", "u8": "i8",
-                    "b1": "u1"}.get(kind, "f8")
+            kind = {"f2": "f4", "b1": "u1"}.get(kind, "f8")
         return kind, np.asarray(arr, f">{kind}"), None
     # jagged: sequence of per-entry 1-D arrays
     parts = [np.atleast_1d(np.asarray(a)) for a in arr]

@@ -24,7 +24,7 @@ from hypothesis import HealthCheck, given, settings, strategies as st
 from atlasvae.etl import rootio
 from rootio_spec_fixture import walk_records
 
-KINDS = ["f4", "f8", "i4", "i8", "i2", "u1"]
+KINDS = ["f4", "f8", "i4", "i8", "i2", "u1", "u2", "u4", "u8"]
 LAYOUTS = ["flat", "leaf", "stl1", "vv"]
 
 
@@ -36,7 +36,11 @@ def tree_case(draw):
         kind = draw(st.sampled_from(KINDS))
         layout = draw(st.sampled_from(LAYOUTS))
         name = f"b{i}_{layout}"
-        lo, hi = (0, 200) if kind == "u1" else (-100, 100)
+        lo, hi = ((0, 200) if kind == "u1"
+                  else (2**31, 2**31 + 100) if kind == "u4"
+                  else (2**63, 2**63 + 100) if kind == "u8"
+                  else (0, 60000) if kind == "u2"
+                  else (-100, 100))
 
         def vec(size):
             return np.array(draw(st.lists(st.integers(lo, hi),
