@@ -373,3 +373,40 @@ def test_empty_and_zero_row_loads_survive():
                              oe_type="MAE", n_epochs=1, beta=1.0, lamb=1.0,
                              batch_size=8)
     assert np.isfinite(history["Train loss"]).all()
+
+
+def test_checkpoint_resume_across_device_counts(tmp_path):
+    """A train state checkpointed under an 8-device DP mesh resumes on a
+    4-device mesh (production elasticity: lose half the slice, keep
+    training).  States live as host pytrees and DP params are
+    replicated, so only the psum reduction order can differ — the
+    resumed trajectory must match the uninterrupted 8-device run to
+    reduction tolerance."""
+    from atlasvae.train.checkpoint import save_pytree, load_pytree
+
+    cfg = VAEConfig(fc_layers=(16, 8), input_dim=6)
+    params0 = init_vae(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(1e-3)
+    bkg, ood = _toy_load(n=256, dim=6)
+    batches = batch_load(bkg["HLVs"], ood["HLVs"], bkg["weights"],
+                         ood["weights"], 64, n_devices=8)
+    lr = np.float32(1e-3)
+    keys = [jax.random.PRNGKey(i) for i in range(4)]
+
+    def run(mesh, params, opt_state, ks):
+        step, _ = make_vae_step_fns(opt, "KLD", 1.0, 1.0, 1.0, mesh=mesh)
+        for k in ks:
+            params, opt_state, _ = step(params, opt_state, lr, k, *batches)
+        return params, opt_state
+
+    mesh8, mesh4 = data_parallel_mesh(8), data_parallel_mesh(4)
+    p_full, _ = run(mesh8, params0, opt.init(params0), keys)
+
+    p_half, s_half = run(mesh8, params0, opt.init(params0), keys[:2])
+    ck = str(tmp_path / "state.npz")
+    save_pytree(ck, {"params": p_half, "opt": s_half})
+    loaded = load_pytree(ck, {"params": p_half, "opt": s_half})
+    p_res, _ = run(mesh4, loaded["params"], loaded["opt"], keys[2:])
+
+    for a, b in zip(jax.tree.leaves(p_full), jax.tree.leaves(p_res)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
