@@ -21,6 +21,7 @@ import h5py
 
 from .lorentz import (pt_eta_phi_m_to_epxpypz, canonicalize_jets,
                       pt_order_jets, summed_4v)
+from . import rootnative
 from .source import open_tree
 from . import branches as branch_catalog
 
@@ -120,19 +121,25 @@ def final_jets(pt, eta, phi, n_constituents=None):
     ``final_jets``/``transform_jets``, vectorized; MeV->GeV upstream).
 
     pt/eta/phi: lists of per-jet variable-length arrays, or (J, C)
-    arrays zero-padded.
+    arrays zero-padded.  Uses the fused native kernel
+    (``rootnative.final_jets_native``) when available — one pass per
+    jet, no full-block temporaries — with the numpy pipeline as the
+    value-identical fallback.
     """
     if isinstance(pt, np.ndarray) and pt.ndim == 2:
-        jets_ptep = np.stack([pt, eta, phi, np.zeros_like(pt)],
-                             axis=-1).astype(np.float64)
+        pt_a, eta_a, phi_a = pt, eta, phi
     else:
         n_max = n_constituents or max((len(p) for p in pt), default=1)
-        jets_ptep = np.zeros((len(pt), max(n_max, 1), 4))
+        pt_a = np.zeros((len(pt), max(n_max, 1)))
+        eta_a, phi_a = np.zeros_like(pt_a), np.zeros_like(pt_a)
         for i, (p, e, f) in enumerate(zip(pt, eta, phi)):
             k = min(len(p), n_max)
-            jets_ptep[i, :k, 0] = p[:k]
-            jets_ptep[i, :k, 1] = e[:k]
-            jets_ptep[i, :k, 2] = f[:k]
+            pt_a[i, :k], eta_a[i, :k], phi_a[i, :k] = p[:k], e[:k], f[:k]
+    native = rootnative.final_jets_native(pt_a, eta_a, phi_a)
+    if native is not None:
+        return native
+    jets_ptep = np.stack([pt_a, eta_a, phi_a, np.zeros_like(pt_a)],
+                         axis=-1).astype(np.float64)
     alive = jets_ptep[..., 0] > 0
     p4 = pt_eta_phi_m_to_epxpypz(jets_ptep[..., 0], jets_ptep[..., 1],
                                  jets_ptep[..., 2], jets_ptep[..., 3])

@@ -87,6 +87,19 @@ def load_lib():
             _I64P,                              # err_entry
         ]
         lib.rio_decode_stl.restype = ctypes.c_longlong
+        try:
+            _DP = ctypes.POINTER(ctypes.c_double)
+            _U16P = ctypes.POINTER(ctypes.c_ushort)
+            lib.rio_final_jets.argtypes = [
+                _DP, _DP, _DP,                    # pt, eta, phi
+                ctypes.c_longlong, ctypes.c_longlong,   # J, C
+                _U16P, _U16P, _U16P, _U16P,       # flat, E, pt_calo, m_calo
+            ]
+            lib.rio_final_jets.restype = ctypes.c_longlong
+            lib.rio_d2h.argtypes = [_DP, ctypes.c_longlong, _U16P]
+            lib.rio_d2h.restype = None
+        except AttributeError:                    # stale .so without the kernel
+            pass
         _LIB = lib
         return lib
 
@@ -138,3 +151,59 @@ def decode_stl_basket(payload, starts, depth, dtype):
     outer = outer[:n_entries]
     return flat, outer, (inner[:n_inner.value].copy()
                          if depth == 2 else None)
+
+
+def final_jets_native(pt, eta, phi, n_workers=None):
+    """Fused jet canonicalization (native/rootio_decode.cpp
+    ``rio_final_jets``): (J, C) constituent (pt, eta, phi) ->
+    ``{"constituents": (J, C*4) float16, "E"/"pt_calo"/"m_calo": (J,)
+    float16}`` with identical semantics to the numpy pipeline in
+    :mod:`atlasvae.etl.lorentz` (the native path exists because the
+    numpy version's ~20 full-block float64 temporaries dominate
+    convert() wall time; ref tools/root_utils.py:55-90 pays the same
+    cost as a 32-process PyROOT fan-out).
+
+    Returns None when the native library is unavailable.  Rows are
+    processed in ``n_workers`` thread chunks (default: cpu count; the
+    kernel releases the GIL).
+    """
+    lib = load_lib()
+    if lib is None or not hasattr(lib, "rio_final_jets"):
+        return None
+    pt = np.ascontiguousarray(pt, np.float64)
+    eta = np.ascontiguousarray(eta, np.float64)
+    phi = np.ascontiguousarray(phi, np.float64)
+    if pt.ndim != 2 or pt.shape != eta.shape or pt.shape != phi.shape:
+        raise ValueError("final_jets_native expects matching (J, C) arrays")
+    n_jets, n_const = pt.shape
+    if n_const == 0:
+        return None                          # kernel requires C > 0
+    flat = np.empty((n_jets, n_const * 4), np.float16)
+    e_out = np.empty(n_jets, np.float16)
+    ptc = np.empty(n_jets, np.float16)
+    mc = np.empty(n_jets, np.float16)
+    _DP = ctypes.POINTER(ctypes.c_double)
+    _U16P = ctypes.POINTER(ctypes.c_ushort)
+
+    def _run(lo, hi):
+        code = lib.rio_final_jets(
+            pt[lo:hi].ctypes.data_as(_DP), eta[lo:hi].ctypes.data_as(_DP),
+            phi[lo:hi].ctypes.data_as(_DP), hi - lo, n_const,
+            flat[lo:hi].ctypes.data_as(_U16P),
+            e_out[lo:hi].ctypes.data_as(_U16P),
+            ptc[lo:hi].ctypes.data_as(_U16P),
+            mc[lo:hi].ctypes.data_as(_U16P))
+        if code != 0:
+            raise ValueError(f"rio_final_jets error {code}")
+
+    n_workers = max(1, min(n_workers or (os.cpu_count() or 1),
+                           n_jets or 1))
+    if n_workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        bounds = np.linspace(0, n_jets, n_workers + 1).astype(int)
+        with ThreadPoolExecutor(n_workers) as pool:
+            list(pool.map(lambda i: _run(bounds[i], bounds[i + 1]),
+                          range(n_workers)))
+    else:
+        _run(0, n_jets)
+    return {"constituents": flat, "E": e_out, "pt_calo": ptc, "m_calo": mc}

@@ -188,6 +188,103 @@ def test_leading_padded_clamps_inconsistent_counts(tmp_path, rng):
     np.testing.assert_array_equal(out, [[0, 1, 0, 0], [2, 0, 0, 0]])
 
 
+def _padded_jets(rng, n_jets, n_const, lo=1.0, hi=200.0):
+    counts = rng.integers(0, n_const + 1, n_jets)
+    pt = np.zeros((n_jets, n_const))
+    eta, phi = np.zeros_like(pt), np.zeros_like(pt)
+    for i, c in enumerate(counts):
+        pt[i, :c] = rng.uniform(lo, hi, c)
+        eta[i, :c] = rng.uniform(-2, 2, c)
+        phi[i, :c] = rng.uniform(-3, 3, c)
+    return pt, eta, phi
+
+
+@needs_native
+def test_final_jets_native_matches_numpy(rng, monkeypatch):
+    """The fused kernel must be bit-identical to the numpy pipeline on
+    constituents/E/pt_calo; m_calo of (near-)massless jets is pure
+    cancellation noise (E^2 - p^2 ~ 1e-16 rel in both paths, summed in
+    different orders), so those entries get an absolute tolerance."""
+    from atlasvae.etl.root2h5 import final_jets
+    pt, eta, phi = _padded_jets(rng, 5000, 30)
+    pt[17, 3] = -4.0                      # non-positive pt is masked dead
+    pt[18, :] = 0.0                       # fully padded jet
+    nat = rootnative.final_jets_native(pt, eta, phi)
+    assert nat is not None
+    monkeypatch.setenv("ATLASVAE_NO_NATIVE", "1")
+    ref = final_jets(pt, eta, phi)
+    for key in ("constituents", "E", "pt_calo"):
+        # value-equal everywhere; bit-equal except signed zeros (the
+        # aligned leading-pz residual is +-1e-17 cancellation noise
+        # whose sign depends on numpy's pairwise summation order)
+        np.testing.assert_array_equal(nat[key], ref[key], err_msg=key)
+        bitdiff = nat[key].view(np.uint16) != ref[key].view(np.uint16)
+        assert np.all(ref[key][bitdiff] == 0), key
+    a, b = np.float64(nat["m_calo"]), np.float64(ref["m_calo"])
+    mism = a != b
+    assert np.abs(b[mism]).max(initial=0) < 1e-4     # all near-massless
+    np.testing.assert_allclose(a[mism], b[mism], atol=2e-4)
+
+
+@needs_native
+def test_final_jets_dispatches_native(rng):
+    """root2h5.final_jets must route through the kernel when available,
+    for both 2-D array and variable-length list inputs."""
+    from atlasvae.etl.root2h5 import final_jets
+    pt, eta, phi = _padded_jets(rng, 200, 8)
+    out = final_jets(pt, eta, phi)
+    nat = rootnative.final_jets_native(pt, eta, phi)
+    for key in out:
+        np.testing.assert_array_equal(out[key], nat[key])
+    counts = rng.integers(0, 5, 100)
+    lists = ([rng.uniform(1, 50, c) for c in counts],
+             [rng.uniform(-2, 2, c) for c in counts],
+             [rng.uniform(-3, 3, c) for c in counts])
+    out_l = final_jets(*lists)
+    assert out_l["constituents"].shape == (100, 4 * max(counts.max(), 1))
+
+
+@needs_native
+def test_d2h_matches_numpy_cast(rng):
+    """The kernel's direct double->half rounding vs numpy's float64 ->
+    float16 cast: every representable half round-trips, every exact
+    halfway point rounds to even, and adversarial ranges (overflow,
+    subnormals, +-0, inf, nan) agree bit-for-bit."""
+    lib = rootnative.load_lib()
+    import ctypes
+    def d2h(x):
+        x = np.ascontiguousarray(x, np.float64)
+        out = np.empty(len(x), np.uint16)
+        lib.rio_d2h(x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                    len(x),
+                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_ushort)))
+        return out
+
+    halves = np.arange(65536, dtype=np.uint16).view(np.float16)
+    finite = halves[np.isfinite(halves)]
+    exact = np.float64(finite)
+    np.testing.assert_array_equal(d2h(exact), finite.view(np.uint16))
+    # midpoints between consecutive positive halves -> round to even
+    pos = np.sort(exact[exact >= 0])
+    mids = (pos[:-1] + pos[1:]) / 2.0
+    with np.errstate(over="ignore"):
+        want = np.float16(mids)
+    np.testing.assert_array_equal(d2h(mids), want.view(np.uint16))
+    np.testing.assert_array_equal(d2h(-mids), np.float16(-mids).view(np.uint16))
+    # adversarial: overflow, double-subnormal, nan payloads, signed zero
+    adv = np.concatenate([
+        rng.uniform(-1e6, 1e6, 2000) * 10.0 ** rng.integers(-12, 6, 2000),
+        [np.inf, -np.inf, np.nan, 0.0, -0.0, 65504.0, 65519.999, 65520.0,
+         1e-300, -1e-300, 2.0 ** -25, -(2.0 ** -25), 2.0 ** -24, 5.96e-8],
+    ])
+    with np.errstate(over="ignore"):
+        want = np.float16(adv)
+    got = d2h(adv)
+    nan = np.isnan(want)
+    np.testing.assert_array_equal(got[~nan], want[~nan].view(np.uint16))
+    assert np.all(np.isnan(got[nan].view(np.float16)))
+
+
 def test_concurrent_first_decode_builds_once(tmp_path, rng, monkeypatch):
     """Hammer load_lib from many threads with no prebuilt .so — every
     thread must get a working decoder (no corrupt dlopen, no permanent
