@@ -213,6 +213,7 @@ long long rio_final_jets(const double* pt, const double* eta,
     std::vector<double> p4((size_t)C * 4);
     std::vector<double> key((size_t)C);
     std::vector<int> order((size_t)C);
+    std::vector<unsigned char> live((size_t)C);
     for (long long j = 0; j < J; ++j) {
         const double* rpt = pt + j * C;
         const double* ret = eta + j * C;
@@ -224,6 +225,20 @@ long long rio_final_jets(const double* pt, const double* eta,
         for (long long c = 0; c < C; ++c) {
             double* q = &p4[(size_t)c * 4];
             double P = rpt[c];
+            if (P == 0.0 && ret[c] == 0.0 && rph[c] == 0.0) {
+                // exact-zero padding: the numpy path's trig of zeros is
+                // exact +0 everywhere (cos(0)=1 * 0 = +0, masked * 0),
+                // so skipping the whole chain for these slots is
+                // value-identical and leaves the accumulator sums
+                // bit-identical (padding contributes exactly +-0).
+                // Only the signed zeros the later rotations would
+                // smear over the dead slots differ — the documented
+                // parity contract (see tests) compares zeros by value.
+                q[0] = q[1] = q[2] = q[3] = 0.0;
+                live[(size_t)c] = 0;
+                continue;
+            }
+            live[(size_t)c] = 1;
             double px = P * std::cos(rph[c]);
             double py = P * std::sin(rph[c]);
             double pz = P * std::sinh(ret[c]);
@@ -250,6 +265,7 @@ long long rio_final_jets(const double* pt, const double* eta,
         // alignment sums (canonicalize_jets step 3 preamble)
         double wphi = 0, weta = 0;
         for (long long c = 0; c < C; ++c) {
+            if (!live[(size_t)c]) continue;   // padding: exact zeros stay
             double* q = &p4[(size_t)c * 4];
             double px = cz * q[1] - sz * q[2];
             double py = sz * q[1] + cz * q[2];
@@ -277,12 +293,13 @@ long long rio_final_jets(const double* pt, const double* eta,
         double cx = std::cos(-alpha), sxa = std::sin(-alpha);
         double sE = 0, spx = 0, spy = 0, spz = 0;
         for (long long c = 0; c < C; ++c) {
+            order[(size_t)c] = (int)c;
+            if (!live[(size_t)c]) { key[(size_t)c] = 0.0; continue; }
             double* q = &p4[(size_t)c * 4];
             double py = cx * q[2] - sxa * q[3];
             double pz = sxa * q[2] + cx * q[3];
             q[2] = py; q[3] = pz;
             key[(size_t)c] = std::sqrt(q[1] * q[1] + py * py);
-            order[(size_t)c] = (int)c;
             sE += q[0]; spx += q[1]; spy += py; spz += pz;
         }
         // descending pt, ties in original order (np.argsort stable)
