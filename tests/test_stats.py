@@ -75,21 +75,44 @@ def _reference_scan(hist, ref, widths, scan_step=1):
     return best_p, best_loc, best_w
 
 
-def test_scan_matches_reference_loop(rng):
+def test_scan_matches_reference_loop():
+    """Golden parity over many deterministic draws.  Own rng, not the
+    session fixture: the shared stream made this test's data depend on
+    suite ordering, and a near-tie draw (two windows with p-values
+    equal to within f32) once flipped the argmin vs the f64 loop.
+    Near-ties are legitimate argmin flips, so when the chosen window
+    differs the assertion is p-value equivalence, not index equality."""
     nbins = 40
-    ref = rng.uniform(50, 200, nbins).astype(np.float32)
-    hist = np.asarray(rng.poisson(ref), np.float32)
-    hist[18:21] += 60  # inject a bump
     widths = (2, 3, 4, 5, 6)
     steps = (1, 1, 1, 1, 1)
-    min_logp, min_loc, min_width, _, _ = map(
-        np.asarray,
-        scan_histograms(jnp.asarray(hist)[None, :], jnp.asarray(ref),
-                        widths, steps, 0, nbins))
-    ref_p, ref_loc, ref_w = _reference_scan(hist, ref, widths)
-    np.testing.assert_allclose(np.exp(min_logp[0]), ref_p, rtol=1e-3)
-    assert min_loc[0] == ref_loc
-    assert min_width[0] == ref_w
+    flips = 0
+    for seed in range(25):
+        r = np.random.default_rng(seed)
+        ref = r.uniform(50, 200, nbins).astype(np.float32)
+        hist = np.asarray(r.poisson(ref), np.float32)
+        hist[18:21] += 60  # inject a bump
+        min_logp, min_loc, min_width, _, _ = map(
+            np.asarray,
+            scan_histograms(jnp.asarray(hist)[None, :], jnp.asarray(ref),
+                            widths, steps, 0, nbins))
+        ref_p, ref_loc, ref_w = _reference_scan(hist, ref, widths)
+        loc, w = int(min_loc[0]), int(min_width[0])
+        # the scan's own chosen window, re-scored in float64.  Compare
+        # LOG p (the framework's carried quantity): the f32 scan's
+        # log-p error is bounded by the gammainc sweep bound (~5e-6
+        # rel, docs/PERF.md) plus f32 window-sum rounding — a rel-log
+        # tolerance; a raw rtol on p itself would shrink to nothing as
+        # p deepens (rel-p error ~ |log p| x rel-log error).
+        own_lp = float(np.log(gammainc(np.float64(hist[loc:loc + w].sum()),
+                                       np.float64(ref[loc:loc + w].sum()))))
+        tol = 5e-3 + 1e-4 * abs(own_lp)
+        assert abs(float(min_logp[0]) - own_lp) <= tol
+        if (loc, w) == (ref_loc, ref_w):
+            assert abs(float(min_logp[0]) - np.log(ref_p)) <= tol
+        else:                      # near-tie argmin flip: p must match
+            flips += 1
+            assert abs(own_lp - np.log(ref_p)) <= 2 * tol
+    assert flips <= 2              # flips are rare ties, not the norm
 
 
 def test_bump_scan_finds_injected_signal(rng):
