@@ -115,7 +115,7 @@ def id_weights(sample_type):
                     / np.array(t["denom"])))
 
 
-def final_jets(pt, eta, phi, n_constituents=None):
+def final_jets(pt, eta, phi, n_constituents=None, n_workers=None):
     """Constituent (pt, eta, phi) arrays -> processed flat (E,px,py,pz)
     blocks + summed kinematics (ref tools/root_utils.py:55-90
     ``final_jets``/``transform_jets``, vectorized; MeV->GeV upstream).
@@ -135,7 +135,10 @@ def final_jets(pt, eta, phi, n_constituents=None):
         for i, (p, e, f) in enumerate(zip(pt, eta, phi)):
             k = min(len(p), n_max)
             pt_a[i, :k], eta_a[i, :k], phi_a[i, :k] = p[:k], e[:k], f[:k]
-    native = rootnative.final_jets_native(pt_a, eta_a, phi_a)
+    # the worker bound honors --n_workers / ATLASVAE_ETL_WORKERS like
+    # the file-read fan-out does
+    native = rootnative.final_jets_native(
+        pt_a, eta_a, phi_a, n_workers=n_workers or _etl_workers())
     if native is not None:
         return native
     jets_ptep = np.stack([pt_a, eta_a, phi_a, np.zeros_like(pt_a)],
@@ -314,7 +317,8 @@ def convert(input_path, output_path, sample_type, n_constituents="unknown",
                            optional=tuple(extra_branches),
                            n_workers=n_workers)
     pt, eta, phi = (data.pop(k) for k in JET_VAR)
-    data.update(final_jets(np.float64(pt), np.float64(eta), np.float64(phi)))
+    data.update(final_jets(np.float64(pt), np.float64(eta), np.float64(phi),
+                           n_workers=n_workers))
     data["weights"] = (LUMINOSITY[sample_type] * data.pop("weight_mc")
                        * data.pop("weight_pileup"))
     rng = np.random.default_rng(seed)

@@ -157,8 +157,10 @@ def final_jets_native(pt, eta, phi, n_workers=None):
     """Fused jet canonicalization (native/rootio_decode.cpp
     ``rio_final_jets``): (J, C) constituent (pt, eta, phi) ->
     ``{"constituents": (J, C*4) float16, "E"/"pt_calo"/"m_calo": (J,)
-    float16}`` with identical semantics to the numpy pipeline in
-    :mod:`atlasvae.etl.lorentz` (the native path exists because the
+    float16}`` matching the numpy pipeline in
+    :mod:`atlasvae.etl.lorentz` to <=1 float16 ulp (accumulation-order
+    rounding at halfway points; see the kernel header for the exact
+    contract) (the native path exists because the
     numpy version's ~20 full-block float64 temporaries dominate
     convert() wall time; ref tools/root_utils.py:55-90 pays the same
     cost as a 32-process PyROOT fan-out).

@@ -194,8 +194,11 @@ void rio_d2h(const double* src, long long n, uint16_t* dst) {
 // the numpy pipeline in atlasvae/etl/lorentz.py for the ETL hot path —
 // the numpy version allocates ~20 (J, C[,4]) float64 temporaries, which
 // dominates convert() wall time at ntuple scale.  Semantics mirror
-// lorentz.py exactly (masking, guards, clip constants, stable pt sort,
-// direct double->half rounding).
+// lorentz.py (masking, guards, clip constants, stable pt sort with NaN
+// keys last, direct double->half rounding); the only divergence from
+// the numpy path is accumulation order (sequential here vs numpy's
+// pairwise sums, and the 4-vector total summed pre-sort), worth at
+// most 1 float16 ulp when a double lands on a rounding halfway point.
 //
 //   pt/eta/phi   (J, C) float64, zero-padded, C-contiguous
 //   flat         (J, C*4) float16 out: canonicalized (E,px,py,pz) per
@@ -302,9 +305,15 @@ long long rio_final_jets(const double* pt, const double* eta,
             key[(size_t)c] = std::sqrt(q[1] * q[1] + py * py);
             sE += q[0]; spx += q[1]; spy += py; spz += pz;
         }
-        // descending pt, ties in original order (np.argsort stable)
+        // descending pt, ties in original order, NaN keys LAST — the
+        // numpy fallback's argsort(-pt, stable) sorts NaN to the end,
+        // and a plain `>` comparator would leave NaN rows in place
         std::stable_sort(order.begin(), order.end(),
-                         [&](int a, int bi) { return key[a] > key[bi]; });
+                         [&](int a, int bi) {
+                             double ka = key[(size_t)a], kb = key[(size_t)bi];
+                             if (std::isnan(kb)) return !std::isnan(ka);
+                             return ka > kb;
+                         });
         uint16_t* dst = flat + (size_t)j * C * 4;
         for (long long k = 0; k < C; ++k) {
             const double* q = &p4[(size_t)order[(size_t)k] * 4];

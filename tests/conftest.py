@@ -38,6 +38,14 @@ def synth_dir(tmp_path_factory):
     return directory
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(0)
+@pytest.fixture()
+def rng(request):
+    """Per-test deterministic rng, seeded by the test's nodeid.
+
+    Was session-scoped (one shared stream), which made every test's
+    data depend on how much earlier tests consumed — adding a test
+    anywhere silently reshuffled all later tests' draws, and ordering-
+    dependent near-tie failures were unreproducible in isolation.
+    crc32, not hash(): hash() is salted per process."""
+    import zlib
+    return np.random.default_rng(zlib.crc32(request.node.nodeid.encode()))

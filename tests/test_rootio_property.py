@@ -95,6 +95,7 @@ def test_roundtrip_any_tree(case):
                           stl_branches=stl1)
         # independent container validation (spec walker, no rootio code)
         walk_records(path)
+        saved = os.environ.get("ATLASVAE_NO_NATIVE")
         for env in ("", "1"):
             if env:
                 os.environ["ATLASVAE_NO_NATIVE"] = env
@@ -116,4 +117,9 @@ def test_roundtrip_any_tree(case):
                         assert outer.sum() == len(flat) == sum(
                             len(v) for v in branches[name])
             finally:
-                os.environ.pop("ATLASVAE_NO_NATIVE", None)
+                # restore, don't pop: an externally-set value (e.g. a
+                # suite launched with ATLASVAE_NO_NATIVE=1) must survive
+                if saved is None:
+                    os.environ.pop("ATLASVAE_NO_NATIVE", None)
+                else:
+                    os.environ["ATLASVAE_NO_NATIVE"] = saved
