@@ -22,6 +22,12 @@ import jax.numpy as jnp
 import numpy as np
 
 _CHUNK = 50_000
+# Per-call device scratch budget for the Sinkhorn batch: each jet's
+# program holds ~4 live (n_const, n_const) f32 blocks (cost, kernel
+# matrix, plan, temps).  Sized so a 100-const batch still runs ~12k
+# jets per dispatch — per-call dispatch latency (~40 ms through the
+# axon tunnel) dominated the wall when chunks were hundreds of jets.
+_EMD_BUDGET_BYTES = 2 << 30
 
 
 def _pairwise_cost(p, q, r_param):
@@ -78,7 +84,8 @@ def emd_pairs(jets_p, jets_q, r_param=1.0, n_iters=100, eps_final=0.01):
     jets_p = np.asarray(jets_p, np.float32)
     jets_q = np.asarray(jets_q, np.float32)
     out = []
-    chunk = max(1, _CHUNK // max(jets_p.shape[1] ** 2 // 64, 1))
+    chunk = max(1, min(_CHUNK * 8,
+                       _EMD_BUDGET_BYTES // (16 * jets_p.shape[1] ** 2)))
     for i in range(0, len(jets_p), chunk):
         out.append(np.asarray(_emd_batch(jnp.asarray(jets_p[i:i + chunk]),
                                          jnp.asarray(jets_q[i:i + chunk]),
@@ -88,13 +95,25 @@ def emd_pairs(jets_p, jets_q, r_param=1.0, n_iters=100, eps_final=0.01):
 
 @jax.jit
 def _ks_batch(p, q):
-    def one(pi, qi):
-        grid = jnp.concatenate([pi, qi])
-        cdf_p = jnp.searchsorted(jnp.sort(pi), grid, side="right") / pi.shape[0]
-        cdf_q = jnp.searchsorted(jnp.sort(qi), grid, side="right") / qi.shape[0]
-        return jnp.max(jnp.abs(cdf_p - cdf_q))
-
-    return jax.vmap(one)(p, q)
+    # One co-sort of the merged sample with +1/n / -1/m step payloads;
+    # the running cumsum IS the ECDF difference after each merged value.
+    # Equal-value runs are evaluation points only at their last element
+    # (right-continuous ECDFs, scipy tie semantics), so interior
+    # positions of a run are masked out of the max.  This replaces a
+    # vmapped 2x sort + 2x searchsorted — searchsorted lowers to a
+    # binary-search gather per element, which serialized on the TPU's
+    # gather unit (~25x slower end to end, measured).
+    n, m = p.shape[1], q.shape[1]
+    vals = jnp.concatenate([p, q], axis=1)
+    steps = jnp.concatenate(
+        [jnp.full(p.shape, 1.0 / n, jnp.float32),
+         jnp.full(q.shape, -1.0 / m, jnp.float32)], axis=1)
+    vals_s, steps_s = jax.lax.sort((vals, steps), num_keys=1, dimension=1)
+    cum = jnp.cumsum(steps_s, axis=1)
+    boundary = jnp.concatenate(
+        [vals_s[:, 1:] != vals_s[:, :-1],
+         jnp.ones((vals.shape[0], 1), bool)], axis=1)
+    return jnp.max(jnp.where(boundary, jnp.abs(cum), 0.0), axis=1)
 
 
 def ks_pairs(p, q):
@@ -103,7 +122,8 @@ def ks_pairs(p, q):
     p = np.asarray(p, np.float32)
     q = np.asarray(q, np.float32)
     out = []
-    for i in range(0, len(p), _CHUNK):
-        out.append(np.asarray(_ks_batch(jnp.asarray(p[i:i + _CHUNK]),
-                                        jnp.asarray(q[i:i + _CHUNK]))))
+    chunk = _CHUNK * 8
+    for i in range(0, len(p), chunk):
+        out.append(np.asarray(_ks_batch(jnp.asarray(p[i:i + chunk]),
+                                        jnp.asarray(q[i:i + chunk]))))
     return np.concatenate(out)

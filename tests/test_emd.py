@@ -15,6 +15,23 @@ def test_ks_matches_scipy(rng):
     np.testing.assert_allclose(ours, ref, atol=1e-6)
 
 
+def test_ks_tie_heavy_matches_scipy(rng):
+    # the co-sort+cumsum formulation evaluates the ECDF gap only at the
+    # LAST element of an equal-value run; heavy cross-sample ties are
+    # exactly where that mask must match scipy's right-continuous ECDFs
+    from scipy.stats import ks_2samp
+    p = np.round(rng.normal(0, 1, (60, 37)), 1).astype(np.float32)
+    q = np.round(rng.normal(0.2, 1.1, (60, 41)), 1).astype(np.float32)
+    ours = ks_pairs(p[:, :37], q[:, :37])
+    ref = np.array([ks_2samp(p[i, :37], q[i, :37]).statistic
+                    for i in range(60)])
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+    # self-KS on tie-heavy rows: cumsum rounding of k*(1/n) leaves a
+    # ~1e-8 float residue inside long equal runs (distinct-value rows
+    # cancel exactly pairwise and give a hard 0, test above)
+    assert ks_pairs(p, p).max() < 1e-6
+
+
 def _brute_force_emd(p, q, r=1.0):
     """Exact tiny-problem EMD by linear programming."""
     from scipy.optimize import linprog
