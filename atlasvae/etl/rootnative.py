@@ -1,4 +1,4 @@
-"""ctypes bridge to the native STL basket decoder (native/rootio_decode.cpp).
+"""ctypes bridge to the native STL basket decoder (_native/rootio_decode.cpp).
 
 The pure-Python decoder in :mod:`atlasvae.etl.rootio` parses one header
 per entry/inner-vector with ``struct.unpack_from`` — ~12 µs per entry,
@@ -14,10 +14,11 @@ toolchain is available or ``ATLASVAE_NO_NATIVE=1`` is set.
 import ctypes
 import os
 import subprocess
-import tempfile
 import threading
 
 import numpy as np
+
+from atlasvae import _native
 
 _LIB = None
 _FAILED = False
@@ -35,28 +36,8 @@ _I64P = ctypes.POINTER(ctypes.c_longlong)
 _U8P = ctypes.POINTER(ctypes.c_ubyte)
 
 
-def _repo_root():
-    return os.path.dirname(os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__))))
-
-
 def _build():
-    src = os.path.join(_repo_root(), "native", "rootio_decode.cpp")
-    out = os.path.join(_repo_root(), "native", "librootio_decode.so")
-    if (not os.path.isfile(out)
-            or os.path.getmtime(out) < os.path.getmtime(src)):
-        # compile to a temp path + atomic rename so a concurrent loader
-        # (or another process) never dlopens a half-written .so
-        fd, tmp = tempfile.mkstemp(suffix=".so", dir=os.path.dirname(out))
-        os.close(fd)
-        try:
-            subprocess.run(["g++", "-O2", "-shared", "-fPIC",
-                            "-o", tmp, src], check=True)
-            os.replace(tmp, out)
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
-    return out
+    return _native.build("rootio_decode")
 
 
 def load_lib():

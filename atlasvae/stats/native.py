@@ -1,4 +1,4 @@
-"""ctypes bridge to the native BumpHunter oracle (native/bumphunter_oracle.cpp).
+"""ctypes bridge to the native BumpHunter oracle (_native/bumphunter_oracle.cpp).
 
 Builds the shared library on demand with g++ (no pybind11 in this
 environment) and exposes ``oracle_scan``: an independent long-double
@@ -7,25 +7,17 @@ the vectorized JAX scan and as a host-side fallback.
 """
 
 import ctypes
-import os
 import subprocess
 
 import numpy as np
 
+from atlasvae import _native
+
 _LIB = None
 
 
-def _repo_root():
-    return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-
 def _build():
-    src = os.path.join(_repo_root(), "native", "bumphunter_oracle.cpp")
-    out = os.path.join(_repo_root(), "native", "libbh_oracle.so")
-    if not os.path.isfile(out) or os.path.getmtime(out) < os.path.getmtime(src):
-        subprocess.run(["g++", "-O2", "-shared", "-fPIC", "-o", out, src],
-                       check=True)
-    return out
+    return _native.build("bumphunter_oracle")
 
 
 def load_oracle():

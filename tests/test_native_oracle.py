@@ -1,5 +1,5 @@
 """Golden tests: the vectorized JAX BumpHunter scan vs the independent
-long-double C++ oracle (native/bumphunter_oracle.cpp)."""
+long-double C++ oracle (atlasvae/_native/bumphunter_oracle.cpp)."""
 
 import numpy as np
 import jax.numpy as jnp

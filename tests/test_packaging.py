@@ -1,0 +1,54 @@
+"""Packaging metadata (pyproject.toml) stays consistent with the code.
+
+The reference ships loose scripts with no package structure
+(ref README.md "python vae.py ..."); atlasvae is an installable
+package with console entry points, so the script targets and the
+package-data native sources must keep resolving.
+"""
+
+import importlib
+import os
+
+import atlasvae
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _read_pyproject():
+    import tomllib
+    with open(os.path.join(ROOT, "pyproject.toml"), "rb") as f:
+        return tomllib.load(f)
+
+
+def test_console_scripts_resolve_to_callables():
+    cfg = _read_pyproject()
+    scripts = cfg["project"]["scripts"]
+    assert len(scripts) >= 6
+    for name, target in scripts.items():
+        mod_name, func_name = target.split(":")
+        fn = getattr(importlib.import_module(mod_name), func_name)
+        assert callable(fn), f"{name} -> {target} is not callable"
+
+
+def test_version_matches_package():
+    cfg = _read_pyproject()
+    assert cfg["project"]["version"] == atlasvae.__version__
+
+
+def test_native_sources_ship_as_package_data():
+    cfg = _read_pyproject()
+    patterns = cfg["tool"]["setuptools"]["package-data"]["atlasvae"]
+    assert "_native/*.cpp" in patterns
+    from atlasvae import _native
+    for name in ("rootio_decode", "bumphunter_oracle"):
+        assert os.path.isfile(_native.source_path(name))
+
+
+def test_native_build_falls_back_to_cache_dir(tmp_path, monkeypatch):
+    """Installed wheels land in read-only site-packages; build() must
+    divert the .so to ATLASVAE_NATIVE_CACHE instead of failing."""
+    from atlasvae import _native
+    monkeypatch.setattr(_native.os, "access", lambda p, m: False)
+    monkeypatch.setenv("ATLASVAE_NATIVE_CACHE", str(tmp_path))
+    out = _native._output_path("rootio_decode")
+    assert out == str(tmp_path / "librootio_decode.so")

@@ -1,4 +1,4 @@
-"""Native STL basket decoder (etl/rootnative + native/rootio_decode.cpp).
+"""Native STL basket decoder (etl/rootnative + atlasvae/_native/rootio_decode.cpp).
 
 The native fast path must be byte-for-byte value-equivalent to the
 pure-Python decoder on every supported layout, keep the named-error
@@ -327,8 +327,8 @@ def test_concurrent_first_decode_builds_once(tmp_path, rng, monkeypatch):
     fallback from the build race)."""
     import os as _os
     from concurrent.futures import ThreadPoolExecutor
-    so = _os.path.join(rootnative._repo_root(), "native",
-                       "librootio_decode.so")
+    from atlasvae import _native
+    so = _native._output_path("rootio_decode")
     if _os.path.exists(so):
         _os.unlink(so)
     monkeypatch.setattr(rootnative, "_LIB", None)
