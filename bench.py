@@ -316,13 +316,17 @@ def _host_health():
         return None, None
 
 
-def _backend_watchdog(seconds=300):
+def _backend_watchdog(seconds=480):
     """Backend-init deadline: the remote TPU tunnel can wedge server-side
     and hang the first device query forever (no local process to blame —
     observed during round 3).  Emit ONE diagnosable JSON line and exit
     instead of hanging the driver.  A daemon THREAD (not SIGALRM): the
     hang sits inside a blocking C call, so a Python signal handler would
-    never get to run; ``os._exit`` works from any thread."""
+    never get to run; ``os._exit`` works from any thread.  Deadline:
+    uncontended init+first-compile measures ~62 s; 480 s rides out a
+    degraded-host episode or a concurrent CPU job on this 1-core VM
+    (a 300 s deadline once fired exactly that way) while still failing
+    fast on a truly dead tunnel."""
     import threading
 
     done = threading.Event()
@@ -386,5 +390,35 @@ def main():
     }))
 
 
+def _main_with_retry():
+    """Run main() in a subprocess; retry ONCE if backend init timed out.
+
+    The axon tunnel intermittently refuses a new client for several
+    minutes after the previous one disconnects (observed twice in round
+    3: a fresh `python bench.py` hung in backend init past the watchdog
+    while a probe minutes earlier had connected in 62 s).  A transient
+    wedge must not zero the round's recorded benchmark, so on the
+    watchdog's init-timeout line we cool down and try once more.  The
+    final attempt's stdout is re-emitted verbatim — still ONE JSON line.
+    """
+    import subprocess
+    env = dict(os.environ, ATLASVAE_BENCH_CHILD="1")
+    for attempt in (1, 2):
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              env=env, stdout=subprocess.PIPE, text=True)
+        out = proc.stdout
+        if attempt == 1 and "backend init exceeded" in out:
+            _log("backend init timed out; cooling down 120 s and "
+                 "retrying once (tunnel client-release lag)")
+            time.sleep(120)
+            continue
+        sys.stdout.write(out)
+        sys.stdout.flush()
+        sys.exit(proc.returncode)
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("ATLASVAE_BENCH_CHILD"):
+        main()
+    else:
+        _main_with_retry()
