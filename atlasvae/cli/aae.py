@@ -56,6 +56,11 @@ def build_parser():
     parser.add_argument("--sig_list", default=["top-Geneva"], nargs="+")
     parser.add_argument("--scan_2d", default="OFF",
                         help="run the AE x Disc 2-D grid scan")
+    parser.add_argument("--n_devices", default=0, type=int,
+                        help="data-parallel mesh size for the GAN cycle "
+                             "(0 = all local devices; the reference's "
+                             "OE-AAE trainer is single-GPU, SURVEY.md S2.6 "
+                             "— DP over the ICI mesh is the TPU scale-out)")
     return parser
 
 
@@ -147,11 +152,19 @@ def main(argv=None):
                                    args.HLVs, hlv_list, bin_sizes, hlv_scaler,
                                    const_scaler, is_train=True,
                                    mem_gb=args.memGB)
+        mesh = None
+        if args.n_devices not in (0, 1):
+            from ..parallel.mesh import data_parallel_mesh
+            if len(jax.devices()) < args.n_devices:
+                raise SystemExit(f"--n_devices {args.n_devices}: only "
+                                 f"{len(jax.devices())} devices visible")
+            mesh = data_parallel_mesh(args.n_devices)
+            print(f"Data-parallel GAN cycle over {args.n_devices} devices")
         params, _ = train_aae(params, train_gen, args.n_epochs, args.batch_size,
                               out_root, os.path.basename(args.model_out),
                               args.hist_file,
                               os.path.basename(args.AE_weights) if args.AE_weights else "",
-                              args.lamb, args.beta, args.lr)
+                              args.lamb, args.beta, args.lr, mesh=mesh)
         from ..train.keras_export import maybe_export_keras
         if maybe_export_keras(params, args.model_out, "aae"):
             print("Keras-compatible weights exported to " + args.model_out)

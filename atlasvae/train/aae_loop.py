@@ -16,6 +16,17 @@ TPU redesign: Keras ``trainable=False`` freezing becomes two optimizers
 over disjoint parameter subtrees; each phase-epoch is one ``lax.scan``
 over shuffled batches inside a single jitted program; the three phases
 share one Adam(lr=1e-6) configuration (ref aae.py:75).
+
+Data parallelism: with ``mesh``, every phase epoch runs under
+``shard_map`` with the batch axis sharded over the ``data`` axis and
+gradients psum-reduced over ICI — the MirroredStrategy pattern
+(ref jet-ID/models.py:69-81) applied to the GAN cycle workload.  Each
+phase's weighted-mean loss is computed as local-sum / global-weight so
+the psum of per-shard gradients is exactly the global weighted-mean
+gradient; the frozen-discriminator subtree never enters the reduction
+(only AE-subtree grads are psummed in the AAE phase).  The cycle is
+deterministic (no dropout/noise), so the DP epoch equals the
+single-device epoch up to f32 reduction order.
 """
 
 import os
@@ -39,10 +50,6 @@ def _subtree(params, keys):
     return {k: params[k] for k in keys}
 
 
-def _weighted_mean(loss, w):
-    return jnp.sum(loss * w) / jnp.maximum(jnp.sum(w), 1e-30)
-
-
 def _mae(x, y):
     return jnp.mean(jnp.abs(x - y), axis=-1)
 
@@ -58,13 +65,40 @@ def _sparse_ce(probs, labels):
 
 
 def make_aae_step_fns(optimizer, lamb=0.0, beta=0.0, activation="relu",
-                      lr=1.0):
+                      lr=1.0, mesh=None, data_axis="data"):
     """Build jitted (ae_epoch, disc_epoch, aae_epoch) scan programs.
 
     Each takes (params, opt_state, perm, bkg_x, ood_x, bkg_w, ood_w)
     with batch-major (n_batches, batch, ...) arrays and a shuffled batch
     order ``perm`` (ref aae.py:149 shuffles batch order per epoch).
+
+    With ``mesh``, all three phase epochs run under ``shard_map``, the
+    batch axis sharded over ``data_axis``: per-shard gradients of
+    local-sum/global-weight losses are psum-reduced, which equals the
+    single-device global weighted-mean gradient exactly (the
+    MirroredStrategy replacement for the GAN cycle,
+    ref jet-ID/models.py:69-81 applied to ref OE-AAE/aae.py:119-292).
     """
+    in_dp = mesh is not None
+
+    def _wmean(loss, w):
+        """(loss term for the gradient, metric value) weighted-mean pair.
+
+        Under DP the loss term is local-sum / global-weight — psum of
+        its per-shard gradients is the exact global weighted-mean
+        gradient — and the metric is the fully psummed global mean
+        (gradient-stopped).  Single-device: both are the plain
+        sum(loss*w)/sum(w) weighted mean.
+        """
+        num = jnp.sum(loss * w)
+        den = jnp.sum(w)
+        if in_dp:
+            den = jax.lax.psum(den, data_axis)
+        den = jnp.maximum(den, 1e-30)
+        local = num / den
+        if not in_dp:
+            return local, local
+        return local, jax.lax.psum(jax.lax.stop_gradient(num), data_axis) / den
 
     def ae_losses(ae_params, rest, bkg_x, ood_x, bkg_w, ood_w):
         params = {**ae_params, **rest}
@@ -72,24 +106,27 @@ def make_aae_step_fns(optimizer, lamb=0.0, beta=0.0, activation="relu",
         recon_ood = ae_apply(params, ood_x, activation)
         mae_bkg = _mae(bkg_x, recon_bkg)
         mae_ood = _mae(ood_x, recon_ood)
-        qcd_loss = _weighted_mean(mae_bkg, bkg_w)
-        oe_loss = _weighted_mean(jax.nn.sigmoid(mae_bkg - mae_ood), ood_w)
+        qcd = _wmean(mae_bkg, bkg_w)
+        oe = _wmean(jax.nn.sigmoid(mae_bkg - mae_ood), ood_w)
         # the reference's out2 weighted-MAE metric = 'OoD-AE Loss'
         # (ref aae.py:90-92 weighted_metrics; recorded at :163-164,:274-275)
-        ood_mae = _weighted_mean(mae_ood, ood_w)
-        return qcd_loss, oe_loss, ood_mae, recon_bkg, recon_ood
+        _, ood_mae = _wmean(mae_ood, ood_w)
+        return qcd, oe, ood_mae, recon_bkg, recon_ood
 
     # ---- phase (a): autoencoder
     def ae_batch_loss(ae_params, rest, batch):
         bkg_x, ood_x, bkg_w, ood_w = batch
-        qcd_loss, oe_loss, ood_mae, _, _ = ae_losses(
+        qcd, oe, ood_mae, _, _ = ae_losses(
             ae_params, rest, bkg_x, ood_x, bkg_w, ood_w)
-        total = qcd_loss + lamb * oe_loss
-        return total, jnp.stack([qcd_loss, oe_loss, total, ood_mae])
+        total = qcd[0] + lamb * oe[0]
+        total_m = qcd[1] + lamb * oe[1]
+        return total, jnp.stack([qcd[1], oe[1], total_m, ood_mae])
 
     ae_grad = jax.grad(ae_batch_loss, has_aux=True)
 
-    @jax.jit
+    def _reduce(grads):
+        return jax.lax.psum(grads, data_axis) if in_dp else grads
+
     def ae_epoch(params, opt_state, perm, bkg_x, ood_x, bkg_w, ood_w):
         ae_params = _subtree(params, AE_KEYS)
         rest = _subtree(params, DISC_KEYS)
@@ -98,7 +135,7 @@ def make_aae_step_fns(optimizer, lamb=0.0, beta=0.0, activation="relu",
             ae_params, opt_state = carry
             batch = tuple(arr[idx] for arr in (bkg_x, ood_x, bkg_w, ood_w))
             grads, metrics = ae_grad(ae_params, rest, batch)
-            grads = clip_gradients(grads)
+            grads = clip_gradients(_reduce(grads))
             updates, opt_state = optimizer.update(grads, opt_state, ae_params)
             updates = jax.tree.map(lambda u: u * lr, updates)
             ae_params = optax.apply_updates(ae_params, updates)
@@ -119,13 +156,12 @@ def make_aae_step_fns(optimizer, lamb=0.0, beta=0.0, activation="relu",
                                   2 * jnp.ones_like(ood_w)])
         probs = discriminator_apply(params, x, activation)
         ce = _sparse_ce(probs, labels)
-        loss = _weighted_mean(ce, w)
-        acc = _weighted_mean((jnp.argmax(probs, axis=1) == labels).astype(jnp.float32), w)
-        return loss, jnp.stack([loss, acc])
+        loss, loss_m = _wmean(ce, w)
+        _, acc = _wmean((jnp.argmax(probs, axis=1) == labels).astype(jnp.float32), w)
+        return loss, jnp.stack([loss_m, acc])
 
     disc_grad = jax.grad(disc_batch_loss, has_aux=True)
 
-    @jax.jit
     def disc_epoch(params, opt_state, perm, bkg_x, ood_x, bkg_w, ood_w):
         disc_params = _subtree(params, DISC_KEYS)
         rest = _subtree(params, AE_KEYS)
@@ -134,7 +170,7 @@ def make_aae_step_fns(optimizer, lamb=0.0, beta=0.0, activation="relu",
             disc_params, opt_state = carry
             batch = tuple(arr[idx] for arr in (bkg_x, ood_x, bkg_w, ood_w))
             grads, metrics = disc_grad(disc_params, rest, batch)
-            grads = clip_gradients(grads)
+            grads = clip_gradients(_reduce(grads))
             updates, opt_state = optimizer.update(grads, opt_state, disc_params)
             updates = jax.tree.map(lambda u: u * lr, updates)
             disc_params = optax.apply_updates(disc_params, updates)
@@ -147,7 +183,7 @@ def make_aae_step_fns(optimizer, lamb=0.0, beta=0.0, activation="relu",
     # ---- phase (c): AAE — AE trained to fool the frozen discriminator
     def aae_batch_loss(ae_params, disc_params, batch):
         bkg_x, ood_x, bkg_w, ood_w = batch
-        qcd_loss, oe_loss, ood_mae, recon_bkg, recon_ood = ae_losses(
+        qcd, oe, ood_mae, recon_bkg, recon_ood = ae_losses(
             ae_params, disc_params, bkg_x, ood_x, bkg_w, ood_w)
         # reconstructions of everything, judged by the frozen disc with
         # fooling labels {bkg: 0 (QCD), OoD: 1 (recon-QCD)} (ref :240-252)
@@ -156,15 +192,15 @@ def make_aae_step_fns(optimizer, lamb=0.0, beta=0.0, activation="relu",
         w_all = jnp.concatenate([bkg_w, ood_w])
         frozen = jax.lax.stop_gradient(disc_params)
         probs = discriminator_apply({**frozen}, recon_all, activation)
-        d_ce = _weighted_mean(_sparse_ce(probs, labels), w_all)
-        d_acc = _weighted_mean((jnp.argmax(probs, axis=1) == labels).astype(jnp.float32),
-                               w_all)
-        total = qcd_loss + lamb * oe_loss + beta * d_ce
-        return total, jnp.stack([qcd_loss, oe_loss, total, d_ce, d_acc, ood_mae])
+        d_ce, d_ce_m = _wmean(_sparse_ce(probs, labels), w_all)
+        _, d_acc = _wmean((jnp.argmax(probs, axis=1) == labels).astype(jnp.float32),
+                          w_all)
+        total = qcd[0] + lamb * oe[0] + beta * d_ce
+        total_m = qcd[1] + lamb * oe[1] + beta * d_ce_m
+        return total, jnp.stack([qcd[1], oe[1], total_m, d_ce_m, d_acc, ood_mae])
 
     aae_grad = jax.grad(aae_batch_loss, has_aux=True)
 
-    @jax.jit
     def aae_epoch(params, opt_state, perm, bkg_x, ood_x, bkg_w, ood_w):
         ae_params = _subtree(params, AE_KEYS)
         disc_params = _subtree(params, DISC_KEYS)
@@ -173,7 +209,9 @@ def make_aae_step_fns(optimizer, lamb=0.0, beta=0.0, activation="relu",
             ae_params, opt_state = carry
             batch = tuple(arr[idx] for arr in (bkg_x, ood_x, bkg_w, ood_w))
             grads, metrics = aae_grad(ae_params, disc_params, batch)
-            grads = clip_gradients(grads)
+            # only the AE subtree is reduced: the frozen discriminator
+            # never enters the collective (Keras trainable=False parity)
+            grads = clip_gradients(_reduce(grads))
             updates, opt_state = optimizer.update(grads, opt_state, ae_params)
             updates = jax.tree.map(lambda u: u * lr, updates)
             ae_params = optax.apply_updates(ae_params, updates)
@@ -193,12 +231,25 @@ def make_aae_step_fns(optimizer, lamb=0.0, beta=0.0, activation="relu",
         _, disc_m = disc_batch_loss(disc_params, ae_params, last)
         return {**ae_params, **disc_params}, opt_state, (metrics, disc_m)
 
-    return ae_epoch, disc_epoch, aae_epoch
+    if in_dp:
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+        rep, sharded = P(), P(None, data_axis)
+        in_specs = (rep, rep, rep, sharded, sharded, sharded, sharded)
+        ae_epoch = shard_map(ae_epoch, mesh=mesh, in_specs=in_specs,
+                             out_specs=(rep, rep, rep), check_vma=False)
+        disc_epoch = shard_map(disc_epoch, mesh=mesh, in_specs=in_specs,
+                               out_specs=(rep, rep, rep), check_vma=False)
+        aae_epoch = shard_map(aae_epoch, mesh=mesh, in_specs=in_specs,
+                              out_specs=(rep, rep, (rep, rep)),
+                              check_vma=False)
+    return jax.jit(ae_epoch), jax.jit(disc_epoch), jax.jit(aae_epoch)
 
 
 def train_aae(params, train_generator, n_cycles, batch_size, output_dir,
               model_out="AAE.npz", hist_file="history.pkl", ae_weights="",
-              lamb=0.0, beta=0.0, lr=1e-6, seed=0, feature_key=None):
+              lamb=0.0, beta=0.0, lr=1e-6, seed=0, feature_key=None,
+              mesh=None):
     """The full cycle schedule (ref OE-AAE/aae.py:119-292).
 
     Uses ONE load from the generator (the reference takes
@@ -231,6 +282,11 @@ def train_aae(params, train_generator, n_cycles, batch_size, output_dir,
     bkg_w = np.asarray(bkg_sample["weights"], np.float32)
     ood_w = np.asarray(ood_sample["weights"], np.float32)
     n = len(bkg_x)
+    if mesh is not None:
+        # even per-replica shards (MirroredStrategy splits its global
+        # batch the same way, ref jet-ID/classifier.py:136-138)
+        n_shards = mesh.shape["data"]
+        batch_size = max(n_shards, batch_size - batch_size % n_shards)
     n_batches = int(np.ceil(n / batch_size))
     pad = n_batches * batch_size - n
     if pad:  # zero-weight tail padding
@@ -241,13 +297,15 @@ def train_aae(params, train_generator, n_cycles, batch_size, output_dir,
     shape = (n_batches, batch_size)
     from .step import device_put_load
     batches = device_put_load(tuple(a.reshape(shape + a.shape[1:])
-                                    for a in (bkg_x, ood_x, bkg_w, ood_w)))
+                                    for a in (bkg_x, ood_x, bkg_w, ood_w)),
+                              mesh=mesh)
 
     optimizer = make_optimizer()
     opt_ae = optimizer.init(_subtree(params, AE_KEYS))
     opt_disc = optimizer.init(_subtree(params, DISC_KEYS))
     ae_epoch, disc_epoch, aae_epoch = make_aae_step_fns(optimizer, lamb, beta,
-                                                        lr=float(lr))
+                                                        lr=float(lr),
+                                                        mesh=mesh)
 
     loss_history = {k: [] for k in ["QCD-AE Loss", "OoD-AE Loss", "OE Loss",
                                     "AE Loss", "Disc Loss", "Disc Accuracy"]}

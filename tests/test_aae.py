@@ -171,3 +171,63 @@ def test_bump_scan_2d_grid_counts():
     kept_sig = np.sum(cuts & (y_true == 0)) / 2000
     kept_bkg = np.sum(cuts & (y_true == 1)) / n
     assert kept_sig > kept_bkg
+
+
+def test_aae_dp_phases_match_single_device():
+    """Every GAN-cycle phase epoch under the data-parallel mesh equals
+    the single-device epoch (params, optimizer state and metrics) to
+    f32 reduction order — the MirroredStrategy pattern
+    (ref jet-ID/models.py:69-81) applied to the cycle workload
+    (ref OE-AAE/aae.py:119-292).  Non-uniform weights exercise the
+    local-sum/global-weight gradient decomposition."""
+    import jax.numpy as jnp
+    from atlasvae.parallel.mesh import make_mesh
+
+    cfg = AAEConfig(input_dim=8, ae_layers=(16, 8), disc_layers=(16, 3))
+    params = init_aae(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(1e-3)
+    rng = np.random.default_rng(11)
+    n, nb, bs = 128, 4, 32
+    bkg_x = rng.normal(0, 1, (n, 8)).astype(np.float32)
+    ood_x = rng.normal(2.5, 1, (n, 8)).astype(np.float32)
+    bkg_w = rng.uniform(0.2, 3.0, n).astype(np.float32)
+    ood_w = rng.uniform(0.2, 3.0, n).astype(np.float32)
+    batches = tuple(jnp.asarray(a.reshape((nb, bs) + a.shape[1:]))
+                    for a in (bkg_x, ood_x, bkg_w, ood_w))
+    perm = jnp.asarray([2, 0, 3, 1])
+    mesh = make_mesh((("data", 4),), jax.devices()[:4])
+    fns1 = make_aae_step_fns(opt, lamb=1.0, beta=1.0, lr=1e-3)
+    fnsN = make_aae_step_fns(opt, lamb=1.0, beta=1.0, lr=1e-3, mesh=mesh)
+    subtrees = (AE_KEYS, DISC_KEYS, AE_KEYS)
+    for name, f1, fN, keys in zip(("AE", "Disc", "AAE"), fns1, fnsN, subtrees):
+        opt_state = opt.init(_subtree(params, keys))
+        out1 = f1(params, opt_state, perm, *batches)
+        outN = fN(params, opt_state, perm, *batches)
+        for a, b in zip(jax.tree.leaves(out1), jax.tree.leaves(outN)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6,
+                                       err_msg=f"{name} phase diverged")
+
+
+def test_train_aae_dp_full_cycle(tmp_path):
+    """The full train_aae cycle schedule over a 4-device mesh reproduces
+    the single-device loss history (same seed, same perms)."""
+    from atlasvae.parallel.mesh import make_mesh
+    cfg = AAEConfig(input_dim=8, ae_layers=(16, 8), disc_layers=(16, 3))
+    params0 = init_aae(jax.random.PRNGKey(0), cfg)
+    bkg, ood = _toy_sample(n=256)
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    mesh = make_mesh((("data", 4),), jax.devices()[:4])
+    _, hist1 = train_aae(params0, [(bkg, ood)], n_cycles=1, batch_size=64,
+                         output_dir=str(tmp_path / "a"), lamb=1.0, beta=1.0,
+                         lr=1e-3)
+    _, histN = train_aae(params0, [(bkg, ood)], n_cycles=1, batch_size=64,
+                         output_dir=str(tmp_path / "b"), lamb=1.0, beta=1.0,
+                         lr=1e-3, mesh=mesh)
+    assert set(hist1) == set(histN)
+    for key in hist1:
+        v1 = np.asarray([v for _, _, v in hist1[key]])
+        vN = np.asarray([v for _, _, v in histN[key]])
+        np.testing.assert_allclose(v1, vN, rtol=5e-3, atol=1e-5,
+                                   err_msg=f"history {key!r} diverged")
