@@ -119,15 +119,37 @@ def build_parser():
                              "never read by the reference "
                              "(ref jet-ID/classifier.py:60)")
     parser.add_argument("--feature_removal", default="OFF")
-    parser.add_argument("--mixed_precision", default="OFF",
-                        help="bfloat16 compute / float32 master weights "
-                             "(ref jet-ID/models.py:74-75 mixed_float16)")
+    parser.add_argument("--mixed_precision", default="AUTO",
+                        help="bfloat16 compute / float32 master weights. "
+                             "AUTO (default) resolves per NN_type: ON for "
+                             "CNN (measured 1.7x step speedup at AUC "
+                             "parity, docs/PERF.md — the reference applies "
+                             "mixed_float16 unconditionally, ref "
+                             "jet-ID/models.py:74-75), OFF for FCN (measured "
+                             "no gain: the small-MLP step is padded-tile "
+                             "bound, not FLOP bound; deliberate deviation, "
+                             "PARITY.md S2.4).  Explicit ON/OFF overrides.")
     parser.add_argument("--valid_cuts", default="")
     # data
     parser.add_argument("--bkg_data", default="QCD-Geneva")
     parser.add_argument("--sig_data", default="top-Geneva")
     parser.add_argument("--synthetic", default=0, type=float)
     return parser
+
+
+def resolve_compute_dtype(mixed_precision, nn_type):
+    """--mixed_precision AUTO/ON/OFF -> compute dtype.
+
+    The reference sets the mixed_float16 policy unconditionally inside
+    create_model (ref jet-ID/models.py:74-75).  Here AUTO follows the
+    measurement (docs/PERF.md "jet-ID"): bfloat16 for the CNN towers
+    (1.7x step at AUC parity), float32 for the FCN (no gain — the
+    small-MLP step is MXU padded-tile bound).  The FCN-f32 default is a
+    deliberate deviation recorded in PARITY.md S2.4."""
+    value = str(mixed_precision).upper()
+    if value == "AUTO":
+        return "bfloat16" if nn_type == "CNN" else "float32"
+    return "bfloat16" if value == "ON" else "float32"
 
 
 ETA_REGIONS = ("0.0-1.3", "1.3-1.6", "1.6-2.5")
@@ -316,8 +338,8 @@ def main(argv=None):
                          images=images, image_shapes=image_shapes,
                          fcn_neurons=tuple(args.FCN_neurons),
                          dropout=args.dropout, l2=args.l2,
-                         compute_dtype="bfloat16" if on(args.mixed_precision)
-                         else "float32")
+                         compute_dtype=resolve_compute_dtype(
+                             args.mixed_precision, args.NN_type))
     params = init_jetid(jax.random.PRNGKey(0), config)
 
     def _resolve_in(path):

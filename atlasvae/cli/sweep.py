@@ -9,10 +9,11 @@ array scheduler via ``--task_id``, or — the TPU-native path — a
 **vmapped ensemble** (``--vmap ON``, entry vae): grid axes over traced
 scalars (beta/lamb/margin/lr/seed) train as ONE device program with
 data prep, transfer, and XLA compilation paid once instead of G times
-(measured: 1.24x aggregate step speedup on top of that — the step is
-MXU-bound so padded FLOPs still scale with G; bench.py sweep_vmap8,
-train/ensemble.py docstring).  Axes that change shapes or graphs
-(FC_layers, OE_type, ...) still form sequential groups.
+(those operational wins are the whole gain — measured device time is
+~1.0x of G sequential runs because the step is MXU-bound and padded
+FLOPs scale with G; bench.py sweep_vmap8 records compile counts and
+seconds, train/ensemble.py docstring).  Axes that change shapes or
+graphs (FC_layers, OE_type, ...) still form sequential groups.
 
 Usage:
   python -m atlasvae.cli.sweep --entry vae --grid beta=0,1,10 lamb=1,10 \

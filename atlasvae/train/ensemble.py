@@ -8,12 +8,17 @@ vmapped program.  Measured reality (bench.py ``sweep_vmap8``): the
 canonical step is MXU-bound and the batched dot_general's padded FLOPs
 scale linearly with G (each config's K,N <= 128 weight blocks pad to
 their own 128-lane tiles — configs cannot share a tile), so the
-aggregate speedup over G sequential runs is **1.24x** wall time, not
-~G.  The structural wins are operational and still decisive at sweep
-scale: ONE XLA compile instead of G (20-40 s each through the axon
-tunnel), data prep/transfer (pairing, reweighting, scaling,
-host->device at ~60 MB/s) paid once instead of G times, and one process
-instead of a Slurm array.
+aggregate *device-time* saving over G sequential runs rounds to
+**none** (speedup ~1.0x once both sides exclude the fixed per-call
+dispatch RTT; the raw-wall ratio ~1.24x at the bench shape is mostly
+that RTT amortization — an artifact of this tunnel, not chip time).
+The structural wins are operational and still decisive at sweep scale,
+and are what the bench line records (``sweep_vmap8_compiles: 1`` vs
+``sweep_seq_compiles: 8``, measured compile seconds): ONE XLA compile
+instead of G (20-40 s each through the axon tunnel), data
+prep/transfer (pairing, reweighting, scaling, host->device at
+~60 MB/s) paid once instead of G times, and one process instead of a
+Slurm array.
 
 Mechanics: ``beta``/``lamb``/``margin``/``lr`` are traced scalars and
 the PRNG key is per-config (train/step.py ``hyper_traced=True``), so

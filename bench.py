@@ -48,6 +48,17 @@ in understated the short-wall paths by 2-4x (jet-ID epoch: 50 ms wall
 of which 29 ms was RTT).  Rounds <= 2 recorded raw walls; their train
 number is comparable after adding the RTT back (~25% at the 1000-step
 flagship shape).
+
+Auditability (round 4, VERDICT r3 #2): every corrected key now ships
+its uncorrected twin (``*_raw`` suffix: plain median wall, nothing
+subtracted) so the correction is decomposable per metric; the flagship
+also emits ``train_step_us``/``train_step_us_raw``,
+``model_flops_per_step`` (nominal dense FLOPs of the compiled loss
+graph) and ``mfu_nominal``/``mfu_padded`` (the padded-tile FLOP model
+from docs/PERF.md "Train-step anatomy": every K,N <= 128 dense matmul
+occupies a full 128x128 MXU tile).  The run retries into a healthy
+host-memory window (``host_degraded`` false) before recording, as the
+ETL/soak benches already do.
 """
 
 import json
@@ -86,14 +97,17 @@ def _timed(fn, fetch, reps=9):
     previous executes), so device throughput — the quantity these
     metrics name — is wall minus that intercept.  The floor guard keeps
     the correction sane if the latency estimate ever exceeds a real
-    wall (e.g. on a local CPU backend where the intercept is ~0)."""
+    wall (e.g. on a local CPU backend where the intercept is ~0).
+
+    Returns (corrected, raw) so both are recorded (VERDICT r3 #2: the
+    correction must be auditable per metric, not implied)."""
     times = []
     for _ in range(reps):
         start = time.perf_counter()
         fetch(fn())
         times.append(time.perf_counter() - start)
     wall = float(np.median(times))
-    return max(wall - _DISPATCH_LATENCY_S, 0.1 * wall)
+    return max(wall - _DISPATCH_LATENCY_S, 0.1 * wall), wall
 
 
 def _measure_dispatch_latency(jax):
@@ -112,6 +126,42 @@ def _measure_dispatch_latency(jax):
         np.asarray(triv(x))
         times.append(time.perf_counter() - start)
     return float(np.median(times))
+
+
+# One v5e chip's bf16 MXU peak (public spec: 197 TFLOP/s) — the
+# denominator of the MFU keys and of docs/PERF.md's ~90 us padded-tile
+# floor estimate.  Meaningful on the TPU backend only.
+V5E_PEAK_FLOPS = 1.97e14
+
+
+def _vae_train_flops(fc_layers, input_dim, batch_size):
+    """(nominal, padded) dense-matmul FLOPs of ONE optimizer step at the
+    flagship config (docs/PERF.md "Train-step anatomy").
+
+    The MAE-OE loss graph runs TWO model forwards per batch (bkg + OoD,
+    losses/vae_losses.py); training adds backward dgrad + wgrad, each
+    the forward's FLOPs again (x3 total).  ``padded`` pads every dense
+    K,N up to the 128-lane MXU tile — the structural floor the chip
+    actually executes (every flagship layer has K,N <= 128, so each
+    matmul occupies one full tile regardless of true width)."""
+    hidden = list(fc_layers[:-1])
+    latent = fc_layers[-1]
+    enc = list(zip([input_dim] + hidden, hidden))        # hidden stack
+    enc += [(hidden[-1], latent)] * 2                    # mean + logvar heads
+    dec = list(zip([latent] + hidden[::-1], hidden[::-1]))
+    dec += [(hidden[0], input_dim)]                      # output head
+    pad = lambda d: -(-d // 128) * 128
+    nominal = sum(2 * k * n for k, n in enc + dec)
+    padded = sum(2 * pad(k) * pad(n) for k, n in enc + dec)
+    n_forwards, bwd_factor = 2, 3
+    # mfu_nominal (true FLOPs / peak) is the rigorous MFU; mfu_padded
+    # divides the one-tile-per-matmul work MODEL by peak — an upper
+    # bound on executed work, so values near or above 1.0 mean the
+    # compiler beats the naive padded-tile model at this shape (round 4
+    # measured 78-85 us/step vs the model's ~90 us "floor"), not >100%
+    # hardware utilization
+    return (n_forwards * bwd_factor * batch_size * nominal,
+            n_forwards * bwd_factor * batch_size * padded)
 
 
 def bench_vae(jax, jnp):
@@ -142,8 +192,10 @@ def bench_vae(jax, jnp):
 
     _log("compiling VAE train step...")
     state = [params, opt_state]
+    t0 = time.perf_counter()
     p, o, m = train_on_load(state[0], state[1], lr, key, *batches)
     np.asarray(m)
+    train_compile_s = time.perf_counter() - t0
     state[0], state[1] = p, o
 
     def step():
@@ -151,20 +203,43 @@ def bench_vae(jax, jnp):
         state[0], state[1] = p, o
         return m
 
-    train_jps = n / _timed(step, lambda m: np.asarray(m), reps=11)
+    wall, wall_raw = _timed(step, lambda m: np.asarray(m), reps=11)
+    flops_nominal, flops_padded = _vae_train_flops((80, 40, 20, 10), 12,
+                                                   batch_size)
+    step_s = wall / n_batches
 
     # inference: deterministic encoder via the fused dense-stack kernel
     stack = (params["encoder"]["hidden"] + [params["encoder"]["mean"]])
     xb = jnp.asarray(x)
     _log("compiling fused inference kernel...")
     np.asarray(fused_mlp_apply(stack, xb)[:1])
-    infer_jps = n / _timed(lambda: fused_mlp_apply(stack, xb),
-                           lambda out: np.asarray(out[-1:]), reps=11)
-    return train_jps, infer_jps
+    iwall, iwall_raw = _timed(lambda: fused_mlp_apply(stack, xb),
+                              lambda out: np.asarray(out[-1:]), reps=11)
+    return {
+        "train_jps": n / wall,
+        "train_jps_raw": n / wall_raw,
+        "train_step_us": step_s * 1e6,
+        "train_step_us_raw": wall_raw / n_batches * 1e6,
+        "train_compile_s": train_compile_s,
+        "model_flops_per_step": flops_nominal,
+        "model_flops_per_step_padded": flops_padded,
+        "mfu_nominal": flops_nominal / step_s / V5E_PEAK_FLOPS,
+        "mfu_padded": flops_padded / step_s / V5E_PEAK_FLOPS,
+        "infer_jps": n / iwall,
+        "infer_jps_raw": n / iwall_raw,
+    }
 
 
-def bench_sweep(jax, train_jps):
-    """8 hyper-parameter configs as one vmapped program vs sequential."""
+def bench_sweep(jax, vae):
+    """8 hyper-parameter configs as one vmapped program vs sequential.
+
+    The honest claim (VERDICT r3 #3): the vmapped grid's device-time
+    saving over 8 sequential runs is marginal (the step is padded-tile
+    MXU-bound, docs/PERF.md "Vmapped ensemble") — the decisive wins are
+    operational and are what this measures: ONE compile instead of 8
+    (``sweep_vmap8_compiles`` / ``sweep_seq_compiles``; compile seconds
+    measured per program) and one data prep/transfer stream.  Speedup
+    ratios are emitted for both corrected and raw walls."""
     from atlasvae.models import VAEConfig, init_vae
     from atlasvae.train.ensemble import (make_vae_ensemble_step_fns,
                                          init_ensemble_opt_state, stack_trees)
@@ -197,9 +272,23 @@ def bench_sweep(jax, train_jps):
         return m
 
     _log("compiling vmapped 8-config sweep step...")
+    t0 = time.perf_counter()
     np.asarray(step())
-    sweep_jps = G * n / _timed(step, lambda m: np.asarray(m), reps=7)
-    return sweep_jps, sweep_jps / train_jps
+    compile_s = time.perf_counter() - t0
+    wall, wall_raw = _timed(step, lambda m: np.asarray(m), reps=7)
+    return {
+        "sweep_jps": G * n / wall,
+        "sweep_jps_raw": G * n / wall_raw,
+        "speedup": (G * n / wall) / vae["train_jps"],
+        "speedup_raw": (G * n / wall_raw) / vae["train_jps_raw"],
+        "compiles": 1,
+        "seq_compiles": G,
+        "compile_s": compile_s,
+        # one-time seconds a sequential grid would additionally pay in
+        # compiles alone (each sequential config recompiles the
+        # single-config program; measured this run in bench_vae)
+        "seq_extra_compile_s": (G - 1) * vae["train_compile_s"],
+    }
 
 
 def bench_aae(jax):
@@ -237,7 +326,8 @@ def bench_aae(jax):
 
     _log("compiling AAE phase epochs...")
     np.asarray(cycle())
-    return 3 * n / _timed(cycle, lambda m: np.asarray(m), reps=9)
+    wall, wall_raw = _timed(cycle, lambda m: np.asarray(m), reps=9)
+    return 3 * n / wall, 3 * n / wall_raw
 
 
 def bench_jetid(jax):
@@ -251,7 +341,13 @@ def bench_jetid(jax):
     optimizer = optax.adam(1.0)
     train_epoch, _ = make_jetid_step_fns(optimizer, config)
 
-    n, batch = 1_000_000, 5_000  # ref batch = n_gpus x 5e3, 1 chip here
+    # ref batch = n_gpus x 5e3, 1 chip here; 1000 batches per jitted call
+    # (not the canonical 200) so the ~50 us/step compute wall dominates
+    # the fixed ~30 ms dispatch RTT — at 200 batches the corrected value
+    # was a ~10 ms residual of a ~40 ms wall, amplifying RTT noise 4x
+    # (VERDICT r3 weak #1); throughput is per-step, so the load size is
+    # free to choose
+    n, batch = 5_000_000, 5_000
     rng = np.random.default_rng(0)
     inputs = {"scalars": rng.normal(size=(n, 16)).astype(np.float32)}
     labels = rng.integers(0, 2, n)
@@ -272,7 +368,8 @@ def bench_jetid(jax):
 
     _log("compiling jet-ID train epoch...")
     np.asarray(epoch())
-    return n / _timed(epoch, lambda m: np.asarray(m), reps=9)
+    wall, wall_raw = _timed(epoch, lambda m: np.asarray(m), reps=9)
+    return n / wall, n / wall_raw
 
 
 def bench_bump(jax):
@@ -288,13 +385,15 @@ def bench_bump(jax):
     _log("compiling bump scans...")
     np.asarray(batched_local_sigma(data, np.tile(bkg, (101, 1)), widths, steps)[0])
     np.asarray(batched_bump_sigma(data[:1], bkg[None], widths, steps, npe=1000)[1])
-    local = _timed(lambda: batched_local_sigma(data, np.tile(bkg, (101, 1)),
-                                               widths, steps),
-                   lambda out: np.asarray(out[0]), reps=9)
-    glob = _timed(lambda: batched_bump_sigma(data[:1], bkg[None], widths,
-                                             steps, npe=1000),
-                  lambda out: np.asarray(out[1]), reps=9)
-    return local + glob
+    local, local_raw = _timed(
+        lambda: batched_local_sigma(data, np.tile(bkg, (101, 1)),
+                                    widths, steps),
+        lambda out: np.asarray(out[0]), reps=9)
+    glob, glob_raw = _timed(
+        lambda: batched_bump_sigma(data[:1], bkg[None], widths,
+                                   steps, npe=1000),
+        lambda out: np.asarray(out[1]), reps=9)
+    return local + glob, local_raw + glob_raw
 
 
 def _host_health():
@@ -361,12 +460,13 @@ def main():
     _DISPATCH_LATENCY_S = _measure_dispatch_latency(jax)
     _log(f"dispatch latency: {_DISPATCH_LATENCY_S * 1e3:.1f} ms "
          "(subtracted from every timed wall)")
-    train_jps, infer_jps = bench_vae(jax, jnp)
-    sweep_jps, sweep_speedup = bench_sweep(jax, train_jps)
-    aae_jps = bench_aae(jax)
-    jetid_jps = bench_jetid(jax)
-    bump_warm = bench_bump(jax)
+    vae = bench_vae(jax, jnp)
+    sweep = bench_sweep(jax, vae)
+    aae_jps, aae_jps_raw = bench_aae(jax)
+    jetid_jps, jetid_jps_raw = bench_jetid(jax)
+    bump_warm, bump_warm_raw = bench_bump(jax)
 
+    train_jps = vae["train_jps"]
     print(json.dumps({
         "metric": "oe_vae_train_jets_per_sec_per_chip",
         "value": round(train_jps, 1),
@@ -375,12 +475,34 @@ def main():
         "vs_baseline_est": round(train_jps / REFERENCE_EAGER_JETS_PER_SEC, 3),
         "vs_reference_cpu_measured": round(
             train_jps / REFERENCE_CPU_MEASURED_JETS_PER_SEC, 1),
-        "infer_encode_jets_per_sec": round(infer_jps, 1),
-        "sweep_vmap8_jets_per_sec": round(sweep_jps, 1),
-        "sweep_vmap8_speedup_vs_seq": round(sweep_speedup, 2),
+        # raw = plain median wall, no dispatch-latency subtraction: the
+        # corrected/raw pair makes the correction auditable per metric
+        "value_raw": round(vae["train_jps_raw"], 1),
+        "train_step_us": round(vae["train_step_us"], 2),
+        "train_step_us_raw": round(vae["train_step_us_raw"], 2),
+        "train_compile_s": round(vae["train_compile_s"], 1),
+        "model_flops_per_step": round(vae["model_flops_per_step"]),
+        "model_flops_per_step_padded": round(
+            vae["model_flops_per_step_padded"]),
+        "mfu_nominal": round(vae["mfu_nominal"], 4),
+        "mfu_padded": round(vae["mfu_padded"], 4),
+        "peak_flops_assumed": V5E_PEAK_FLOPS,
+        "infer_encode_jets_per_sec": round(vae["infer_jps"], 1),
+        "infer_encode_jets_per_sec_raw": round(vae["infer_jps_raw"], 1),
+        "sweep_vmap8_jets_per_sec": round(sweep["sweep_jps"], 1),
+        "sweep_vmap8_jets_per_sec_raw": round(sweep["sweep_jps_raw"], 1),
+        "sweep_vmap8_speedup_vs_seq": round(sweep["speedup"], 2),
+        "sweep_vmap8_speedup_vs_seq_raw": round(sweep["speedup_raw"], 2),
+        "sweep_vmap8_compiles": sweep["compiles"],
+        "sweep_seq_compiles": sweep["seq_compiles"],
+        "sweep_vmap8_compile_s": round(sweep["compile_s"], 1),
+        "sweep_seq_extra_compile_s": round(sweep["seq_extra_compile_s"], 1),
         "aae_cycle_jets_per_sec": round(aae_jps, 1),
+        "aae_cycle_jets_per_sec_raw": round(aae_jps_raw, 1),
         "jetid_train_jets_per_sec": round(jetid_jps, 1),
+        "jetid_train_jets_per_sec_raw": round(jetid_jps_raw, 1),
         "bump_scan_warm_s": round(bump_warm, 3),
+        "bump_scan_warm_s_raw": round(bump_warm_raw, 3),
         "backend": backend,
         "dispatch_latency_ms_subtracted": round(
             _DISPATCH_LATENCY_S * 1e3, 2),
@@ -391,27 +513,51 @@ def main():
 
 
 def _main_with_retry():
-    """Run main() in a subprocess; retry ONCE if backend init timed out.
+    """Run main() in a subprocess; retry on init timeout or degraded host.
 
-    The axon tunnel intermittently refuses a new client for several
-    minutes after the previous one disconnects (observed twice in round
-    3: a fresh `python bench.py` hung in backend init past the watchdog
-    while a probe minutes earlier had connected in 62 s).  A transient
-    wedge must not zero the round's recorded benchmark, so on the
-    watchdog's init-timeout line we cool down and try once more.  The
-    final attempt's stdout is re-emitted verbatim — still ONE JSON line.
+    Two transient failure modes must not corrupt the round's recorded
+    benchmark (VERDICT r3 weak #2):
+
+    * the axon tunnel intermittently refuses a new client for several
+      minutes after the previous one disconnects (observed twice in
+      round 3) — on the watchdog's init-timeout line, cool down 120 s
+      and retry (once);
+    * this VM's host memory intermittently degrades to ~3-35 MB/s
+      fresh-page faults (vs ~2.5 GB/s healthy), inflating every wall
+      measured through the tunnel by ~10-20% — when the run's own
+      health probe flags ``host_degraded``, cool down 90 s and retry
+      (up to twice) for a healthy window, exactly as the ETL/soak
+      benches already gate their recorded numbers (BASELINE.md).
+
+    The final attempt's stdout is re-emitted verbatim — still ONE JSON
+    line; if every window was degraded, the line says so
+    (``host_degraded: true``).
     """
     import subprocess
     env = dict(os.environ, ATLASVAE_BENCH_CHILD="1")
-    for attempt in (1, 2):
+    init_retries, degraded_retries = 1, 2
+    while True:
         proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
                               env=env, stdout=subprocess.PIPE, text=True)
         out = proc.stdout
-        if attempt == 1 and "backend init exceeded" in out:
+        if init_retries and "backend init exceeded" in out:
+            init_retries -= 1
             _log("backend init timed out; cooling down 120 s and "
-                 "retrying once (tunnel client-release lag)")
+                 "retrying (tunnel client-release lag)")
             time.sleep(120)
             continue
+        if degraded_retries and proc.returncode == 0:
+            try:
+                degraded = json.loads(out.strip().splitlines()[-1]).get(
+                    "host_degraded")
+            except (ValueError, IndexError):
+                degraded = None
+            if degraded:
+                degraded_retries -= 1
+                _log("host memory degraded during this run; cooling down "
+                     "90 s and retrying for a healthy window")
+                time.sleep(90)
+                continue
         sys.stdout.write(out)
         sys.stdout.flush()
         sys.exit(proc.returncode)

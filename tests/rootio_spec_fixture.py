@@ -169,13 +169,20 @@ def fixture_arrays(n=150, seed=20260817):
 
 
 def build_bigfile_fixture(path, codec="zlib", n=150, basket_entries=64,
-                          treename="nominal"):
+                          treename="nominal", memberwise=False):
     """Hand-assemble a large-file-format ROOT file at ``path``.
 
     Contents: one TTree ``nominal`` with a flat float32 branch ``pt``,
     a flat int64 branch ``event``, a counter-jagged pair
     ``n_trk``/``trk_pt[n_trk]/F``, and a ``vector<vector<float>>``
     TBranchElement ``cl``.  Returns the expected arrays dict.
+
+    ``memberwise=True`` streams the STL entries member-wise — the
+    version word carries kStreamedMemberWise (0x4000) followed by the
+    contained class's 2-byte version, as ROOT's collection proxy writes
+    them (uproot reads both streamings of real ATLAS files, ref
+    tools/root_utils.py:16-28); for nested vectors of a POD the element
+    payload layout is otherwise identical to object-wise.
     """
     data = fixture_arrays(n)
     image = bytearray(b"\x00" * BEGIN)
@@ -246,15 +253,21 @@ def build_bigfile_fixture(path, codec="zlib", n=150, basket_entries=64,
         add_basket("trk_pt", trk_flat[lo:hi].tobytes(), nev, e0, 0,
                    rel_offsets=(trk_starts[e0:e0 + nev] - lo) * 4)
 
-    # STL vector<vector<float>> entries, object-wise streaming: each
+    # STL vector<vector<float>> entries.  Object-wise streaming: each
     # entry = bytecount frame + i16 version(6) + i32 outer count + per
-    # inner vector a bare i32 count + payload
+    # inner vector a bare i32 count + payload.  Member-wise streaming:
+    # the version word additionally carries kStreamedMemberWise (0x4000)
+    # and is followed by the contained class's i16 version before the
+    # outer count.
     for e0 in range(0, n, basket_entries):
         nev = min(basket_entries, n - e0)
         blob, offs = b"", []
         for entry in data["cl"][e0:e0 + nev]:
             offs.append(len(blob))
-            body = struct.pack(">hi", 6, len(entry))
+            if memberwise:
+                body = struct.pack(">hhi", 6 | 0x4000, 6, len(entry))
+            else:
+                body = struct.pack(">hi", 6, len(entry))
             for v in entry:
                 body += struct.pack(">i", len(v)) + v.astype(">f4").tobytes()
             blob += framed(body)

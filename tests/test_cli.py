@@ -46,6 +46,20 @@ def test_jetid_cli_mixed_precision(out_dir):
     assert os.path.isfile(os.path.join(out, "model.npz"))
 
 
+def test_jetid_mixed_precision_auto_default():
+    """--mixed_precision AUTO (the default): bf16 for CNN towers
+    (matching the reference's unconditional mixed_float16 policy where
+    it pays, ref jet-ID/models.py:74-75), f32 for FCN (measured
+    no-gain, PARITY.md S2.4 deliberate deviation); explicit ON/OFF
+    overrides both."""
+    from atlasvae.cli.jetid import build_parser, resolve_compute_dtype
+    assert build_parser().get_default("mixed_precision") == "AUTO"
+    assert resolve_compute_dtype("AUTO", "CNN") == "bfloat16"
+    assert resolve_compute_dtype("AUTO", "FCN") == "float32"
+    assert resolve_compute_dtype("ON", "FCN") == "bfloat16"
+    assert resolve_compute_dtype("OFF", "CNN") == "float32"
+
+
 def test_sweep_cli_selects_grid_point(out_dir, capsys):
     from atlasvae.cli.sweep import main
     out = str(out_dir / "sweep")
