@@ -32,6 +32,21 @@ def build_parser():
                              "instead of k times — MXU FLOPs still scale "
                              "with k (see train/ensemble.py docstring)")
     parser.add_argument("--n_devices", default=0, type=int)   # was n_gpus
+    parser.add_argument("--n_gpus", dest="n_devices", type=int,
+                        help="reference alias of --n_devices "
+                             "(ref jet-ID/classifier.py:26): the "
+                             "MirroredStrategy GPU count maps onto the "
+                             "data-parallel mesh size")
+    # cluster-path plumbing accepted for verbatim command-line parity;
+    # the dataset registry + --output_dir replace them (PARITY.md S2.4)
+    parser.add_argument("--host_name", default="lps", help="no-op "
+                        "(ref classifier.py:31; host-keyed data paths are "
+                        "the registry's job here)")
+    parser.add_argument("--node_dir", default="", help="no-op "
+                        "(ref classifier.py:30 local scratch staging)")
+    parser.add_argument("--sbatch_var", default=0, type=int, help="no-op "
+                        "(ref classifier.py:29 Slurm array plumbing; use "
+                        "cli.sweep --task_id)")
     parser.add_argument("--NN_type", default="FCN")
     parser.add_argument("--FCN_neurons", default=[200, 200], type=int, nargs="+")
     parser.add_argument("--weight_type", default="none")

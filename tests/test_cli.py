@@ -176,3 +176,84 @@ def test_jetid_cli_n_eval_generator(out_dir, capsys):
                  "--output_dir", out])
     text = capsys.readouterr().out
     assert "Per-epoch validation on 150 of" in text
+
+
+# ---- canonical-command acceptance (docs/MIGRATION.md contract) ----------
+# The reference's own canonical invocations must port verbatim: flags and
+# values copied literally from the checked-in job scripts, with ONLY the
+# sample sizes / epoch counts reduced and --synthetic added (no real LHC
+# HDF5 inputs exist here).
+
+def test_canonical_vae_sh_command(out_dir):
+    """The literal OE-VAE/vae.sh:3-11 command line (incl. its
+    '--apply_cut' prefix spelling, which argparse resolves against
+    --apply_cuts exactly as the reference's parser does)."""
+    from atlasvae.cli.vae import main
+    out = str(out_dir / "canon_vae")
+    assert main([
+        "--n_train=2000", "--n_valid=800", "--n_sig=800",
+        "--batch_size=200", "--n_epochs=2", "--lr=1e-3",
+        "--beta=2", "--lamb=5", "--n_const=100",
+        "--OE_type=MAE", "--weight_type=X-S",
+        "--plotting=ON", "--apply_cut=OFF",
+        "--decorrelation=ON",
+        "--constituents=OFF", "--const_scaler_type=QuantileTransformer",
+        "--HLVs=ON", "--HLV_scaler_type=RobustScaler",
+        f"--output_dir={out}", "--slurm_id=0",
+        # environment bindings (sizes only):
+        "--synthetic=4000", "--n_OoD=2000", "--npe=20",
+    ]) in (0, None)
+    assert os.path.isfile(os.path.join(out, "model.npz"))
+    assert os.path.isfile(os.path.join(out, "HLV_RobustScaler.pkl"))
+
+
+def test_canonical_aae_train_sh_command(out_dir):
+    """The literal OE-AAE/train.sh:3-12 command line — including its
+    duplicated --HLV_scaler_in (last wins, as in argparse) and
+    --model_in='' empty-string forms; n_epochs raised 0 -> 1 so the
+    cycle trains (the reference's 0 is its eval-only rerun mode)."""
+    from atlasvae.cli.aae import main
+    out = str(out_dir / "canon_aae")
+    assert main([
+        "--n_train=2000", "--n_valid=800", "--n_sig=800",
+        "--batch_size=200", "--n_epochs=1", "--lr=1e-3",
+        "--beta=1", "--lamb=1", "--n_const=100",
+        "--weight_type=None", "--decorrelation=2d",
+        "--plotting=ON", "--apply_cut=OFF",
+        "--constituents=OFF", "--const_scaler_type=QuantileTransformer",
+        "--HLVs=ON", "--HLV_scaler_type=RobustScaler",
+        f"--output_dir={out}", "--slurm_id=0",
+        "--model_in=", "--HLV_scaler_in=",
+        "--HLV_scaler_in=HLV_RobustScaler.pkl",
+        # environment bindings (sizes only):
+        "--synthetic=4000", "--n_OoD=2000",
+    ]) in (0, None)
+    assert os.path.isfile(os.path.join(out, "AAE.npz"))
+    assert os.path.isfile(os.path.join(out, "history.pkl"))
+
+
+def test_canonical_classifier_command(out_dir):
+    """A verbatim jet-ID classifier.py flag set (the reference ships no
+    .sh for it; these are its documented flags at their canonical
+    values, ref jet-ID/classifier.py:16-61), incl. --n_gpus and the
+    cluster-plumbing flags (--host_name/--node_dir/--sbatch_var,
+    accepted no-ops per PARITY.md S2.4)."""
+    from atlasvae.cli.jetid import main
+    out = str(out_dir / "canon_jetid")
+    assert main([
+        "--n_train=2000", "--n_valid=800", "--batch_size=200",
+        "--n_epochs=2", "--n_classes=2", "--n_tracks=5",
+        "--bkg_ratio=2", "--n_folds=1", "--n_gpus=1", "--verbose=1",
+        "--patience=15", "--sbatch_var=0", "--node_dir=", "--host_name=lps",
+        "--l2=1e-7", "--dropout=0.1", "--FCN_neurons", "500", "500",
+        "--weight_type=none", "--train_cuts=", "--valid_cuts=",
+        "--NN_type=CNN", "--images=ON", "--scalars=ON", "--scaling=ON",
+        "--t_scaling=ON", "--plotting=ON", "--generator=OFF",
+        "--sep_bkg=OFF", "--metrics=loss", "--eta_region=0.0-2.5",
+        f"--output_dir={out}", "--model_in=", "--scaler_in=",
+        "--t_scaler_in=", "--results_in=",
+        "--runDiffPlots=0", "--feature_removal=OFF", "--correlations=OFF",
+        # environment binding (size only):
+        "--synthetic=4000",
+    ]) in (0, None)
+    assert os.path.isfile(os.path.join(out, "model.npz"))
