@@ -61,3 +61,43 @@ def test_multi_process_dp_step_matches_single_device(n_procs):
     rows = 64 // n_procs
     for pid in range(n_procs):
         assert f"shard=[{rows * pid},{rows * (pid + 1)})" in outs[pid]
+
+
+def test_multi_process_streaming_epoch_matches_single_device(tmp_path):
+    """LIVE end-to-end data pipeline across processes (VERDICT r3 #7):
+    each of 2 processes streams ITS host shard through its own
+    BatchGenerator (h5 read -> pairing -> reweighting -> per-host
+    commit) for a multi-load epoch over the global mesh; the epoch's
+    global loss and final params match a single-device run."""
+    import sys as _sys
+    _sys.path.insert(0, os.path.dirname(__file__))
+    from atlasvae.data import synthetic
+    data_dir = str(tmp_path / "synth")
+    synthetic.ensure_synthetic_registry(data_dir, n_events=4000,
+                                        n_const_max=30)
+    worker = os.path.join(os.path.dirname(__file__), "mh_stream_worker.py")
+    n_procs = 2
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["ATLASVAE_PLATFORM"] = "cpu"
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), str(port), str(n_procs), data_dir],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for pid in range(n_procs)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid}/{n_procs} failed:\n{out}"
+        assert f"STREAM-OK proc={pid}" in out, out
+    # both processes computed the same global loss from their own side
+    losses = {out.split("loss=")[1].split()[0] for out in outs}
+    assert len(losses) == 1, outs
