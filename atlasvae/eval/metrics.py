@@ -59,27 +59,30 @@ def _metric_kernel(p, q, metric):
     raise ValueError(f"unknown metric {metric!r}")
 
 
-def loss_function(p, q, n_dims=3, metric="MAE", x_losses=None, multiloss=True):
+def loss_function(p, q, n_dims=3, metric="MAE", x_losses=None, multiloss=True,
+                  mesh=None):
     """One discriminant over (true, predicted) matrices
     (ref OE-VAE/utils.py:346-375; same signature contract).
 
     EMD/KSD treat rows as constituent clouds / samples and run the
     vmapped device programs in atlasvae.ops.emd (replacing the
-    reference's energyflow/scipy process fan-outs, ref utils.py:311-343).
+    reference's energyflow/scipy process fan-outs, ref utils.py:311-343);
+    ``mesh`` shards their jet axis over the device mesh (zero
+    collectives).
     """
     p = np.asarray(p, np.float32)
     q = np.asarray(q, np.float32)
     if metric == "EMD":
         from ..data.jets import jets_3v
         from ..ops.emd import emd_pairs
-        out = emd_pairs(jets_3v(p, n_dims), jets_3v(q, n_dims))
+        out = emd_pairs(jets_3v(p, n_dims), jets_3v(q, n_dims), mesh=mesh)
         if multiloss and x_losses is not None:
             x_losses[metric] = out
             return None
         return out
     if metric == "KSD":
         from ..ops.emd import ks_pairs
-        out = ks_pairs(p, q)
+        out = ks_pairs(p, q, mesh=mesh)
         if multiloss and x_losses is not None:
             x_losses[metric] = out
             return None

@@ -78,18 +78,52 @@ def _emd_batch(p, q, r_param, n_iters, eps_final):
     return jax.vmap(lambda a, b: _sinkhorn_emd(a, b, r_param, n_iters, eps_final))(p, q)
 
 
-def emd_pairs(jets_p, jets_q, r_param=1.0, n_iters=100, eps_final=0.01):
+def _shard_rows(mesh, *arrays, data_axis="data"):
+    """Commit paired (n, ...) arrays with the jet axis sharded over the
+    mesh, zero-padding n up to the shard count.  Per-jet programs are
+    independent, so the sharded batch needs NO collectives — each chip
+    computes its jet slice (the multi-chip form of the reference's
+    mp.Process metric fan-out, ref OE-VAE/utils.py:327-343)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    n = len(arrays[0])
+    n_shards = mesh.shape[data_axis]
+    pad = -n % n_shards
+    sharding = NamedSharding(mesh, P(data_axis))
+    out = []
+    for a in arrays:
+        if pad:
+            a = np.concatenate(
+                [a, np.zeros((pad,) + a.shape[1:], a.dtype)])
+        out.append(jax.device_put(a, sharding))
+    return out, n
+
+
+def emd_pairs(jets_p, jets_q, r_param=1.0, n_iters=100, eps_final=0.01,
+              mesh=None):
     """EMD between paired jets; inputs (n_jets, n_const, 3) in
-    (pt, y, phi) from ``atlasvae.data.jets_3v``."""
+    (pt, y, phi) from ``atlasvae.data.jets_3v``.
+
+    With ``mesh``, the jet axis is sharded over the mesh's ``data``
+    axis: per-jet Sinkhorn programs are independent, so chips scale the
+    slowest eval kernel (8.6k jets/s/chip at 100 const, docs/PERF.md)
+    linearly with zero collectives.  Results are asserted identical to
+    single-device in the multichip dryrun."""
     jets_p = np.asarray(jets_p, np.float32)
     jets_q = np.asarray(jets_q, np.float32)
     out = []
     chunk = max(1, min(_CHUNK * 8,
                        _EMD_BUDGET_BYTES // (16 * jets_p.shape[1] ** 2)))
+    if mesh is not None:
+        chunk *= mesh.shape["data"]  # the scratch budget is per chip
     for i in range(0, len(jets_p), chunk):
-        out.append(np.asarray(_emd_batch(jnp.asarray(jets_p[i:i + chunk]),
-                                         jnp.asarray(jets_q[i:i + chunk]),
-                                         r_param, n_iters, eps_final)))
+        a, b = jets_p[i:i + chunk], jets_q[i:i + chunk]
+        if mesh is not None:
+            (a, b), n_real = _shard_rows(mesh, a, b)
+            out.append(np.asarray(_emd_batch(a, b, r_param, n_iters,
+                                             eps_final))[:n_real])
+        else:
+            out.append(np.asarray(_emd_batch(jnp.asarray(a), jnp.asarray(b),
+                                             r_param, n_iters, eps_final)))
     return np.concatenate(out)
 
 
@@ -116,14 +150,21 @@ def _ks_batch(p, q):
     return jnp.max(jnp.where(boundary, jnp.abs(cum), 0.0), axis=1)
 
 
-def ks_pairs(p, q):
+def ks_pairs(p, q, mesh=None):
     """Two-sample KS statistic per paired row (exact; matches
-    scipy.stats.ks_2samp's statistic, ref OE-VAE/utils.py:319-324)."""
+    scipy.stats.ks_2samp's statistic, ref OE-VAE/utils.py:319-324).
+    ``mesh`` shards the row axis like :func:`emd_pairs`."""
     p = np.asarray(p, np.float32)
     q = np.asarray(q, np.float32)
     out = []
     chunk = _CHUNK * 8
+    if mesh is not None:
+        chunk *= mesh.shape["data"]
     for i in range(0, len(p), chunk):
-        out.append(np.asarray(_ks_batch(jnp.asarray(p[i:i + chunk]),
-                                        jnp.asarray(q[i:i + chunk]))))
+        a, b = p[i:i + chunk], q[i:i + chunk]
+        if mesh is not None:
+            (a, b), n_real = _shard_rows(mesh, a, b)
+            out.append(np.asarray(_ks_batch(a, b))[:n_real])
+        else:
+            out.append(np.asarray(_ks_batch(jnp.asarray(a), jnp.asarray(b))))
     return np.concatenate(out)

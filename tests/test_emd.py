@@ -92,3 +92,25 @@ def test_emd_mass_penalty(rng):
     d = emd_pairs(jets, scaled)
     total = jets[..., 0].sum(axis=1)
     np.testing.assert_allclose(d, total, rtol=0.05)  # pure extra-mass term
+
+
+def test_emd_ks_mesh_sharded_match_single_device(rng):
+    """mesh= shards the jet axis over the data mesh with zero
+    collectives (VERDICT r3 #8: the slowest eval kernel, 8.6k jets/s at
+    100 const single-chip, scales with chips); results must equal the
+    single-device kernels, including non-divisible jet counts (padding
+    rows are computed and discarded)."""
+    import jax
+    from atlasvae.parallel.mesh import make_mesh
+    from atlasvae.ops.emd import emd_pairs, ks_pairs
+    mesh = make_mesh((("data", 4),), jax.devices()[:4])
+    for n in (16, 13):  # divisible and padded
+        jets_a = np.abs(rng.normal(1, 0.5, (n, 8, 3))).astype(np.float32)
+        jets_b = np.abs(rng.normal(1, 0.5, (n, 8, 3))).astype(np.float32)
+        e1 = emd_pairs(jets_a, jets_b, n_iters=20)
+        eN = emd_pairs(jets_a, jets_b, n_iters=20, mesh=mesh)
+        assert eN.shape == (n,)
+        np.testing.assert_allclose(e1, eN, rtol=1e-5, atol=1e-7)
+        k1 = ks_pairs(jets_a[:, :, 0], jets_b[:, :, 0])
+        kN = ks_pairs(jets_a[:, :, 0], jets_b[:, :, 0], mesh=mesh)
+        np.testing.assert_array_equal(k1, kN)
