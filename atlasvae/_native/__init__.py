@@ -5,11 +5,17 @@ carry them (pyproject ``package-data``).  ``build(name)`` compiles
 ``<name>.cpp`` to ``lib<name>.so`` next to the source when the
 directory is writable (the repo-checkout case), else into a per-user
 cache directory (the installed-package case), with an atomic rename so
-a concurrent loader never dlopens a half-written library.  Callers
-degrade gracefully: every native helper has a pure-Python/JAX fallback
-(etl/rootnative.py, stats/native.py).
+a concurrent loader never dlopens a half-written library.  Cache
+libraries are keyed on a hash of the source bytes
+(``lib<name>-<sha1[:12]>.so``) so upgrading an installed wheel — whose
+reproducible timestamps would defeat an mtime check — can never reuse
+a stale build; the writable-checkout path keeps the cheap mtime check
+(source edits bump mtime there).  Callers degrade gracefully: every
+native helper has a pure-Python/JAX fallback (etl/rootnative.py,
+stats/native.py).
 """
 
+import hashlib
 import os
 import subprocess
 import tempfile
@@ -25,10 +31,12 @@ def _output_path(name: str) -> str:
     out = os.path.join(_DIR, "lib" + name + ".so")
     if os.access(_DIR, os.W_OK):
         return out
+    with open(source_path(name), "rb") as f:
+        tag = hashlib.sha1(f.read()).hexdigest()[:12]
     cache = os.environ.get("ATLASVAE_NATIVE_CACHE") or os.path.join(
         os.path.expanduser("~"), ".cache", "atlasvae")
     os.makedirs(cache, exist_ok=True)
-    return os.path.join(cache, "lib" + name + ".so")
+    return os.path.join(cache, f"lib{name}-{tag}.so")
 
 
 def build(name: str) -> str:

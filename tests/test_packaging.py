@@ -15,7 +15,10 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _read_pyproject():
-    import tomllib
+    import pytest
+    # tomllib is 3.11+; pyproject declares requires-python >=3.10, so a
+    # 3.10 interpreter must skip these tests, not error collecting them
+    tomllib = pytest.importorskip("tomllib")
     with open(os.path.join(ROOT, "pyproject.toml"), "rb") as f:
         return tomllib.load(f)
 
@@ -46,9 +49,19 @@ def test_native_sources_ship_as_package_data():
 
 def test_native_build_falls_back_to_cache_dir(tmp_path, monkeypatch):
     """Installed wheels land in read-only site-packages; build() must
-    divert the .so to ATLASVAE_NATIVE_CACHE instead of failing."""
+    divert the .so to ATLASVAE_NATIVE_CACHE instead of failing — keyed
+    on the source hash so upgrading a wheel (whose reproducible
+    timestamps defeat an mtime check) can never reuse a stale build."""
+    import hashlib
     from atlasvae import _native
     monkeypatch.setattr(_native.os, "access", lambda p, m: False)
     monkeypatch.setenv("ATLASVAE_NATIVE_CACHE", str(tmp_path))
     out = _native._output_path("rootio_decode")
-    assert out == str(tmp_path / "librootio_decode.so")
+    with open(_native.source_path("rootio_decode"), "rb") as f:
+        tag = hashlib.sha1(f.read()).hexdigest()[:12]
+    assert out == str(tmp_path / f"librootio_decode-{tag}.so")
+    # a source change must produce a different cache name
+    alt = tmp_path / "alt.cpp"
+    alt.write_bytes(b"// changed\n")
+    monkeypatch.setattr(_native, "source_path", lambda name: str(alt))
+    assert _native._output_path("rootio_decode") != out
