@@ -58,4 +58,22 @@ def build(name: str) -> str:
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
+        _prune_cache(name, out)
     return out
+
+
+def _prune_cache(name: str, keep: str) -> None:
+    """Drop superseded cache builds of ``name`` (older source hashes and
+    the pre-hash ``lib<name>.so`` spelling) so wheel upgrades don't
+    accumulate one orphaned .so per source revision.  Only the per-user
+    cache is pruned — never the package directory build."""
+    cache_dir = os.path.dirname(keep)
+    if os.path.realpath(cache_dir) == os.path.realpath(_DIR):
+        return
+    import glob
+    for stale in glob.glob(os.path.join(cache_dir, f"lib{name}*.so")):
+        if stale != keep:
+            try:
+                os.unlink(stale)
+            except OSError:
+                pass  # concurrent builder; best-effort cleanup

@@ -152,14 +152,17 @@ def main(argv=None):
                                    args.HLVs, hlv_list, bin_sizes, hlv_scaler,
                                    const_scaler, is_train=True,
                                    mem_gb=args.memGB)
+        # 0 = all local devices, as in cli/vae.py (DP is parity-asserted
+        # against single-device, so defaulting onto the mesh is safe)
+        n_devices = args.n_devices or len(jax.devices())
         mesh = None
-        if args.n_devices not in (0, 1):
+        if n_devices > 1:
             from ..parallel.mesh import data_parallel_mesh
-            if len(jax.devices()) < args.n_devices:
-                raise SystemExit(f"--n_devices {args.n_devices}: only "
+            if len(jax.devices()) < n_devices:
+                raise SystemExit(f"--n_devices {n_devices}: only "
                                  f"{len(jax.devices())} devices visible")
-            mesh = data_parallel_mesh(args.n_devices)
-            print(f"Data-parallel GAN cycle over {args.n_devices} devices")
+            mesh = data_parallel_mesh(n_devices)
+            print(f"Data-parallel GAN cycle over {n_devices} devices")
         params, _ = train_aae(params, train_gen, args.n_epochs, args.batch_size,
                               out_root, os.path.basename(args.model_out),
                               args.hist_file,

@@ -32,6 +32,10 @@ def build_parser():
     parser.add_argument("--n_iter", default=1, type=int)
     parser.add_argument("--chunk", default=1_000_000, type=float)
     parser.add_argument("--output", default="scores.h5")
+    parser.add_argument("--n_devices", default=0, type=int,
+                        help="shard the EMD/KSD metric jet axes over a "
+                             "data mesh (0 = all local devices; zero "
+                             "collectives, ops/emd.py)")
     return parser
 
 
@@ -69,6 +73,11 @@ def main(argv=None):
     total = 0
     chunk = int(args.chunk)
     n_jets = int(args.n_jets)
+    n_devices = args.n_devices or len(jax.devices())
+    mesh = None
+    if n_devices > 1:
+        from ..parallel.mesh import data_parallel_mesh
+        mesh = data_parallel_mesh(n_devices)
     if args.model_type == "vae":
         predict = jax.jit(lambda p, x, k: vae_apply(p, x, k)[0])
     with h5py.File(args.output, "w") as out:
@@ -98,7 +107,7 @@ def main(argv=None):
                 x_pred = preds.mean(axis=-1)
                 scores = compute_metric_bank(x_true, x_pred, params,
                                              tuple(args.metrics),
-                                             normal_losses=False)
+                                             normal_losses=False, mesh=mesh)
             else:
                 from ..eval.aae_eval import get_data
                 scores = get_data(params, sample, np.ones(n, int), x_true,

@@ -185,8 +185,10 @@ def _make_generators(args, hlv_list, train_cuts, const_scaler, hlv_scaler):
     return train_gen, valid_gen, const_scaler, hlv_scaler
 
 
-def _evaluate(args, params, const_scaler, hlv_scaler, hlv_list, valid_cuts):
-    """Validation predictions + plotting suite (ref OE-VAE/vae.py:145-176)."""
+def _evaluate(args, params, const_scaler, hlv_scaler, hlv_list, valid_cuts,
+              mesh=None):
+    """Validation predictions + plotting suite (ref OE-VAE/vae.py:145-176).
+    ``mesh`` shards the EMD/KSD metric jet axes over the device mesh."""
     import jax
     import jax.numpy as jnp
     from ..data import make_sample, apply_scaler
@@ -235,7 +237,7 @@ def _evaluate(args, params, const_scaler, hlv_scaler, hlv_list, valid_cuts):
         plot_results(y_true, x_true, x_pred, valid_sample, args.n_dims, params,
                      metric_list, loss_metric, args.sig_data, args.output_dir,
                      args.apply_cuts, args.normal_losses, args.decorrelation,
-                     npe=args.npe)
+                     npe=args.npe, mesh=mesh)
 
 
 def main(argv=None):
@@ -279,7 +281,8 @@ def main(argv=None):
             _maybe_export_keras(params, args.model_out, "vae")
     if not _on(args.plotting) and not _on(args.apply_cuts):
         return 0
-    _evaluate(args, params, const_scaler, hlv_scaler, hlv_list, valid_cuts)
+    _evaluate(args, params, const_scaler, hlv_scaler, hlv_list, valid_cuts,
+              mesh=mesh)
     return 0
 
 

@@ -131,9 +131,10 @@ def loss_mapping(x):
 
 
 def compute_metric_bank(x_true, x_pred, params=None, metrics=("Latent", "MAE", "KLD", "JSD"),
-                        n_dims=3, sample=None, normal_losses=True):
+                        n_dims=3, sample=None, normal_losses=True, mesh=None):
     """The reference's per-metric process fan-out as sequential device
-    launches (ref OE-VAE/plots.py:21-35)."""
+    launches (ref OE-VAE/plots.py:21-35).  ``mesh`` shards the EMD/KSD
+    jet axis over the device mesh (ops/emd.py)."""
     x_losses = {}
     for metric in metrics:
         if metric == "Latent":
@@ -147,7 +148,7 @@ def compute_metric_bank(x_true, x_pred, params=None, metrics=("Latent", "MAE", "
                                                       "Inputs_scaled", multiloss=False)
         else:
             x_losses[metric] = loss_function(x_true, x_pred, n_dims, metric,
-                                             multiloss=False)
+                                             multiloss=False, mesh=mesh)
     if normal_losses:
         x_losses = {k: loss_mapping(v) for k, v in x_losses.items()}
     return x_losses

@@ -14,7 +14,8 @@ from .bump import bump_scan, generate_cuts
 
 def plot_results(y_true, x_true, x_pred, sample, n_dims, params, metrics,
                  loss_metric, sig_data, output_dir, apply_cuts="OFF",
-                 normal_losses="ON", decorrelation="OFF", npe=1000):
+                 normal_losses="ON", decorrelation="OFF", npe=1000,
+                 mesh=None):
     print("\nPLOTTING PERFORMANCE RESULTS:")
     on = lambda flag: (flag.upper() == "ON") if isinstance(flag, str) else bool(flag)
     # decorrelation accepts the reference's full value set: 'ON' (OE-VAE
@@ -24,7 +25,7 @@ def plot_results(y_true, x_true, x_pred, sample, n_dims, params, metrics,
     deco = "2d" if deco.upper() == "ON" else deco.lower()
     deco_active = deco in ("m", "pt", "2d")
     x_losses = compute_metric_bank(x_true, x_pred, params, metrics, n_dims,
-                                   sample, normal_losses=False)
+                                   sample, normal_losses=False, mesh=mesh)
     metrics = list(x_losses.keys())
     if on(normal_losses) or deco_active:
         x_losses = {key: loss_mapping(val) for key, val in x_losses.items()}

@@ -284,10 +284,10 @@ def bench_sweep(jax, vae):
         "compiles": 1,
         "seq_compiles": G,
         "compile_s": compile_s,
-        # one-time seconds a sequential grid would additionally pay in
-        # compiles alone (each sequential config recompiles the
-        # single-config program; measured this run in bench_vae)
-        "seq_extra_compile_s": (G - 1) * vae["train_compile_s"],
+        # one-time compile seconds a sequential grid pays beyond the
+        # vmapped path: G single-config compiles (measured this run in
+        # bench_vae) minus the vmapped program's own compile
+        "seq_extra_compile_s": G * vae["train_compile_s"] - compile_s,
     }
 
 

@@ -65,3 +65,17 @@ def test_native_build_falls_back_to_cache_dir(tmp_path, monkeypatch):
     alt.write_bytes(b"// changed\n")
     monkeypatch.setattr(_native, "source_path", lambda name: str(alt))
     assert _native._output_path("rootio_decode") != out
+
+
+def test_native_cache_prunes_stale_hashes(tmp_path, monkeypatch):
+    """A rebuilt cache library removes superseded source-hash builds
+    (wheel upgrades must not accumulate orphaned .so files)."""
+    from atlasvae import _native
+    monkeypatch.setattr(_native.os, "access", lambda p, m: False)
+    monkeypatch.setenv("ATLASVAE_NATIVE_CACHE", str(tmp_path))
+    (tmp_path / "librootio_decode.so").write_bytes(b"old unhashed")
+    (tmp_path / "librootio_decode-0123456789ab.so").write_bytes(b"old hash")
+    out = _native.build("rootio_decode")
+    assert os.path.isfile(out) and os.path.dirname(out) == str(tmp_path)
+    leftovers = sorted(os.listdir(tmp_path))
+    assert leftovers == [os.path.basename(out)], leftovers
