@@ -372,6 +372,51 @@ def bench_jetid(jax):
     return n / wall, n / wall_raw
 
 
+def bench_jetid_cnn(jax):
+    """CNN-tower epoch at the production default (bfloat16 compute with
+    f32 master weights — the resolve_compute_dtype('AUTO','CNN') path,
+    measured 1.7x over f32 at AUC parity, docs/PERF.md; the reference
+    applies mixed_float16 unconditionally, ref jet-ID/models.py:74-75).
+    16x16 single-channel calorimeter images + scalars, batch 5e3."""
+    from atlasvae.models.jetid import JetIDConfig, init_jetid
+    from atlasvae.train.jetid_loop import make_jetid_step_fns, _pack
+    from atlasvae.cli.jetid import resolve_compute_dtype
+    import optax
+
+    config = JetIDConfig(n_classes=2, scalars=("scalars",), scalar_dims=(16,),
+                         images=("images",), image_shapes=((16, 16),),
+                         nn_type="CNN",
+                         compute_dtype=resolve_compute_dtype("AUTO", "CNN"))
+    params = init_jetid(jax.random.PRNGKey(0), config)
+    optimizer = optax.adam(1.0)
+    train_epoch, _ = make_jetid_step_fns(optimizer, config)
+
+    n, batch = 500_000, 5_000  # 100 batches/call: conv step ~1 ms >> RTT noise
+    rng = np.random.default_rng(0)
+    inputs = {"scalars": rng.normal(size=(n, 16)).astype(np.float32),
+              "images": rng.uniform(0, 1, (n, 16, 16)).astype(np.float32)}
+    labels = rng.integers(0, 2, n)
+    batches = device_put_all(jax, _pack(inputs, labels,
+                                        np.ones(n, np.float32), batch))
+    state = {"p": params, "o": optimizer.init(params)}
+    key = jax.random.PRNGKey(1)
+    lr = np.float32(1e-3)
+
+    def epoch():
+        p, o, m = train_epoch(state["p"], state["o"], lr, key, *batches)
+        state["p"], state["o"] = p, o
+        return m
+
+    _log("compiling jet-ID CNN (bf16) train epoch...")
+    np.asarray(epoch())
+    wall, wall_raw = _timed(epoch, lambda m: np.asarray(m), reps=9)
+    return n / wall, n / wall_raw
+
+
+def device_put_all(jax, tree):
+    return jax.tree.map(jax.device_put, tree)
+
+
 def bench_bump(jax):
     from atlasvae.stats.bumphunter import batched_local_sigma, batched_bump_sigma
 
@@ -464,6 +509,7 @@ def main():
     sweep = bench_sweep(jax, vae)
     aae_jps, aae_jps_raw = bench_aae(jax)
     jetid_jps, jetid_jps_raw = bench_jetid(jax)
+    cnn_jps, cnn_jps_raw = bench_jetid_cnn(jax)
     bump_warm, bump_warm_raw = bench_bump(jax)
 
     train_jps = vae["train_jps"]
@@ -501,6 +547,8 @@ def main():
         "aae_cycle_jets_per_sec_raw": round(aae_jps_raw, 1),
         "jetid_train_jets_per_sec": round(jetid_jps, 1),
         "jetid_train_jets_per_sec_raw": round(jetid_jps_raw, 1),
+        "jetid_cnn_bf16_train_jets_per_sec": round(cnn_jps, 1),
+        "jetid_cnn_bf16_train_jets_per_sec_raw": round(cnn_jps_raw, 1),
         "bump_scan_warm_s": round(bump_warm, 3),
         "bump_scan_warm_s_raw": round(bump_warm_raw, 3),
         "backend": backend,
