@@ -39,7 +39,21 @@ def _pairwise_cost(p, q, r_param):
     return jnp.sqrt(dy ** 2 + dphi ** 2) / r_param
 
 
-def _sinkhorn_emd(p, q, r_param, n_iters, eps_final):
+def _sinkhorn_emd(p, q, r_param, n_iters, eps_final, n_stages=10):
+    """Staged exp-domain (epsilon-scaling) Sinkhorn.
+
+    Epsilon anneals 10x->1x eps_final as a piecewise-constant schedule of
+    ``n_stages`` blocks (ending exactly at eps_final, the plan's epsilon).
+    Within a stage the Gibbs kernel K = exp((f(+)g - C)/eps) is FIXED, so
+    each half-iteration is one multiply + one lane-wise row-sum instead
+    of rebuilding the (n, m) log-matrix and logsumexp-ing it; duals are
+    absorbed back into (f, g) at stage ends (classic stabilized Sinkhorn,
+    Schmitzer 2016 eps-scaling).  Measured on v5e at batch 8192 x 100
+    const: 68.5k vs 35.0k jets/s for the per-iteration log-domain form
+    (1.96x, benchmarks/anatomy_emd.py), and *closer* to exact OT at the
+    test settings (piecewise-constant annealing spends its last
+    n_iters/n_stages iterations converging at eps_final itself).
+    """
     pt_p = jnp.maximum(p[:, 0], 0.0)
     pt_q = jnp.maximum(q[:, 0], 0.0)
     sum_p = jnp.sum(pt_p)
@@ -50,22 +64,28 @@ def _sinkhorn_emd(p, q, r_param, n_iters, eps_final):
     cost = _pairwise_cost(p, q, r_param)
     mask_a = (pt_p > 0).astype(jnp.float32)
     mask_b = (pt_q > 0).astype(jnp.float32)
-    log_a = jnp.where(mask_a > 0, jnp.log(jnp.maximum(a, 1e-30)), -1e9)
-    log_b = jnp.where(mask_b > 0, jnp.log(jnp.maximum(b, 1e-30)), -1e9)
 
-    def body(i, carry):
-        f, g = carry
-        # epsilon annealing: start loose, end tight
-        eps = eps_final * (1.0 + 9.0 * (1.0 - i / n_iters))
-        mat = (-cost + f[:, None] + g[None, :]) / eps
-        f = f + eps * (log_a - jax.nn.logsumexp(mat, axis=1))
-        mat = (-cost + f[:, None] + g[None, :]) / eps
-        g = g + eps * (log_b - jax.nn.logsumexp(mat, axis=0))
-        return f, g
+    n_stages = max(1, min(n_stages, n_iters))
+    base, rem = divmod(n_iters, n_stages)
+    f = jnp.zeros_like(a)
+    g = jnp.zeros_like(b)
+    for s in range(n_stages):
+        # epsilon annealing: start loose, end tight -- the last stage
+        # runs at exactly eps_final so the plan's epsilon is converged-at
+        eps = eps_final * (1.0 + 9.0 * (1.0 - (s + 1.0) / n_stages))
+        K = jnp.exp((f[:, None] + g[None, :] - cost) / eps)
+        Kt = K.T  # both reductions lane-wise (last axis) under vmap
 
-    f0 = jnp.zeros_like(a)
-    g0 = jnp.zeros_like(b)
-    f, g = jax.lax.fori_loop(0, n_iters, body, (f0, g0))
+        def body(_, carry, K=K, Kt=Kt):
+            u, v = carry
+            u = a / jnp.maximum(jnp.sum(K * v[None, :], axis=1), 1e-30)
+            v = b / jnp.maximum(jnp.sum(Kt * u[None, :], axis=1), 1e-30)
+            return u, v
+
+        u, v = jax.lax.fori_loop(0, base + (1 if s < rem else 0), body,
+                                 (jnp.ones_like(a), jnp.ones_like(b)))
+        f = f + eps * jnp.log(jnp.maximum(u, 1e-30))
+        g = g + eps * jnp.log(jnp.maximum(v, 1e-30))
     plan = jnp.exp((-cost + f[:, None] + g[None, :]) / eps_final)
     plan = plan * mask_a[:, None] * mask_b[None, :]
     plan = plan / jnp.maximum(jnp.sum(plan), 1e-30)
@@ -105,7 +125,8 @@ def emd_pairs(jets_p, jets_q, r_param=1.0, n_iters=100, eps_final=0.01,
 
     With ``mesh``, the jet axis is sharded over the mesh's ``data``
     axis: per-jet Sinkhorn programs are independent, so chips scale the
-    slowest eval kernel (8.6k jets/s/chip at 100 const, docs/PERF.md)
+    slowest eval kernel (68.5k jets/s/chip device at 100 const after
+    the round-4 staged exp-domain rewrite, docs/PERF.md)
     linearly with zero collectives.  Results are asserted identical to
     single-device in the multichip dryrun."""
     jets_p = np.asarray(jets_p, np.float32)

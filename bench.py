@@ -15,6 +15,8 @@ driver-visible, VERDICT r1 #6):
   batch 5e3, AE 100/100/100, disc 100/100/3, HLVs-only),
 * ``jetid_train_jets_per_sec`` — supervised FCN epoch at the reference
   batch of 5e3/chip (ref jet-ID/classifier.py:137),
+* ``emd_eval_jets_per_sec`` — per-jet Sinkhorn EMD at 100 constituents
+  (the slowest eval kernel; staged exp-domain rewrite, round 4),
 * ``bump_scan_warm_s`` — warm wall of the production statistics shapes:
   100-cut local-sigma scan + one npe=1000 global pseudo-experiment scan
   (ref OE-VAE/plots.py:262-291 workload).
@@ -441,6 +443,31 @@ def bench_bump(jax):
     return local + glob, local_raw + glob_raw
 
 
+def bench_emd(jax):
+    """Per-jet Sinkhorn EMD at the production shape (100 constituents,
+    100 iters) — the slowest eval kernel, rewritten round 4 as staged
+    exp-domain epsilon-scaling (ops/emd.py::_sinkhorn_emd, 1.96x;
+    benchmarks/anatomy_emd.py).  Device-resident batch: the end-to-end
+    metric pass is transfer-bound through this tunnel (~60 MB/s), which
+    is transport, not the kernel."""
+    from atlasvae.ops.emd import _emd_batch
+
+    B, n_const = 8192, 100
+    rng = np.random.default_rng(0)
+    jets = np.zeros((2, B, n_const, 3), np.float32)
+    jets[..., 0] = rng.uniform(0.1, 2.0, (2, B, n_const))
+    jets[..., 1:] = rng.normal(0, 0.5, (2, B, n_const, 2))
+    jets[0, :, 60:] = 0.0  # zero-padded tails like real constituent blocks
+    jets[1, :, 55:] = 0.0
+    dp, dq = jax.device_put(jets[0]), jax.device_put(jets[1])
+
+    _log("compiling Sinkhorn EMD batch...")
+    np.asarray(_emd_batch(dp, dq, 1.0, 100, 0.01))
+    wall, wall_raw = _timed(lambda: _emd_batch(dp, dq, 1.0, 100, 0.01),
+                            lambda out: np.asarray(out), reps=9)
+    return B / wall, B / wall_raw
+
+
 def _host_health():
     """Small host-memory probe (benchmarks/hostmem_probe.py) so recorded
     numbers carry their environmental context: this VM intermittently
@@ -510,6 +537,7 @@ def main():
     aae_jps, aae_jps_raw = bench_aae(jax)
     jetid_jps, jetid_jps_raw = bench_jetid(jax)
     cnn_jps, cnn_jps_raw = bench_jetid_cnn(jax)
+    emd_jps, emd_jps_raw = bench_emd(jax)
     bump_warm, bump_warm_raw = bench_bump(jax)
 
     train_jps = vae["train_jps"]
@@ -549,6 +577,8 @@ def main():
         "jetid_train_jets_per_sec_raw": round(jetid_jps_raw, 1),
         "jetid_cnn_bf16_train_jets_per_sec": round(cnn_jps, 1),
         "jetid_cnn_bf16_train_jets_per_sec_raw": round(cnn_jps_raw, 1),
+        "emd_eval_jets_per_sec": round(emd_jps, 1),
+        "emd_eval_jets_per_sec_raw": round(emd_jps_raw, 1),
         "bump_scan_warm_s": round(bump_warm, 3),
         "bump_scan_warm_s_raw": round(bump_warm_raw, 3),
         "backend": backend,
