@@ -252,18 +252,57 @@ def reference_concat_permutation(config):
 _CONV_DIMS = {2: ("NHWC", "HWIO", "NHWC"), 3: ("NDHWC", "DHWIO", "NDHWC")}
 
 
+def _use_fused_conv1(x, conv, pool, rank):
+    """Opt-in (``ATLASVAE_CONV1=fused``) Pallas fusion of the input
+    conv+bias+pool+relu block (ops/fused_conv.py).  Measured and
+    REJECTED as a default on v5e: the in-kernel im2col's per-tap
+    relayouts lose ~9x to XLA's conv at the tower shape, and Mosaic
+    cannot compile the bf16 path (docs/PERF.md "Fused conv1 Pallas
+    kernel").  Kept as a validated opt-in like ops/fused_vae.py; the
+    measured default win on this block is the elementwise-backward pool
+    below."""
+    import os
+    if os.environ.get("ATLASVAE_CONV1") != "fused" or rank != 2:
+        return False
+    from ..ops.fused_conv import supported
+    return supported(x.shape, conv["w"].shape, pool)
+
+
+def _use_fast_pool():
+    """Opt-in (``ATLASVAE_POOL=fast``) elementwise-backward pool.
+    Measured and REJECTED as a default on v5e: the reduce_window
+    chain's own VJP is faster at the tower shapes (f32 fwd+bwd 8.3 vs
+    15.0 ms, bf16 4.3 vs 9.8 ms same-run, benchmarks/anatomy_conv.py)
+    — round 3's finding that the select_and_scatter folklore does not
+    apply to window==stride pooling extends to its backward.  Kept as
+    a bitwise-identical validated alternative (tests/test_pooling.py)."""
+    import os
+    return os.environ.get("ATLASVAE_POOL") == "fast"
+
+
 def _conv_tower(convs, x, pools, rank, dropout, key, train, salt0=0):
     """``x`` arrives channels-last: (N, h, w, c) for 2-D towers,
     (N, h, w, d, 1) for 3-D towers.  ``salt0`` decorrelates dropout
     masks across towers (each Keras Dropout layer draws independently)."""
     for i, conv in enumerate(convs):
-        x = jax.lax.conv_general_dilated(
-            x, conv["w"], window_strides=(1,) * rank, padding="VALID",
-            dimension_numbers=_CONV_DIMS[rank]) + conv["b"]
-        window = (1,) + tuple(pools[i]) + (1,)
-        x = -jax.lax.reduce_window(-x, jnp.inf, jax.lax.min,
-                                   window, window, "SAME")
-        x = jax.nn.relu(x)  # LeakyReLU(alpha=0), ref jet-ID/models.py:36
+        if i == 0 and _use_fused_conv1(x, conv, tuple(pools[i]), rank):
+            # first layer only: the fused VJP does not produce dx
+            # (x is network input data here by construction)
+            from ..ops.fused_conv import fused_conv1_pool_relu
+            x = fused_conv1_pool_relu(x, conv["w"], conv["b"],
+                                      tuple(pools[i]))
+        else:
+            x = jax.lax.conv_general_dilated(
+                x, conv["w"], window_strides=(1,) * rank, padding="VALID",
+                dimension_numbers=_CONV_DIMS[rank]) + conv["b"]
+            if _use_fast_pool():
+                from ..ops.pooling import maxpool_same
+                x = maxpool_same(x, tuple(pools[i]))
+            else:
+                window = (1,) + tuple(pools[i]) + (1,)
+                x = -jax.lax.reduce_window(-x, jnp.inf, jax.lax.min,
+                                           window, window, "SAME")
+            x = jax.nn.relu(x)  # LeakyReLU(alpha=0), ref jet-ID/models.py:36
         x = _dropout(x, dropout, key, salt0 + i, train)
     return x.reshape(x.shape[0], -1)
 
