@@ -94,6 +94,31 @@ def test_emd_mass_penalty(rng):
     np.testing.assert_allclose(d, total, rtol=0.05)  # pure extra-mass term
 
 
+def test_emd_pallas_matches_xla_kernel(rng):
+    """The VMEM-resident Pallas Sinkhorn (ops/emd_pallas.py — measured
+    at parity with the XLA kernel on v5e, kept as the opt-in
+    ``ATLASVAE_EMD=pallas``) must match the XLA staged kernel to f32
+    tolerance, including zero-pt padding slots and non-128 batch/const
+    counts (runs the Pallas interpreter on CPU)."""
+    import jax.numpy as jnp
+    from atlasvae.ops.emd import _emd_batch_xla
+    from atlasvae.ops.emd_pallas import emd_batch_pallas
+
+    for n_jets, n_const in ((6, 8), (3, 20)):
+        jp = np.zeros((n_jets, n_const, 3), np.float32)
+        jq = np.zeros((n_jets, n_const, 3), np.float32)
+        for arr in (jp, jq):
+            arr[..., 0] = rng.uniform(0.1, 2.0, (n_jets, n_const))
+            arr[..., 1:] = rng.normal(0, 0.5, (n_jets, n_const, 2))
+        jp[:, int(n_const * 0.6):] = 0.0      # zero-padded tails
+        jq[:, int(n_const * 0.55):] = 0.0
+        ref = _emd_batch_xla(jnp.asarray(jp), jnp.asarray(jq), 1.0, 30, 0.01)
+        got = emd_batch_pallas(jnp.asarray(jp), jnp.asarray(jq), 1.0, 30,
+                               0.01)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=1e-6)
+
+
 def test_emd_ks_mesh_sharded_match_single_device(rng):
     """mesh= shards the jet axis over the data mesh with zero
     collectives (VERDICT r3 #8: the slowest eval kernel, 8.6k jets/s at
@@ -114,3 +139,20 @@ def test_emd_ks_mesh_sharded_match_single_device(rng):
         k1 = ks_pairs(jets_a[:, :, 0], jets_b[:, :, 0])
         kN = ks_pairs(jets_a[:, :, 0], jets_b[:, :, 0], mesh=mesh)
         np.testing.assert_array_equal(k1, kN)
+
+
+def test_emd_pallas_opt_in_under_mesh(rng, monkeypatch):
+    """The ``ATLASVAE_EMD=pallas`` opt-in must work under mesh=
+    sharding too: a ``pallas_call`` inside ``jax.shard_map`` requires
+    ``check_vma=False`` (regression — the runtime drive caught the
+    ValueError the XLA-path tests could not)."""
+    import jax
+    from atlasvae.parallel.mesh import make_mesh
+    from atlasvae.ops.emd import emd_pairs
+    mesh = make_mesh((("data", 4),), jax.devices()[:4])
+    jets_a = np.abs(rng.normal(1, 0.5, (13, 8, 3))).astype(np.float32)
+    jets_b = np.abs(rng.normal(1, 0.5, (13, 8, 3))).astype(np.float32)
+    ref = emd_pairs(jets_a, jets_b, n_iters=20)
+    monkeypatch.setenv("ATLASVAE_EMD", "pallas")
+    got = emd_pairs(jets_a, jets_b, n_iters=20, mesh=mesh)
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-6)
