@@ -36,7 +36,7 @@ def train_model(params, train_sample, valid_sample, oe_type="KLD", n_epochs=1,
                 batch_size=5000, beta=0.0, lamb=0.0, margin=0.0, lr=1e-3,
                 hist_file=None, model_in=None, model_out=None, mesh=None,
                 seed=0, activation="relu", valid_batch_size=int(1e6),
-                state_file=None):
+                state_file=None, noise_source=None):
     """Train the VAE; returns (params, history).
 
     ``train_sample``/``valid_sample`` iterate (bkg_sample, ood_sample)
@@ -47,13 +47,21 @@ def train_model(params, train_sample, valid_sample, oe_type="KLD", n_epochs=1,
     plateau counter, and RNG key, so a resumed run continues the
     original run bit-for-bit (the reference's weights-only resume
     restarts Adam moments and the LR schedule, SURVEY.md S5).
+
+    ``noise_source``: optional deterministic reparameterization-noise
+    injector, ``noise_source(phase, epoch, load_idx, n_batches, batch)
+    -> (noise_bkg, noise_ood)`` each shaped (n_batches, batch, latent)
+    with phase in {"train", "valid"} — replaces the internal PRNG stream
+    so a run can share its latent draws with another framework
+    (the reference-parity harness, tests/test_reference_parity.py).
     """
     optimizer = make_optimizer()
     opt_state = optimizer.init(params)
     lr = float(lr)  # host-side; passed as a traced scalar per load
     n_devices = int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
     train_on_load, valid_losses = make_vae_step_fns(
-        optimizer, oe_type, beta, lamb, margin, activation, mesh)
+        optimizer, oe_type, beta, lamb, margin, activation, mesh,
+        external_noise=noise_source is not None)
 
     history = {"MSE": []}
     if beta != 0:
@@ -93,13 +101,16 @@ def train_model(params, train_sample, valid_sample, oe_type="KLD", n_epochs=1,
         # loads (everything cut away) must still finish the epoch with
         # zeroed metrics, like the reference's idle Mean accumulators
         losses = {k: 0.0 for k in history if k != "Valid loss"}
-        for bkg_sample, ood_sample in train_sample:
+        for load_idx, (bkg_sample, ood_sample) in enumerate(train_sample):
             batches = load_cache.get(
                 (bkg_sample, ood_sample), (batch_size, n_devices),
                 lambda: batch_load(features(bkg_sample), features(ood_sample),
                                    bkg_sample["weights"], ood_sample["weights"],
                                    batch_size, n_devices),
                 mesh=mesh)
+            if noise_source is not None:
+                batches = tuple(batches) + tuple(noise_source(
+                    "train", epoch, load_idx, *batches[0].shape[:2]))
             key, sub = jax.random.split(key)
             params, opt_state, metrics = train_on_load(
                 params, opt_state, np.float32(lr), sub, *batches)
@@ -117,7 +128,7 @@ def train_model(params, train_sample, valid_sample, oe_type="KLD", n_epochs=1,
             print(f"Batches {int(metrics[:, 4].sum() // max(batch_size, 1))}: "
                   f"mean losses  -->  {ticker}", flush=True)
         valid_sum, valid_n = 0.0, 0.0
-        for bkg_sample, ood_sample in valid_sample:
+        for load_idx, (bkg_sample, ood_sample) in enumerate(valid_sample):
             vbs = min(valid_batch_size, len(bkg_sample["weights"]))
             batches = load_cache.get(
                 (bkg_sample, ood_sample), (vbs, n_devices),
@@ -125,6 +136,9 @@ def train_model(params, train_sample, valid_sample, oe_type="KLD", n_epochs=1,
                                    bkg_sample["weights"], ood_sample["weights"],
                                    vbs, n_devices),
                 mesh=mesh)
+            if noise_source is not None:
+                batches = tuple(batches) + tuple(noise_source(
+                    "valid", epoch, load_idx, *batches[0].shape[:2]))
             key, sub = jax.random.split(key)
             metrics = np.asarray(valid_losses(params, sub, *batches))
             valid_sum += metrics[:, 0].sum()

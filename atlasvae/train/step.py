@@ -42,7 +42,8 @@ def make_optimizer(lr=1.0):
 
 def make_vae_step_fns(optimizer, oe_type="KLD", beta=0.0, lamb=0.0, margin=0.0,
                       activation="relu", mesh=None, data_axis="data",
-                      impl="xla", hyper_traced=False, jit=True):
+                      impl="xla", hyper_traced=False, jit=True,
+                      external_noise=False):
     """Build (train_on_load, valid_losses) jitted functions.
 
     Inputs are shaped (n_batches, batch, features) with a (n_batches,
@@ -59,6 +60,17 @@ def make_vae_step_fns(optimizer, oe_type="KLD", beta=0.0, lamb=0.0, margin=0.0,
     the default False, the constructor's beta/lamb/margin are baked in
     as constants (identical graphs to previous rounds).  ``jit=False``
     returns the raw traceable functions (for vmap composition).
+
+    ``external_noise=True``: both functions take two trailing arguments
+    ``noise_bkg, noise_ood`` shaped (n_batches, batch, latent) holding
+    the standard-normal reparameterization draws for each batch, in
+    place of the internal PRNG stream.  This is the deterministic
+    noise-injection hook: feeding the same stream to the reference's
+    ``tf.random.normal`` (ref OE-VAE/models.py:7-15) and to these
+    functions removes the one stochastic divergence between the two
+    frameworks, turning loss-curve parity from percent-level
+    "attributed to RNG" into a directly measured numerical bound
+    (tests/test_reference_parity.py).
     """
 
     def _global_noise(params, key, local_batch):
@@ -90,13 +102,14 @@ def make_vae_step_fns(optimizer, oe_type="KLD", beta=0.0, lamb=0.0, margin=0.0,
     grad_fn = jax.grad(batch_losses, has_aux=True)
 
     def _train_on_load_h(params, opt_state, lr, hyper, key, bkg_x, ood_x,
-                         bkg_w, ood_w, valid):
+                         bkg_w, ood_w, valid, *ext_noise):
         in_dp = mesh is not None
 
         def step(carry, batch):
             params, opt_state, key = carry
             key, sub = jax.random.split(key)
-            noise = _global_noise(params, sub, batch[0].shape[0])
+            batch, noise = (batch[:5], batch[5:]) if external_noise else \
+                (batch, _global_noise(params, sub, batch[0].shape[0]))
             grads, metrics = grad_fn(params, hyper, sub, noise, *batch)
             if in_dp:
                 grads = jax.lax.psum(grads, data_axis)
@@ -108,15 +121,18 @@ def make_vae_step_fns(optimizer, oe_type="KLD", beta=0.0, lamb=0.0, margin=0.0,
             return (params, opt_state, key), metrics
 
         (params, opt_state, _), metrics = jax.lax.scan(
-            step, (params, opt_state, key), (bkg_x, ood_x, bkg_w, ood_w, valid))
+            step, (params, opt_state, key),
+            (bkg_x, ood_x, bkg_w, ood_w, valid) + ext_noise)
         return params, opt_state, metrics
 
-    def _valid_losses_h(params, hyper, key, bkg_x, ood_x, bkg_w, ood_w, valid):
+    def _valid_losses_h(params, hyper, key, bkg_x, ood_x, bkg_w, ood_w, valid,
+                        *ext_noise):
         in_dp = mesh is not None
 
         def step(key, batch):
             key, sub = jax.random.split(key)
-            noise = _global_noise(params, sub, batch[0].shape[0])
+            batch, noise = (batch[:5], batch[5:]) if external_noise else \
+                (batch, _global_noise(params, sub, batch[0].shape[0]))
             _, m = batch_losses(params, hyper, sub, noise, *batch)
             # (sum total, sum valid) — keep historical metric layout
             m = jnp.stack([m[3], m[4]])
@@ -124,7 +140,8 @@ def make_vae_step_fns(optimizer, oe_type="KLD", beta=0.0, lamb=0.0, margin=0.0,
                 m = jax.lax.psum(m, data_axis)
             return key, m
 
-        _, metrics = jax.lax.scan(step, key, (bkg_x, ood_x, bkg_w, ood_w, valid))
+        _, metrics = jax.lax.scan(
+            step, key, (bkg_x, ood_x, bkg_w, ood_w, valid) + ext_noise)
         return metrics
 
     if hyper_traced:
@@ -152,16 +169,17 @@ def make_vae_step_fns(optimizer, oe_type="KLD", beta=0.0, lamb=0.0, margin=0.0,
     from jax import shard_map
     rep = P()
     batch_sharded = P(None, data_axis)
+    noise_specs = (batch_sharded, batch_sharded) if external_noise else ()
     train_sharded = shard_map(
         _train_on_load, mesh=mesh,
         in_specs=(rep, rep, rep, rep, batch_sharded, batch_sharded,
-                  batch_sharded, batch_sharded, batch_sharded),
+                  batch_sharded, batch_sharded, batch_sharded) + noise_specs,
         out_specs=(rep, rep, rep),
         check_vma=False)
     valid_sharded = shard_map(
         _valid_losses, mesh=mesh,
         in_specs=(rep, rep, batch_sharded, batch_sharded, batch_sharded,
-                  batch_sharded, batch_sharded),
+                  batch_sharded, batch_sharded) + noise_specs,
         out_specs=rep,
         check_vma=False)
     return jax.jit(train_sharded), jax.jit(valid_sharded)
