@@ -12,10 +12,15 @@ x0; Disc x5; AAE x5):
                        discriminator on reconstructions labelled
                        {bkg: 0, OoD: 1} (ref :240-252; fooling objective).
 
-TPU redesign: Keras ``trainable=False`` freezing becomes two optimizers
-over disjoint parameter subtrees; each phase-epoch is one ``lax.scan``
-over shuffled batches inside a single jitted program; the three phases
-share one Adam(lr=1e-6) configuration (ref aae.py:75).
+TPU redesign: Keras ``trainable=False`` freezing becomes masked updates
+over disjoint parameter subtrees of ONE shared Adam state; each
+phase-epoch is one ``lax.scan`` over shuffled batches inside a single
+jitted program.  The reference creates a single Adam(lr=1e-6) INSTANCE
+and hands it to all three compiles (ref aae.py:75,88,95,112), so its
+``iterations`` counter — and hence the bias-correction power t —
+advances globally across phases; ``make_gan_optimizer`` preserves that
+quirk exactly (verified head-to-head in
+tests/test_reference_aae_trajectory.py).
 
 Data parallelism: with ``mesh``, every phase epoch runs under
 ``shard_map`` with the batch axis sharded over the ``data`` axis and
@@ -39,7 +44,7 @@ import numpy as np
 import optax
 
 from ..models.aae import ae_apply, discriminator_apply
-from .step import make_optimizer, clip_gradients
+from .step import clip_gradients
 from .checkpoint import save_pytree, load_pytree
 
 AE_KEYS = ("encoder", "decoder")
@@ -48,6 +53,52 @@ DISC_KEYS = ("discriminator",)
 
 def _subtree(params, keys):
     return {k: params[k] for k in keys}
+
+
+def make_gan_optimizer(b1=0.9, b2=0.999, eps=1e-7):
+    """Shared-iteration Adam over the full AAE param tree.
+
+    The reference builds ONE ``optimizers.Adam(lr=1e-6)`` and passes it
+    to the AE, Discriminator and AAE compiles (ref OE-AAE/aae.py:75,
+    88,95,112).  TF-2.1-era (legacy) Keras Adam keeps per-variable
+    slots but a single global ``iterations`` counter, so every
+    ``train_on_batch`` of ANY phase advances the bias-correction power
+    t — e.g. the first Discriminator step after 100 AE epochs runs at
+    t=101, not t=1.  ``update()`` steps only the ``keys`` subtree (the
+    phase's trainable variables); the frozen subtree's moments pass
+    through untouched, exactly like Keras slots of variables absent
+    from the phase's train op.
+
+    The update uses the TF kernel's exact legacy formulation
+    ``alpha * m / (sqrt(v) + eps)`` with
+    ``alpha = sqrt(1 - b2^t) / (1 - b1^t)`` — epsilon OUTSIDE the bias
+    correction — and the Keras default ``eps=1e-7``, so the head-to-head
+    trajectory parity bound is f32 reduction order, not formulation.
+    The returned updates are unscaled by lr (the step fns multiply by a
+    traced lr, see ``make_optimizer``).
+    """
+
+    class _GanAdam:
+        def init(self, params):
+            return {"count": jnp.zeros((), jnp.int32),
+                    "mu": jax.tree.map(jnp.zeros_like, params),
+                    "nu": jax.tree.map(jnp.zeros_like, params)}
+
+        def update(self, grads, state, keys):
+            count = state["count"] + 1
+            t = count.astype(jnp.float32)
+            alpha = jnp.sqrt(1.0 - b2 ** t) / (1.0 - b1 ** t)
+            mu = jax.tree.map(lambda m, g: b1 * m + (1.0 - b1) * g,
+                              _subtree(state["mu"], keys), grads)
+            nu = jax.tree.map(lambda v, g: b2 * v + (1.0 - b2) * g * g,
+                              _subtree(state["nu"], keys), grads)
+            updates = jax.tree.map(
+                lambda m, v: -alpha * m / (jnp.sqrt(v) + eps), mu, nu)
+            return updates, {"count": count,
+                             "mu": {**state["mu"], **mu},
+                             "nu": {**state["nu"], **nu}}
+
+    return _GanAdam()
 
 
 def _mae(x, y):
@@ -68,7 +119,11 @@ def make_aae_step_fns(optimizer, lamb=0.0, beta=0.0, activation="relu",
                       lr=1.0, mesh=None, data_axis="data"):
     """Build jitted (ae_epoch, disc_epoch, aae_epoch) scan programs.
 
-    Each takes (params, opt_state, perm, bkg_x, ood_x, bkg_w, ood_w)
+    ``optimizer`` is a shared-iteration GAN Adam from
+    ``make_gan_optimizer`` (its state spans the FULL param tree and is
+    threaded through all three phases, preserving the reference's
+    single shared Adam instance, ref aae.py:75).  Each epoch fn takes
+    (params, opt_state, perm, bkg_x, ood_x, bkg_w, ood_w)
     with batch-major (n_batches, batch, ...) arrays and a shuffled batch
     order ``perm`` (ref aae.py:149 shuffles batch order per epoch).
 
@@ -136,7 +191,7 @@ def make_aae_step_fns(optimizer, lamb=0.0, beta=0.0, activation="relu",
             batch = tuple(arr[idx] for arr in (bkg_x, ood_x, bkg_w, ood_w))
             grads, metrics = ae_grad(ae_params, rest, batch)
             grads = clip_gradients(_reduce(grads))
-            updates, opt_state = optimizer.update(grads, opt_state, ae_params)
+            updates, opt_state = optimizer.update(grads, opt_state, AE_KEYS)
             updates = jax.tree.map(lambda u: u * lr, updates)
             ae_params = optax.apply_updates(ae_params, updates)
             return (ae_params, opt_state), metrics
@@ -171,7 +226,7 @@ def make_aae_step_fns(optimizer, lamb=0.0, beta=0.0, activation="relu",
             batch = tuple(arr[idx] for arr in (bkg_x, ood_x, bkg_w, ood_w))
             grads, metrics = disc_grad(disc_params, rest, batch)
             grads = clip_gradients(_reduce(grads))
-            updates, opt_state = optimizer.update(grads, opt_state, disc_params)
+            updates, opt_state = optimizer.update(grads, opt_state, DISC_KEYS)
             updates = jax.tree.map(lambda u: u * lr, updates)
             disc_params = optax.apply_updates(disc_params, updates)
             return (disc_params, opt_state), metrics
@@ -212,7 +267,7 @@ def make_aae_step_fns(optimizer, lamb=0.0, beta=0.0, activation="relu",
             # only the AE subtree is reduced: the frozen discriminator
             # never enters the collective (Keras trainable=False parity)
             grads = clip_gradients(_reduce(grads))
-            updates, opt_state = optimizer.update(grads, opt_state, ae_params)
+            updates, opt_state = optimizer.update(grads, opt_state, AE_KEYS)
             updates = jax.tree.map(lambda u: u * lr, updates)
             ae_params = optax.apply_updates(ae_params, updates)
             return (ae_params, opt_state), metrics
@@ -300,9 +355,8 @@ def train_aae(params, train_generator, n_cycles, batch_size, output_dir,
                                     for a in (bkg_x, ood_x, bkg_w, ood_w)),
                               mesh=mesh)
 
-    optimizer = make_optimizer()
-    opt_ae = optimizer.init(_subtree(params, AE_KEYS))
-    opt_disc = optimizer.init(_subtree(params, DISC_KEYS))
+    optimizer = make_gan_optimizer()
+    opt_state = optimizer.init(params)
     ae_epoch, disc_epoch, aae_epoch = make_aae_step_fns(optimizer, lamb, beta,
                                                         lr=float(lr),
                                                         mesh=mesh)
@@ -334,8 +388,13 @@ def train_aae(params, train_generator, n_cycles, batch_size, output_dir,
         start = time.time()
         for epoch in range(n_epochs):
             perm = jnp.asarray(rng.permutation(n_batches))
-            params, opt_ae, metrics = ae_epoch(params, opt_ae, perm, *batches)
-            m = np.asarray(metrics).mean(axis=0)
+            params, opt_state, metrics = ae_epoch(params, opt_state, perm,
+                                                  *batches)
+            # the reference appends the LAST batch's loss_dict (its AE
+            # train_on_batch leaves reset_metrics at the default True,
+            # so AE_hist is per-batch, not epoch-accumulated; the
+            # surviving loss_dict is the last batch's, ref aae.py:158-171)
+            m = np.asarray(metrics)[-1]
             epoch_counter += 1
             loss_history["QCD-AE Loss"].append((cycle + 1, epoch_counter, float(m[0])))
             if lamb != 0:
@@ -361,13 +420,24 @@ def train_aae(params, train_generator, n_cycles, batch_size, output_dir,
         start = time.time()
         for epoch in range(n_epochs):
             perm = jnp.asarray(rng.permutation(n_batches))
-            params, opt_disc, metrics = disc_epoch(params, opt_disc, perm, *batches)
-            m = np.asarray(metrics).mean(axis=0)
+            params, opt_state, metrics = disc_epoch(params, opt_state, perm,
+                                                    *batches)
+            # V1-engine history semantics (the regime the reference ran
+            # in, TF 2.1 experimental_run_tf_function=False): the
+            # train_on_batch 'loss' output is the RAW batch loss, so
+            # the epoch's 'Disc Loss' entry is the LAST batch's value,
+            # while the 'accuracy' output is a stateful weighted metric
+            # accumulated across the epoch under reset_metrics=False
+            # (ref aae.py:210-219; verified head-to-head in
+            # tests/test_reference_aae_trajectory.py)
+            m = np.asarray(metrics)
+            disc_loss_v = float(m[-1, 0])
+            acc_v = float(m[:, 1].mean())
             epoch_counter += 1
-            loss_history["Disc Loss"].append((cycle + 1, epoch_counter, float(m[0])))
-            loss_history["Disc Accuracy"].append((cycle + 1, epoch_counter, float(m[1])))
-            print(f"Epoch {epoch + 1}/{n_epochs}: Disc Loss = {m[0]:4.3e} "
-                  f"Acc = {100 * m[1]:4.1f}% ({time.time() - start:.1f}s)")
+            loss_history["Disc Loss"].append((cycle + 1, epoch_counter, disc_loss_v))
+            loss_history["Disc Accuracy"].append((cycle + 1, epoch_counter, acc_v))
+            print(f"Epoch {epoch + 1}/{n_epochs}: Disc Loss = {disc_loss_v:4.3e} "
+                  f"Acc = {100 * acc_v:4.1f}% ({time.time() - start:.1f}s)")
 
         # (c) AAE with frozen discriminator
         n_epochs = int(epoch_dict["AAE"][cycle])
@@ -376,8 +446,8 @@ def train_aae(params, train_generator, n_cycles, batch_size, output_dir,
         start = time.time()
         for epoch in range(n_epochs):
             perm = jnp.asarray(rng.permutation(n_batches))
-            params, opt_ae, (metrics, disc_m) = aae_epoch(params, opt_ae, perm,
-                                                          *batches)
+            params, opt_state, (metrics, disc_m) = aae_epoch(params, opt_state,
+                                                             perm, *batches)
             m = np.asarray(metrics).mean(axis=0)
             disc_m = np.asarray(disc_m)
             epoch_counter += 1

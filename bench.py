@@ -295,12 +295,11 @@ def bench_sweep(jax, vae):
 
 def bench_aae(jax):
     from atlasvae.models.aae import AAEConfig, init_aae
-    from atlasvae.train.aae_loop import make_aae_step_fns
-    import optax
+    from atlasvae.train.aae_loop import make_aae_step_fns, make_gan_optimizer
 
     config = AAEConfig(input_dim=12)
     params = init_aae(jax.random.PRNGKey(0), config)
-    optimizer = optax.adam(1.0)
+    optimizer = make_gan_optimizer()
     ae_epoch, disc_epoch, aae_epoch = make_aae_step_fns(
         optimizer, lamb=5.0, beta=2.0, lr=1e-6)
 
@@ -313,17 +312,13 @@ def bench_aae(jax):
     w = jax.device_put(np.ones((nb, batch), np.float32))
     perm = jax.device_put(np.arange(nb, dtype=np.int32))
 
-    from atlasvae.train.aae_loop import _subtree, AE_KEYS, DISC_KEYS
-    opt_ae = optimizer.init(_subtree(params, AE_KEYS))
-    opt_disc = optimizer.init(_subtree(params, DISC_KEYS))
-
-    state = {"p": params, "ae": opt_ae, "disc": opt_disc}
+    state = {"p": params, "opt": optimizer.init(params)}
 
     def cycle():
-        p, oa, m1 = ae_epoch(state["p"], state["ae"], perm, bkg, ood, w, w)
-        p, od, m2 = disc_epoch(p, state["disc"], perm, bkg, ood, w, w)
-        p, oa2, (m3, disc_m) = aae_epoch(p, oa, perm, bkg, ood, w, w)
-        state["p"], state["ae"], state["disc"] = p, oa2, od
+        p, o, m1 = ae_epoch(state["p"], state["opt"], perm, bkg, ood, w, w)
+        p, o, m2 = disc_epoch(p, o, perm, bkg, ood, w, w)
+        p, o, (m3, disc_m) = aae_epoch(p, o, perm, bkg, ood, w, w)
+        state["p"], state["opt"] = p, o
         return disc_m
 
     _log("compiling AAE phase epochs...")

@@ -6,8 +6,9 @@ import numpy as np
 import pytest
 
 from atlasvae.models import AAEConfig, init_aae
-from atlasvae.train.aae_loop import train_aae, make_aae_step_fns, _subtree, AE_KEYS, DISC_KEYS
-from atlasvae.train.step import make_optimizer
+from atlasvae.train.aae_loop import (train_aae, make_aae_step_fns,
+                                     make_gan_optimizer, _subtree,
+                                     AE_KEYS, DISC_KEYS)
 from atlasvae.eval.aae_eval import (make_discriminant, adjust_weights,
                                     aae_loss_mapping, aae_bump_scan_2d, get_data)
 
@@ -27,8 +28,9 @@ def test_phase_freezing():
     ref OE-AAE/aae.py:99,184,227)."""
     cfg = AAEConfig(input_dim=8, ae_layers=(16, 8), disc_layers=(16, 3))
     params = init_aae(jax.random.PRNGKey(0), cfg)
-    opt = make_optimizer(1e-3)
-    ae_epoch, disc_epoch, aae_epoch = make_aae_step_fns(opt, lamb=1.0, beta=1.0)
+    opt = make_gan_optimizer()
+    ae_epoch, disc_epoch, aae_epoch = make_aae_step_fns(opt, lamb=1.0, beta=1.0,
+                                                        lr=1e-3)
     bkg, ood = _toy_sample(n=64, dim=8)
     import jax.numpy as jnp
     batches = tuple(jnp.asarray(a.reshape(2, 32, *a.shape[1:]) if a.ndim > 1
@@ -39,19 +41,52 @@ def test_phase_freezing():
     def leaves(tree):
         return [np.asarray(x) for x in jax.tree.leaves(tree)]
 
-    p1, _, _ = ae_epoch(params, opt.init(_subtree(params, AE_KEYS)), perm, *batches)
+    p1, s1, _ = ae_epoch(params, opt.init(params), perm, *batches)
     for a, b in zip(leaves(_subtree(p1, DISC_KEYS)), leaves(_subtree(params, DISC_KEYS))):
         np.testing.assert_array_equal(a, b)
     assert any(not np.array_equal(a, b) for a, b in
                zip(leaves(_subtree(p1, AE_KEYS)), leaves(_subtree(params, AE_KEYS))))
+    # the frozen subtree's Adam moments stay exactly zero
+    for a in leaves(_subtree(s1["mu"], DISC_KEYS)):
+        np.testing.assert_array_equal(a, np.zeros_like(a))
 
-    p2, _, _ = disc_epoch(params, opt.init(_subtree(params, DISC_KEYS)), perm, *batches)
+    p2, _, _ = disc_epoch(params, opt.init(params), perm, *batches)
     for a, b in zip(leaves(_subtree(p2, AE_KEYS)), leaves(_subtree(params, AE_KEYS))):
         np.testing.assert_array_equal(a, b)
 
-    p3, _, _ = aae_epoch(params, opt.init(_subtree(params, AE_KEYS)), perm, *batches)
+    p3, _, _ = aae_epoch(params, opt.init(params), perm, *batches)
     for a, b in zip(leaves(_subtree(p3, DISC_KEYS)), leaves(_subtree(params, DISC_KEYS))):
         np.testing.assert_array_equal(a, b)
+
+
+def test_gan_optimizer_shared_iterations():
+    """The bias-correction power t advances ACROSS phases: the reference
+    shares one Adam instance between the AE, Disc and AAE compiles
+    (ref OE-AAE/aae.py:75,88,95,112), so after k AE steps the first
+    Disc step runs at t=k+1.  With a unit gradient, the legacy-Adam
+    update is exactly -sqrt(1-b2^t)/(1-b1^t) * m_t/(sqrt(v_t)+eps)."""
+    import jax.numpy as jnp
+    opt = make_gan_optimizer()
+    params = {"encoder": jnp.zeros(3), "decoder": jnp.zeros(3),
+              "discriminator": jnp.zeros(3)}
+    state = opt.init(params)
+    g_ae = {"encoder": jnp.ones(3), "decoder": jnp.ones(3)}
+    for _ in range(3):
+        _, state = opt.update(g_ae, state, AE_KEYS)
+    g_disc = {"discriminator": jnp.ones(3)}
+    upd, state = opt.update(g_disc, state, DISC_KEYS)
+    assert int(state["count"]) == 4
+    b1, b2, eps = 0.9, 0.999, 1e-7
+    t = 4.0  # disc's FIRST step runs at the shared t=4, not t=1
+    m, v = (1 - b1), (1 - b2)  # fresh moments after one unit gradient
+    expected = -np.sqrt(1 - b2 ** t) / (1 - b1 ** t) * m / (np.sqrt(v) + eps)
+    # rtol 1e-4: the device computes 1 - b2**t in f32 (catastrophic
+    # cancellation leaves ~5 significant digits at t=4)
+    np.testing.assert_allclose(np.asarray(upd["discriminator"]), expected,
+                               rtol=1e-4)
+    # AE moments were untouched by the disc step
+    np.testing.assert_allclose(float(state["mu"]["encoder"][0]),
+                               (1 - b1) * (1 + b1 + b1 ** 2), rtol=1e-6)
 
 
 def test_train_aae_cycle(tmp_path):
@@ -185,7 +220,7 @@ def test_aae_dp_phases_match_single_device():
 
     cfg = AAEConfig(input_dim=8, ae_layers=(16, 8), disc_layers=(16, 3))
     params = init_aae(jax.random.PRNGKey(0), cfg)
-    opt = make_optimizer(1e-3)
+    opt = make_gan_optimizer()
     rng = np.random.default_rng(11)
     n, nb, bs = 128, 4, 32
     bkg_x = rng.normal(0, 1, (n, 8)).astype(np.float32)
@@ -198,9 +233,8 @@ def test_aae_dp_phases_match_single_device():
     mesh = make_mesh((("data", 4),), jax.devices()[:4])
     fns1 = make_aae_step_fns(opt, lamb=1.0, beta=1.0, lr=1e-3)
     fnsN = make_aae_step_fns(opt, lamb=1.0, beta=1.0, lr=1e-3, mesh=mesh)
-    subtrees = (AE_KEYS, DISC_KEYS, AE_KEYS)
-    for name, f1, fN, keys in zip(("AE", "Disc", "AAE"), fns1, fnsN, subtrees):
-        opt_state = opt.init(_subtree(params, keys))
+    for name, f1, fN in zip(("AE", "Disc", "AAE"), fns1, fnsN):
+        opt_state = opt.init(params)
         out1 = f1(params, opt_state, perm, *batches)
         outN = fN(params, opt_state, perm, *batches)
         for a, b in zip(jax.tree.leaves(out1), jax.tree.leaves(outN)):
