@@ -10,7 +10,12 @@ EMD helpers).  Here:
   of paired jets, vmapped over the batch — the standard balanced-OT
   formulation of the jet EMD (arXiv:1902.02346) with the total-pt
   difference penalty: EMD = <pi, theta_R> + |sum pt_P - sum pt_Q|,
-  theta_R = DeltaR / R,
+  theta_R = DeltaR / R.  The plan is Altschuler-rounded onto the
+  transport polytope before costing, making the score a feasible-plan
+  upper bound; discriminant-level fidelity vs the exact LP optimum at
+  the production budget is gated in tests/test_emd.py and recorded in
+  BASELINE.md (dAUC <= 1.2e-4, Spearman >= 0.9996 at 16-32
+  constituents, benchmarks/emd_fidelity.py),
 * ``ks_pairs``: exact two-sample KS statistic between paired feature
   rows (max ECDF gap over the merged support), vmapped.
 """
@@ -88,7 +93,24 @@ def _sinkhorn_emd(p, q, r_param, n_iters, eps_final, n_stages=10):
         g = g + eps * jnp.log(jnp.maximum(v, 1e-30))
     plan = jnp.exp((-cost + f[:, None] + g[None, :]) / eps_final)
     plan = plan * mask_a[:, None] * mask_b[None, :]
-    plan = plan / jnp.maximum(jnp.sum(plan), 1e-30)
+    # Altschuler et al. 2017 rounding onto the transport polytope: scale
+    # rows then columns down to their marginals, then restore the missing
+    # mass as a rank-one outer product of the marginal deficits.  The
+    # result is a FEASIBLE plan, so the cost is a valid upper bound with
+    # a consistent (rank-preserving) bias — at the production budget
+    # (100 iters) this lifted the sig/bkg discriminant's Spearman rank
+    # correlation vs exact OT from 0.9966 to 0.9996 at 16-32
+    # constituents for ~3 lines of O(n^2) epilogue
+    # (benchmarks/emd_fidelity.py; the global-renormalization epilogue
+    # it replaces hid the unconverged marginals instead of fixing them).
+    r = jnp.sum(plan, axis=1)
+    plan = plan * jnp.minimum(a / jnp.maximum(r, 1e-30), 1.0)[:, None]
+    c = jnp.sum(plan, axis=0)
+    plan = plan * jnp.minimum(b / jnp.maximum(c, 1e-30), 1.0)[None, :]
+    err_a = a - jnp.sum(plan, axis=1)
+    err_b = b - jnp.sum(plan, axis=0)
+    plan = plan + err_a[:, None] * err_b[None, :] / jnp.maximum(
+        jnp.sum(jnp.abs(err_a)), 1e-30)
     transport = jnp.sum(plan * cost) * jnp.minimum(sum_p, sum_q)
     return transport + jnp.abs(sum_p - sum_q)
 

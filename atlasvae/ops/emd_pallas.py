@@ -81,12 +81,24 @@ def _kernel(dims, n_iters, eps_final, n_stages,
     mask_p = (pt_p > 0.0).astype(jnp.float32)
     mask_q = (pt_q > 0.0).astype(jnp.float32)
     plan = plan * mask_p[:, :, None] * mask_q[:, None, :]
+    # Altschuler rounding onto the transport polytope — identical
+    # epilogue to the XLA kernel (ops/emd.py::_sinkhorn_emd, see the
+    # rationale there); padded slots carry zero marginals so their
+    # deficits are exactly zero and the rank-one correction never
+    # touches the huge pad costs
+    row = jnp.sum(plan, axis=2)                               # (nbj, n_pad)
+    plan = plan * jnp.minimum(a / jnp.maximum(row, 1e-30), 1.0)[:, :, None]
+    col = jnp.sum(plan, axis=1)
+    plan = plan * jnp.minimum(b / jnp.maximum(col, 1e-30), 1.0)[:, None, :]
+    err_a = a - jnp.sum(plan, axis=2)
+    err_b = b - jnp.sum(plan, axis=1)
+    denom = jnp.maximum(jnp.sum(jnp.abs(err_a), axis=1, keepdims=True),
+                        1e-30)                                # (nbj, 1)
+    plan = plan + (err_a / denom)[:, :, None] * err_b[:, None, :]
     # staged reductions keeping rank >= 2 throughout (a rank-1 vector
     # crashes Mosaic's layout assignment: layout.h arr.size() check)
-    norm = jnp.maximum(
-        jnp.sum(jnp.sum(plan, axis=2), axis=1, keepdims=True), 1e-30)
     transport = jnp.sum(jnp.sum(plan * cost, axis=2), axis=1,
-                        keepdims=True) / norm
+                        keepdims=True)
     emd = (transport * jnp.minimum(sum_p, sum_q)
            + jnp.abs(sum_p - sum_q))                       # (nbj, 1)
     out_ref[:] = emd

@@ -1,6 +1,8 @@
 """EMD/KSD device-metric tests: KS vs scipy exact; EMD vs brute-force OT
 on tiny problems and metric properties."""
 
+import os
+
 import numpy as np
 
 from atlasvae.ops.emd import emd_pairs, ks_pairs
@@ -69,6 +71,33 @@ def test_emd_close_to_exact_ot(rng):
     ours = emd_pairs(jets_p, jets_q, n_iters=300, eps_final=0.002)
     exact = np.array([_brute_force_emd(jets_p[i], jets_q[i]) for i in range(6)])
     np.testing.assert_allclose(ours, exact, rtol=0.08, atol=0.02)
+
+
+def test_emd_discriminant_fidelity_vs_exact_ot(rng):
+    """EMD is used as an anomaly DISCRIMINANT (ref OE-VAE/utils.py:
+    327-343 computes exact OT via energyflow): what matters downstream
+    is the score ranking, not absolute values.  Gate the Sinkhorn
+    scores against the exact LP optimum at the PRODUCTION settings
+    (n_iters=100, eps_final=0.01) on reconstruction-style jet pairs:
+    |dAUC| < 1e-3, Spearman rank corr > 0.999, and the cut-scan's
+    chosen working point must not move.  Full-size numbers (1000
+    jets/class at 16 and 32 const): dAUC 1.2e-4 / 3.6e-5, Spearman
+    0.9997 / 0.9996, cut unchanged — recorded in BASELINE.md
+    (benchmarks/emd_fidelity.py, 2026-08-20).  The Altschuler rounding
+    epilogue in ops/emd.py is what holds the rank correlation here
+    (0.9966 without it at this budget)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "benchmarks"))
+    try:
+        from emd_fidelity import run
+    finally:
+        sys.path.pop(0)
+    for n_per_class, n_const in ((250, 16), (150, 32)):
+        res = run(n_per_class, n_const, rng)
+        assert res["auc_delta"] < 1e-3, res
+        assert res["spearman"] > 0.999, res
+        assert not res["best_cut_moved"], res
 
 
 def test_emd_identity_and_symmetry(rng):
