@@ -148,6 +148,11 @@ def compress_frames(payload, codec):
         c = zstandard.ZstdCompressor(level=3).compress(payload)
         return (b"ZS\x01" + len(c).to_bytes(3, "little")
                 + len(payload).to_bytes(3, "little") + c)
+    if codec == "xz":
+        import lzma
+        c = lzma.compress(payload, format=lzma.FORMAT_XZ, preset=6)
+        return (b"XZ\x00" + len(c).to_bytes(3, "little")
+                + len(payload).to_bytes(3, "little") + c)
     raise ValueError(codec)
 
 

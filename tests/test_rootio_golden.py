@@ -51,7 +51,7 @@ def _assert_matches(tree, data):
             np.testing.assert_array_equal(g, w)
 
 
-@pytest.mark.parametrize("codec", [None, "zlib", "lz4", "zstd"])
+@pytest.mark.parametrize("codec", [None, "zlib", "lz4", "zstd", "xz"])
 def test_reader_decodes_handassembled_bigfile(tmp_path, codec):
     """rootio reads a spec-assembled large-format file it never wrote."""
     path = str(tmp_path / f"golden_{codec}.root")
@@ -62,7 +62,7 @@ def test_reader_decodes_handassembled_bigfile(tmp_path, codec):
     _assert_matches(t, data)
 
 
-@pytest.mark.parametrize("codec", [None, "zlib", "lz4", "zstd"])
+@pytest.mark.parametrize("codec", [None, "zlib", "lz4", "zstd", "xz"])
 @pytest.mark.parametrize("decoder", ["native", "python"])
 def test_reader_decodes_memberwise_bigfile(tmp_path, codec, decoder,
                                            monkeypatch):
