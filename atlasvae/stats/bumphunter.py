@@ -393,8 +393,13 @@ class BumpHunter1D:
 
         Note: the reference's overlap-clipping contains a latent bug
         (``min_loc_current -= min_loc_current - 1`` pins the left edge to
-        bin 1, ref :667-669); the intended interval intersection is
-        implemented instead (SURVEY.md S7 fix policy).
+        bin 1, ref :667-669) and its right-edge clip rounds outward —
+        the decrement-then-``+1`` loop (ref :669-672) lands one bin past
+        the intersection even when bin edges align exactly.  The
+        intended interval intersection is implemented instead for both
+        edges (SURVEY.md S7 fix policy); the executed head-to-head in
+        tests/test_reference_utils_parity.py asserts the one-bin quirk
+        offset explicitly.
         """
         n_chan = len(data)
         bins_in = self.bins if isinstance(self.bins, list) else \

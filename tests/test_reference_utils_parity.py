@@ -251,3 +251,101 @@ def test_sideband_scan_matches_reference(ref):
     assert int(min_width[0]) == int(hunter.min_width_ar[0])
     np.testing.assert_allclose(np.exp(float(min_logp[0])),
                                float(hunter.min_Pval_ar[0]), rtol=5e-3)
+
+
+def test_multichannel_scan_matches_reference(ref):
+    """2-channel scan vs the reference's executed ``_scan_hist_multi``
+    (ref :478-700), in the regime its (fixed, SURVEY S7) left-edge
+    clipping bug cannot fire: channel 1's best window starts at or
+    right of channel 0's, so only the correct right-edge clip runs.
+    Asserts per-channel min p-values, the combined statistic
+    t = -ln(prod p), channel 0's raw window, and the physical overlap
+    window against the reference's clipped channel-1 window."""
+    from atlasvae.stats import BumpHunter1D
+    _, RefBH = ref
+    rng = np.random.default_rng(21)  # local: shared-fixture order varies
+    nbins = 40
+    edges = np.linspace(0, 400, nbins + 1)
+    bkg0 = rng.uniform(80, 280, nbins)
+    bkg1 = rng.uniform(60, 240, nbins)
+    d0 = rng.poisson(bkg0).astype(float)
+    d1 = rng.poisson(bkg1).astype(float)
+    d0[19:24] += 85   # ch0 bump
+    d1[21:26] += 75   # ch1 bump: left edge >= ch0's, right edge beyond
+
+    hunter = RefBH(width_min=2, width_max=6, width_step=1, scan_step=1,
+                   npe=1, nworker=1, seed=0, bins=[edges, edges])
+    hunter.min_Pval_ar = np.empty(1, dtype=object)
+    hunter.min_loc_ar = np.empty(1, dtype=object)
+    hunter.min_width_ar = np.empty(1, dtype=object)
+    hunter.t_ar = np.empty(1)
+    hunter._scan_hist_multi([d0.copy(), d1.copy()], [bkg0, bkg1],
+                            np.arange(2, 7), 0)
+
+    ours = BumpHunter1D(width_min=2, width_max=6, width_step=1, scan_step=1,
+                        npe=1, seed=0, bins=[edges.copy(), edges.copy()])
+    window = ours.bump_scan([d0.copy(), d1.copy()],
+                            [bkg0.copy(), bkg1.copy()], is_hist=True,
+                            do_pseudo=False, multi_chan=True, verbose=False)
+
+    locs, widths = ours.min_loc_ar[0], ours.min_width_ar[0]
+    # regime guard: left-edge clip (the ref bug) must not be in play
+    assert locs[1] >= locs[0]
+    ref_p = np.asarray(hunter.min_Pval_ar[0], dtype=float)
+    assert ref_p[1] < 1.0  # channels did overlap on the ref side
+    np.testing.assert_allclose(ours.min_Pval_ar[0], ref_p, rtol=2e-3)
+    np.testing.assert_allclose(ours.t_ar[0], float(hunter.t_ar[0]),
+                               rtol=1e-3, atol=5e-3)
+    # channel 0 keeps its raw window in both implementations
+    assert int(locs[0]) == int(hunter.min_loc_ar[0][0])
+    assert int(widths[0]) == int(hunter.min_width_ar[0][0])
+    # our combined window vs ref's clipped channel-1 window (physical):
+    # the left edges agree; on the right the reference's clip loop
+    # (ref :669-672: decrement while edge > prev, then +1 back) rounds
+    # OUTWARD and lands one bin past the exact intersection even when
+    # the bin edges align exactly — ours reports the true intersection
+    # (same fix policy as the left-edge bug), so the quirk offset is
+    # exactly one bin here
+    ref_loc1 = int(hunter.min_loc_ar[0][1])
+    ref_w1 = int(hunter.min_width_ar[0][1])
+    assert window is not None
+    assert window[0] == edges[ref_loc1]
+    bin_width = edges[1] - edges[0]
+    assert edges[ref_loc1 + ref_w1] == window[1] + bin_width
+
+
+def test_multichannel_no_overlap_matches_reference(ref):
+    """Disjoint per-channel bumps: the reference resets all p to 1 and
+    t to 0 (ref :649-656); ours must agree on the combined statistic
+    and report no overlap window."""
+    from atlasvae.stats import BumpHunter1D
+    _, RefBH = ref
+    rng = np.random.default_rng(22)  # local: shared-fixture order varies
+    nbins = 40
+    edges = np.linspace(0, 400, nbins + 1)
+    bkg0 = rng.uniform(80, 280, nbins)
+    bkg1 = rng.uniform(60, 240, nbins)
+    d0 = rng.poisson(bkg0).astype(float)
+    d1 = rng.poisson(bkg1).astype(float)
+    d0[5:9] += 90    # ch0 bump far left
+    d1[30:34] += 80  # ch1 bump far right
+
+    hunter = RefBH(width_min=2, width_max=6, width_step=1, scan_step=1,
+                   npe=1, nworker=1, seed=0, bins=[edges, edges])
+    hunter.min_Pval_ar = np.empty(1, dtype=object)
+    hunter.min_loc_ar = np.empty(1, dtype=object)
+    hunter.min_width_ar = np.empty(1, dtype=object)
+    hunter.t_ar = np.empty(1)
+    hunter._scan_hist_multi([d0.copy(), d1.copy()], [bkg0, bkg1],
+                            np.arange(2, 7), 0)
+
+    ours = BumpHunter1D(width_min=2, width_max=6, width_step=1, scan_step=1,
+                        npe=1, seed=0, bins=[edges.copy(), edges.copy()])
+    window = ours.bump_scan([d0.copy(), d1.copy()],
+                            [bkg0.copy(), bkg1.copy()], is_hist=True,
+                            do_pseudo=False, multi_chan=True, verbose=False)
+
+    assert np.all(np.asarray(hunter.min_Pval_ar[0], dtype=float) == 1.0)
+    assert float(hunter.t_ar[0]) == 0.0
+    assert window is None
+    assert float(ours.t_ar[0]) == 0.0
