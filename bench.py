@@ -58,9 +58,16 @@ also emits ``train_step_us``/``train_step_us_raw``,
 ``model_flops_per_step`` (nominal dense FLOPs of the compiled loss
 graph) and ``mfu_nominal``/``mfu_padded`` (the padded-tile FLOP model
 from docs/PERF.md "Train-step anatomy": every K,N <= 128 dense matmul
-occupies a full 128x128 MXU tile).  The run retries into a healthy
-host-memory window (``host_degraded`` false) before recording, as the
-ETL/soak benches already do.
+occupies a full 128x128 MXU tile).  The run WAITS for a healthy
+host-memory window before the timed section (probe every ~2.5 min,
+30-min budget, ``host_wait_s`` in the line; round 5, VERDICT r4 #4)
+and retries if the window closes mid-run.
+
+Round 5 adds the constituents-mode (wide) train step
+(``constit_train_*``/``constit_mfu_*``: 312 inputs, FC 256/128/64/32,
+ref OE-VAE/vae.py:72-76) — the MXU-meaningful shape where
+``mfu_nominal`` measures real utilization instead of the flagship's
+padded-tile floor (VERDICT r4 #5).
 """
 
 import json
@@ -229,6 +236,70 @@ def bench_vae(jax, jnp):
         "mfu_padded": flops_padded / step_s / V5E_PEAK_FLOPS,
         "infer_jps": n / iwall,
         "infer_jps_raw": n / iwall_raw,
+    }
+
+
+def bench_vae_wide(jax, jnp):
+    """Constituents-mode train step (ref OE-VAE/vae.py:72-76): 312
+    inputs (the 100-constituent config scaled to 40 const + HLVs,
+    BASELINE.md "Constituents mode"), FC 256/128/64/32 — the
+    MXU-meaningful shape whose ``mfu_nominal`` is a real utilization
+    number rather than a padded-tile artifact (every flagship matmul
+    has K,N <= 128; here K reaches 312 and N 256).  Data is synthesized
+    ON DEVICE by one jitted program: materializing 2 x 2.4 GB on host
+    and pushing it through the ~60 MB/s tunnel would cost ~80 s of pure
+    transport for what is a device-time metric."""
+    from atlasvae.models import VAEConfig, init_vae
+    from atlasvae.train.step import make_vae_step_fns, make_optimizer
+
+    input_dim, fc = 312, (256, 128, 64, 32)
+    config = VAEConfig(fc_layers=fc, input_dim=input_dim)
+    params = init_vae(jax.random.PRNGKey(0), config)
+    optimizer = make_optimizer()
+    opt_state = optimizer.init(params)
+    lr = np.float32(1e-3)
+    train_on_load, _ = make_vae_step_fns(optimizer, oe_type="MAE", beta=2.0,
+                                         lamb=5.0, margin=1.0)
+    # 200 batches/call: the wide step is compute-bound (~30 GF nominal
+    # per 1e4-jet step), so the call wall dominates the ~30 ms RTT
+    batch_size, n_batches = 10_000, 200
+    n = batch_size * n_batches
+
+    @jax.jit
+    def synth(k):
+        x = jax.random.normal(k, (n_batches, batch_size, input_dim),
+                              jnp.float32)
+        ones = jnp.ones((n_batches, batch_size), jnp.float32)
+        return x, x + 0.5, ones, ones, ones
+
+    batches = synth(jax.random.PRNGKey(2))
+    key = jax.random.PRNGKey(1)
+    _log("compiling wide (constituents-mode) VAE train step...")
+    state = [params, opt_state]
+    t0 = time.perf_counter()
+    p, o, m = train_on_load(state[0], state[1], lr, key, *batches)
+    np.asarray(m)
+    compile_s = time.perf_counter() - t0
+    state[0], state[1] = p, o
+
+    def step():
+        p, o, m = train_on_load(state[0], state[1], lr, key, *batches)
+        state[0], state[1] = p, o
+        return m
+
+    wall, wall_raw = _timed(step, lambda m: np.asarray(m), reps=9)
+    flops_nominal, flops_padded = _vae_train_flops(fc, input_dim, batch_size)
+    step_s = wall / n_batches
+    return {
+        "train_jps": n / wall,
+        "train_jps_raw": n / wall_raw,
+        "train_step_us": step_s * 1e6,
+        "train_step_us_raw": wall_raw / n_batches * 1e6,
+        "train_compile_s": compile_s,
+        "model_flops_per_step": flops_nominal,
+        "model_flops_per_step_padded": flops_padded,
+        "mfu_nominal": flops_nominal / step_s / V5E_PEAK_FLOPS,
+        "mfu_padded": flops_padded / step_s / V5E_PEAK_FLOPS,
     }
 
 
@@ -528,6 +599,7 @@ def main():
     _log(f"dispatch latency: {_DISPATCH_LATENCY_S * 1e3:.1f} ms "
          "(subtracted from every timed wall)")
     vae = bench_vae(jax, jnp)
+    wide = bench_vae_wide(jax, jnp)
     sweep = bench_sweep(jax, vae)
     aae_jps, aae_jps_raw = bench_aae(jax)
     jetid_jps, jetid_jps_raw = bench_jetid(jax)
@@ -558,6 +630,18 @@ def main():
         "peak_flops_assumed": V5E_PEAK_FLOPS,
         "infer_encode_jets_per_sec": round(vae["infer_jps"], 1),
         "infer_encode_jets_per_sec_raw": round(vae["infer_jps_raw"], 1),
+        # constituents-mode (wide) train step: the MXU-meaningful shape
+        "constit_train_jets_per_sec": round(wide["train_jps"], 1),
+        "constit_train_jets_per_sec_raw": round(wide["train_jps_raw"], 1),
+        "constit_train_step_us": round(wide["train_step_us"], 2),
+        "constit_train_step_us_raw": round(wide["train_step_us_raw"], 2),
+        "constit_train_compile_s": round(wide["train_compile_s"], 1),
+        "constit_model_flops_per_step": round(wide["model_flops_per_step"]),
+        "constit_model_flops_per_step_padded": round(
+            wide["model_flops_per_step_padded"]),
+        "constit_mfu_nominal": round(wide["mfu_nominal"], 4),
+        "constit_mfu_padded": round(wide["mfu_padded"], 4),
+        "constit_config": "batch=1e4 fc=256/128/64/32 in=312 OE=MAE",
         "sweep_vmap8_jets_per_sec": round(sweep["sweep_jps"], 1),
         "sweep_vmap8_jets_per_sec_raw": round(sweep["sweep_jps_raw"], 1),
         "sweep_vmap8_speedup_vs_seq": round(sweep["speedup"], 2),
@@ -581,35 +665,79 @@ def main():
             _DISPATCH_LATENCY_S * 1e3, 2),
         "host_fresh_mb_s": host_fresh_mb_s,
         "host_degraded": host_degraded,
+        "host_wait_s": float(os.environ.get("ATLASVAE_BENCH_HOST_WAIT_S",
+                                            0.0)),
         "config": "batch=1e4 fc=80/40/20/10 in=12 OE=MAE beta=2 lamb=5 prng=rbg",
     }))
 
 
+def _wait_for_healthy_host(deadline, interval_s=150):
+    """Bounded wait for a healthy host-memory window BEFORE burning a
+    full bench run (VERDICT r4 #4: the 2 x 90 s cooldown exhausted
+    without finding a window in rounds 3-4): probe fresh-page fault
+    bandwidth every ~2.5 min until it reads healthy or the shared
+    deadline expires.  Returns seconds spent waiting; a missing probe
+    reads as healthy (same behavior as the in-run health key)."""
+    t0 = time.monotonic()
+    while True:
+        fresh, degraded = _host_health()
+        if not degraded:
+            if time.monotonic() - t0 > 1.0:
+                _log(f"host healthy ({fresh} MB/s fresh pages) after "
+                     f"{time.monotonic() - t0:.0f} s wait")
+            return time.monotonic() - t0
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            _log(f"healthy-window budget exhausted; recording on a "
+                 f"degraded host (fresh pages {fresh} MB/s)")
+            return time.monotonic() - t0
+        _log(f"host degraded ({fresh} MB/s fresh pages); sleeping "
+             f"{min(interval_s, remaining):.0f} s for a healthy window "
+             f"({remaining:.0f} s budget left)")
+        time.sleep(min(interval_s, remaining))
+
+
 def _main_with_retry():
-    """Run main() in a subprocess; retry on init timeout or degraded host.
+    """Run main() in a subprocess; wait for host health, retry on
+    transient tunnel failures.
 
     Two transient failure modes must not corrupt the round's recorded
-    benchmark (VERDICT r3 weak #2):
+    benchmark (VERDICT r3 weak #2, r4 #4):
 
+    * this VM's host memory intermittently degrades to ~3-35 MB/s
+      fresh-page faults (vs ~2.5 GB/s healthy), inflating every wall
+      measured through the tunnel by ~10-20% — the run now WAITS for a
+      healthy window (probe every ~2.5 min, shared 30-min budget)
+      before the timed section, and re-waits + retries if the window
+      closes mid-run; ``host_wait_s`` records the spend.  If the budget
+      exhausts, the run proceeds and the line says so honestly
+      (``host_degraded: true``);
     * the axon tunnel intermittently refuses a new client for several
       minutes after the previous one disconnects (observed twice in
       round 3) — on the watchdog's init-timeout line, cool down 120 s
-      and retry (once);
-    * this VM's host memory intermittently degrades to ~3-35 MB/s
-      fresh-page faults (vs ~2.5 GB/s healthy), inflating every wall
-      measured through the tunnel by ~10-20% — when the run's own
-      health probe flags ``host_degraded``, cool down 90 s and retry
-      (up to twice) for a healthy window, exactly as the ETL/soak
-      benches already gate their recorded numbers (BASELINE.md).
+      and retry (once).
 
     The final attempt's stdout is re-emitted verbatim — still ONE JSON
-    line; if every window was degraded, the line says so
-    (``host_degraded: true``).
+    line.
     """
     import subprocess
-    env = dict(os.environ, ATLASVAE_BENCH_CHILD="1")
-    init_retries, degraded_retries = 1, 2
+    deadline = time.monotonic() + 1800  # 30-min healthy-window budget
+    host_wait_s = 0.0
+    init_retries = 2
+    relaunch_cooldown = 0
     while True:
+        if relaunch_cooldown:
+            # the tunnel refuses a new client for ~1-2 min after the
+            # previous child disconnects (observed: an immediate
+            # relaunch after a degraded run burned an init retry on
+            # exactly this lag)
+            _log(f"cooling down {relaunch_cooldown} s before relaunch "
+                 "(tunnel client-release lag)")
+            time.sleep(relaunch_cooldown)
+            relaunch_cooldown = 0
+        host_wait_s += _wait_for_healthy_host(deadline)
+        env = dict(os.environ, ATLASVAE_BENCH_CHILD="1",
+                   ATLASVAE_BENCH_HOST_WAIT_S=f"{host_wait_s:.0f}")
         proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
                               env=env, stdout=subprocess.PIPE, text=True)
         out = proc.stdout
@@ -619,17 +747,16 @@ def _main_with_retry():
                  "retrying (tunnel client-release lag)")
             time.sleep(120)
             continue
-        if degraded_retries and proc.returncode == 0:
+        if proc.returncode == 0:
             try:
                 degraded = json.loads(out.strip().splitlines()[-1]).get(
                     "host_degraded")
             except (ValueError, IndexError):
                 degraded = None
-            if degraded:
-                degraded_retries -= 1
-                _log("host memory degraded during this run; cooling down "
-                     "90 s and retrying for a healthy window")
-                time.sleep(90)
+            if degraded and time.monotonic() < deadline:
+                _log("host memory degraded during this run; re-waiting "
+                     "for a healthy window and retrying")
+                relaunch_cooldown = 90
                 continue
         sys.stdout.write(out)
         sys.stdout.flush()
