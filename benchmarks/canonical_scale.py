@@ -1,0 +1,161 @@
+"""Canonical production-scale run: vae.sh at its real size, once, recorded.
+
+The reference's actual workload is ONE invocation of vae.py at
+8e6 train / 1e6 valid / 1e6 sig jets for 20 epochs (ref
+OE-VAE/vae.sh:3-11) inside a 2-day Slurm allocation (ref
+OE-VAE/sbatch.sh:10).  BASELINE.md demonstrates the full pipeline at 1M
+scale and a 10M-jet streaming soak, but never the canonical scale as a
+single end-to-end training job.  This script owns that run:
+
+* ``--gen``: chunked synthetic builds of exactly the three datasets the
+  command touches — QCD-Geneva at n_train+n_valid, OoD-H at the CLI's
+  n_OoD default (1e7, vae.sh passes nothing), 2HDM-Geneva at n_sig —
+  registered under the production ``data/synthetic_<name>.h5`` names.
+  Files are generated at 20 stored constituents: the canonical command
+  trains on the 12 HLV columns only (``--constituents=OFF``), so the
+  stored constituent width never enters the measured workload, and
+  width 20 keeps the one-core host generation to ~7 min instead of ~80.
+* ``--run``: the literal vae.sh command line (sizes untouched, only
+  ``--output_dir`` bound; ``ATLASVAE_TRANSFER_DTYPE=float16`` — the
+  production wire format for this 60 MB/s host->device tunnel), timed
+  end-to-end: data load + scaler fit + OoD pairing + reweighting +
+  20 training epochs + the complete evaluation/plotting suite.  After
+  the CLI returns, the trained model's sig-vs-bkg ROC AUC on the MAE
+  discriminant is recomputed at the library surface (the CLI only
+  embeds AUC in plot legends) and everything lands in one JSON line.
+
+Usage (real TPU; ~7 min gen + the measured run):
+    python benchmarks/canonical_scale.py --gen
+    python benchmarks/canonical_scale.py --run
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# sizes of vae.sh:3-11 (n_OoD is the vae.py default, not passed there)
+N_TRAIN, N_VALID, N_SIG, N_OOD = 8_000_000, 1_000_000, 1_000_000, 10_000_000
+
+DATASETS = {  # logical name -> (generator class, events needed)
+    "QCD-Geneva": ("QCD", N_TRAIN + N_VALID),
+    "OoD-H": ("H-OoD", N_OOD),
+    "2HDM-Geneva": ("2HDM", N_SIG),
+}
+
+CANONICAL_ARGV = [  # OE-VAE/vae.sh:3-11 verbatim (output_dir bound below)
+    "--n_train=8e6", "--n_valid=1e6", "--n_sig=1e6",
+    "--batch_size=1e4", "--n_epochs=20", "--lr=1e-3",
+    "--beta=2", "--lamb=5", "--n_const=100",
+    "--OE_type=MAE", "--weight_type=X-S",
+    "--plotting=ON", "--apply_cut=OFF",
+    "--decorrelation=ON",
+    "--constituents=OFF", "--const_scaler_type=QuantileTransformer",
+    "--HLVs=ON", "--HLV_scaler_type=RobustScaler",
+    "--slurm_id=0",
+]
+
+
+def gen_phase():
+    from soak_streaming import build_big_file
+    from atlasvae.data.registry import data_dir
+    root = data_dir()
+    root.mkdir(parents=True, exist_ok=True)
+    t0 = time.time()
+    for i, (name, (kind, n)) in enumerate(DATASETS.items()):
+        path = root / f"synthetic_{name}.h5"
+        print(f"building {path} ({kind}, {n:,} events)", flush=True)
+        build_big_file(str(path), kind, n, n_const_max=20, seed=100 + i)
+    print(f"gen wall {time.time() - t0:.0f} s", flush=True)
+
+
+def final_auc(args_ns, out_root):
+    """Sig-vs-bkg ROC AUC of the trained model's MAE discriminant on the
+    validation slice — the same sample/scaler/filter path _evaluate uses
+    (cli/vae.py:188-241), reduced to the one number."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from atlasvae.data import make_sample, apply_scaler
+    from atlasvae.data.loader import filtering
+    from atlasvae.data.scalers import Scaler
+    from atlasvae.models import VAEConfig, init_vae, vae_apply
+    from atlasvae.train.keras_import import load_params_auto
+    from atlasvae.train.loop import features
+    from atlasvae.eval.metrics import loss_function
+    from atlasvae.eval.roc import auc_score
+    from atlasvae.cli.vae import _select_samples
+
+    hlv_list, input_dim, _, valid_cuts = _select_samples(args_ns)
+    config = VAEConfig(fc_layers=(80, 40, 20, 10), input_dim=input_dim)
+    params = load_params_auto(out_root + "/model.npz",
+                              init_vae(jax.random.PRNGKey(0), config), "vae")
+    scaler = Scaler.load(out_root + "/HLV_RobustScaler.pkl")
+    sample = make_sample("QCD-Geneva", "2HDM-Geneva", N_VALID, N_SIG,
+                         valid_cuts, 100, 3, "OFF", "ON", hlv_list)
+    y_true = (sample["JZW"] != -1).astype(int)
+    sample["weights"][y_true == 0] /= 1e3  # Geneva sig (ref vae.py:151)
+    sample["HLVs"] = apply_scaler(sample["HLVs"], 3, scaler)
+    x_true = features(sample)
+    predict = jax.jit(lambda p, x, k: vae_apply(p, x, k)[0])
+    chunks = [predict(params, jnp.asarray(x_true[i:i + 100_000]),
+                      jax.random.PRNGKey(0))
+              for i in range(0, len(x_true), 100_000)]
+    x_pred = np.concatenate([np.asarray(c) for c in chunks])
+    y_true, x_true, x_pred, sample = filtering(y_true, x_true, x_pred, sample)
+    mae = loss_function(x_true, x_pred, n_dims=3, metric="MAE")
+    return auc_score(y_true, mae, sample["weights"])
+
+
+def run_phase(out_root):
+    os.environ.setdefault("ATLASVAE_TRANSFER_DTYPE", "float16")
+    os.environ.setdefault("ATLASVAE_PRNG", "rbg")
+    import h5py
+    from atlasvae.data.registry import register_file, data_dir
+    from atlasvae.cli.vae import main, build_parser
+    for name, (_, n) in DATASETS.items():
+        path = data_dir() / f"synthetic_{name}.h5"
+        with h5py.File(path, "r") as f:
+            have = len(f["weights"])
+            assert f.attrs.get("complete", False) and have >= n, \
+                f"{path}: {have} < {n} events — run --gen first"
+        register_file(name, path)
+    argv = CANONICAL_ARGV + [f"--output_dir={out_root}"]
+    print("RUN:", " ".join(argv), flush=True)
+    t0 = time.time()
+    rc = main(argv)
+    wall = time.time() - t0
+    assert rc in (0, None), rc
+    args_ns = build_parser().parse_args(argv)
+    from atlasvae.cli.vae import _wire_paths
+    root = _wire_paths(args_ns)
+    t1 = time.time()
+    auc = final_auc(args_ns, root)
+    line = {
+        "metric": "canonical_scale_wall_s", "value": round(wall, 1),
+        "unit": "s",
+        "jets_per_sec_e2e": round(N_TRAIN * 20 / wall, 1),
+        "n_train": N_TRAIN, "n_valid": N_VALID, "n_sig": N_SIG,
+        "n_ood": N_OOD, "n_epochs": 20,
+        "final_auc_mae": round(auc, 4),
+        "auc_eval_extra_s": round(time.time() - t1, 1),
+        "transfer_dtype": os.environ["ATLASVAE_TRANSFER_DTYPE"],
+    }
+    print(json.dumps(line), flush=True)
+    return line
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gen", action="store_true")
+    ap.add_argument("--run", action="store_true")
+    ap.add_argument("--output_dir", default="outputs/canonical_scale")
+    a = ap.parse_args()
+    if a.gen:
+        gen_phase()
+    if a.run:
+        run_phase(a.output_dir)
