@@ -38,26 +38,43 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# sizes of vae.sh:3-11 (n_OoD is the vae.py default, not passed there)
+# sizes of vae.sh:3-11 (n_OoD is the vae.py default, not passed there);
+# SCALE=1 is the canonical run, SCALE=1000 a CPU smoke test of the
+# identical path
+SCALE = 1
 N_TRAIN, N_VALID, N_SIG, N_OOD = 8_000_000, 1_000_000, 1_000_000, 10_000_000
 
-DATASETS = {  # logical name -> (generator class, events needed)
-    "QCD-Geneva": ("QCD", N_TRAIN + N_VALID),
-    "OoD-H": ("H-OoD", N_OOD),
-    "2HDM-Geneva": ("2HDM", N_SIG),
-}
 
-CANONICAL_ARGV = [  # OE-VAE/vae.sh:3-11 verbatim (output_dir bound below)
-    "--n_train=8e6", "--n_valid=1e6", "--n_sig=1e6",
-    "--batch_size=1e4", "--n_epochs=20", "--lr=1e-3",
-    "--beta=2", "--lamb=5", "--n_const=100",
-    "--OE_type=MAE", "--weight_type=X-S",
-    "--plotting=ON", "--apply_cut=OFF",
-    "--decorrelation=ON",
-    "--constituents=OFF", "--const_scaler_type=QuantileTransformer",
-    "--HLVs=ON", "--HLV_scaler_type=RobustScaler",
-    "--slurm_id=0",
-]
+def sizes():
+    return tuple(n // SCALE for n in (N_TRAIN, N_VALID, N_SIG, N_OOD))
+
+
+def datasets():  # logical name -> (generator class, events needed)
+    n_train, n_valid, n_sig, n_ood = sizes()
+    return {
+        "QCD-Geneva": ("QCD", n_train + n_valid),
+        "OoD-H": ("H-OoD", n_ood),
+        "2HDM-Geneva": ("2HDM", n_sig),
+    }
+
+
+def canonical_argv():
+    """OE-VAE/vae.sh:3-11 verbatim (output_dir bound by the caller)."""
+    n_train, n_valid, n_sig, n_ood = sizes()
+    argv = [
+        f"--n_train={n_train}", f"--n_valid={n_valid}", f"--n_sig={n_sig}",
+        f"--batch_size={10_000 // SCALE}", "--n_epochs=20", "--lr=1e-3",
+        "--beta=2", "--lamb=5", "--n_const=100",
+        "--OE_type=MAE", "--weight_type=X-S",
+        "--plotting=ON", "--apply_cut=OFF",
+        "--decorrelation=ON",
+        "--constituents=OFF", "--const_scaler_type=QuantileTransformer",
+        "--HLVs=ON", "--HLV_scaler_type=RobustScaler",
+        "--slurm_id=0",
+    ]
+    if SCALE != 1:
+        argv += [f"--n_OoD={n_ood}", "--npe=20"]  # smoke: keep eval small
+    return argv
 
 
 def gen_phase():
@@ -66,7 +83,7 @@ def gen_phase():
     root = data_dir()
     root.mkdir(parents=True, exist_ok=True)
     t0 = time.time()
-    for i, (name, (kind, n)) in enumerate(DATASETS.items()):
+    for i, (name, (kind, n)) in enumerate(datasets().items()):
         path = root / f"synthetic_{name}.h5"
         print(f"building {path} ({kind}, {n:,} events)", flush=True)
         build_big_file(str(path), kind, n, n_const_max=20, seed=100 + i)
@@ -95,8 +112,12 @@ def final_auc(args_ns, out_root):
     params = load_params_auto(out_root + "/model.npz",
                               init_vae(jax.random.PRNGKey(0), config), "vae")
     scaler = Scaler.load(out_root + "/HLV_RobustScaler.pkl")
-    sample = make_sample("QCD-Geneva", "2HDM-Geneva", N_VALID, N_SIG,
-                         valid_cuts, 100, 3, "OFF", "ON", hlv_list)
+    # _select_samples mutates n_valid into the [n_train, end] window —
+    # a raw n_valid here would score the TRAINING region (the exact bug
+    # cli/vae.py::_grid_configs documents)
+    sample = make_sample("QCD-Geneva", "2HDM-Geneva", args_ns.n_valid,
+                         sizes()[2], valid_cuts, 100, 3, "OFF", "ON",
+                         hlv_list)
     y_true = (sample["JZW"] != -1).astype(int)
     sample["weights"][y_true == 0] /= 1e3  # Geneva sig (ref vae.py:151)
     sample["HLVs"] = apply_scaler(sample["HLVs"], 3, scaler)
@@ -117,14 +138,15 @@ def run_phase(out_root):
     import h5py
     from atlasvae.data.registry import register_file, data_dir
     from atlasvae.cli.vae import main, build_parser
-    for name, (_, n) in DATASETS.items():
+    n_train, n_valid, n_sig, n_ood = sizes()
+    for name, (_, n) in datasets().items():
         path = data_dir() / f"synthetic_{name}.h5"
         with h5py.File(path, "r") as f:
             have = len(f["weights"])
             assert f.attrs.get("complete", False) and have >= n, \
                 f"{path}: {have} < {n} events — run --gen first"
         register_file(name, path)
-    argv = CANONICAL_ARGV + [f"--output_dir={out_root}"]
+    argv = canonical_argv() + [f"--output_dir={out_root}"]
     print("RUN:", " ".join(argv), flush=True)
     t0 = time.time()
     rc = main(argv)
@@ -138,9 +160,9 @@ def run_phase(out_root):
     line = {
         "metric": "canonical_scale_wall_s", "value": round(wall, 1),
         "unit": "s",
-        "jets_per_sec_e2e": round(N_TRAIN * 20 / wall, 1),
-        "n_train": N_TRAIN, "n_valid": N_VALID, "n_sig": N_SIG,
-        "n_ood": N_OOD, "n_epochs": 20,
+        "jets_per_sec_e2e": round(n_train * 20 / wall, 1),
+        "n_train": n_train, "n_valid": n_valid, "n_sig": n_sig,
+        "n_ood": n_ood, "n_epochs": 20,
         "final_auc_mae": round(auc, 4),
         "auc_eval_extra_s": round(time.time() - t1, 1),
         "transfer_dtype": os.environ["ATLASVAE_TRANSFER_DTYPE"],
@@ -153,9 +175,20 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--gen", action="store_true")
     ap.add_argument("--run", action="store_true")
+    ap.add_argument("--smoke", action="store_true",
+                    help="1/1000-scale CPU validation of the identical "
+                         "path (own data/output dirs)")
     ap.add_argument("--output_dir", default="outputs/canonical_scale")
     a = ap.parse_args()
-    if a.gen:
+    if a.smoke:
+        SCALE = 1000
+        os.environ["ATLASVAE_PLATFORM"] = "cpu"
+        os.environ["ATLASVAE_DATA_DIR"] = "data_smoke"
+        a.output_dir = "outputs/canonical_smoke"
         gen_phase()
-    if a.run:
         run_phase(a.output_dir)
+    else:
+        if a.gen:
+            gen_phase()
+        if a.run:
+            run_phase(a.output_dir)
