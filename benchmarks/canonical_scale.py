@@ -38,6 +38,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# own data dir: the default data/ holds small git-tracked fixture files
+# which the multi-GB canonical builds must not overwrite
+os.environ.setdefault("ATLASVAE_DATA_DIR", "data_canonical")
+
 # sizes of vae.sh:3-11 (n_OoD is the vae.py default, not passed there);
 # SCALE=1 is the canonical run, SCALE=1000 a CPU smoke test of the
 # identical path
